@@ -1,0 +1,108 @@
+"""Shared building blocks for nkbx backbones (Flax linen, NHWC, bf16-ready).
+
+All backbones follow one contract:
+
+- ``__call__(x, train: bool) -> (B, num_features)`` pooled embedding;
+- class attr/property ``num_features``;
+- ``drop_rate`` overrides internal dropout (the TPU-native analog of the
+  reference's recursive ``set_dropout``, model.py:66-72);
+- ``dtype`` is the compute dtype (bf16 on TPU), params stay float32
+  (``param_dtype``) — the reference's AMP-autocast analog without a GradScaler,
+  since bf16 has fp32 exponent range (engine.py:43-47 replacement).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_kaiming_normal():
+    # torch.nn.init.kaiming_normal_(nonlinearity='relu'): N(0, 2/fan_in), untruncated
+    return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def torch_kaiming_uniform():
+    return nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+
+
+def torch_xavier_normal():
+    return nn.initializers.variance_scaling(1.0, "fan_avg", "normal")
+
+
+def torch_xavier_uniform():
+    return nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+
+
+INIT_STRATEGIES: dict[str, Callable] = {
+    # same strategy names as reference model.py:45-57
+    "kaiming_normal_": torch_kaiming_normal,
+    "kaiming_uniform_": torch_kaiming_uniform,
+    "xavier_normal_": torch_xavier_normal,
+    "xavier_uniform_": torch_xavier_uniform,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm + optional activation, NHWC."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    groups: int = 1
+    act: Callable | None = nn.relu
+    dtype: Dtype = jnp.float32
+    bn_momentum: float = 0.9
+    padding: Any = "SAME"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=self.padding,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+def global_avg_pool(x):
+    return jnp.mean(x, axis=(1, 2))
+
+
+def hard_sigmoid(x):
+    return nn.relu6(x + 3.0) / 6.0
+
+
+def hard_swish(x):
+    return x * hard_sigmoid(x)
+
+
+class SqueezeExcite(nn.Module):
+    reduced: int
+    gate: Callable = hard_sigmoid
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.relu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        return x * self.gate(s)

@@ -1,0 +1,92 @@
+"""EfficientNet (B0..B3) — MBConv with SE, swish. Flax, NHWC.
+
+Covers the reference's ``efficientnet_b0``/``efficientnet_b2`` timm usage
+(BASELINE config #3, configs/archive efb2).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from nkbx.models.common import ConvBN, SqueezeExcite, global_avg_pool
+
+# (expand_ratio, kernel, stride, repeats, out_channels)
+_B0_SPEC: Sequence[Tuple[int, int, int, int, int]] = (
+    (1, 3, 1, 1, 16),
+    (6, 3, 2, 2, 24),
+    (6, 5, 2, 2, 40),
+    (6, 3, 2, 3, 80),
+    (6, 5, 1, 3, 112),
+    (6, 5, 2, 4, 192),
+    (6, 3, 1, 1, 320),
+)
+
+
+def _round_channels(c, width_mult, divisor=8):
+    c *= width_mult
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return int(new_c)
+
+
+def _round_repeats(r, depth_mult):
+    return int(math.ceil(r * depth_mult))
+
+
+class MBConv(nn.Module):
+    expand_ratio: int
+    kernel: int
+    strides: int
+    out: int
+    se_ratio: float = 0.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inp = x.shape[-1]
+        mid = inp * self.expand_ratio
+        y = x
+        if self.expand_ratio != 1:
+            y = ConvBN(mid, 1, 1, act=nn.swish, dtype=self.dtype)(y, train)
+        y = ConvBN(mid, self.kernel, self.strides, groups=mid, act=nn.swish, dtype=self.dtype)(y, train)
+        y = SqueezeExcite(max(1, int(inp * self.se_ratio)), gate=nn.sigmoid, dtype=self.dtype)(y)
+        y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train)
+        if self.strides == 1 and inp == self.out:
+            y = y + x
+        return y
+
+
+class EfficientNet(nn.Module):
+    width_mult: float = 1.0
+    depth_mult: float = 1.0
+    drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @property
+    def num_features(self):
+        return _round_channels(1280, self.width_mult)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(_round_channels(32, self.width_mult), 3, 2, act=nn.swish, dtype=self.dtype)(x, train)
+        for expand, kernel, stride, repeats, out in _B0_SPEC:
+            out_c = _round_channels(out, self.width_mult)
+            for i in range(_round_repeats(repeats, self.depth_mult)):
+                x = MBConv(expand, kernel, stride if i == 0 else 1, out_c, dtype=self.dtype)(x, train)
+        x = ConvBN(self.num_features, 1, 1, act=nn.swish, dtype=self.dtype)(x, train)
+        x = global_avg_pool(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+        return x.astype(jnp.float32)
+
+
+efficientnet_b0 = partial(EfficientNet, width_mult=1.0, depth_mult=1.0)
+efficientnet_b1 = partial(EfficientNet, width_mult=1.0, depth_mult=1.1)
+efficientnet_b2 = partial(EfficientNet, width_mult=1.1, depth_mult=1.2)
+efficientnet_b3 = partial(EfficientNet, width_mult=1.2, depth_mult=1.4)

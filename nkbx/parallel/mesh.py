@@ -1,0 +1,96 @@
+"""Device mesh + sharding layer.
+
+This is the TPU-native replacement for the reference's single-``cfg.device``
+model (reference train.py:98, engine.py:40 — single GPU, no distributed code,
+SURVEY.md §2.2). Design:
+
+- a 2-D ``Mesh(('data', 'model'))`` over all local devices; classification
+  workloads are data-parallel (``model`` axis size 1 by default), but the mesh
+  carries a ``model`` axis so large Dense layers / ViT heads can be tensor-sharded
+  without restructuring the train step;
+- the global batch is sharded along ``data``; parameters are replicated over
+  ``data`` and (optionally, per-leaf) sharded over ``model``;
+- gradient all-reduce over ICI is emitted by XLA automatically when a jitted step
+  consumes a ``data``-sharded batch and produces replicated parameter updates —
+  no explicit collectives (no NCCL analog) are required.
+
+Multi-host: call ``jax.distributed.initialize()`` before :func:`make_mesh`; the
+mesh then spans all processes and per-host data loading shards by
+``jax.process_index()`` (see nkbx/data/loader.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a ``('data', 'model')`` mesh.
+
+    Args:
+        n_data: size of the data axis. Defaults to ``len(devices) // n_model``.
+        n_model: size of the tensor-parallel axis (1 = pure data parallel).
+        devices: devices to use; defaults to all of ``jax.devices()``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    n_needed = n_data * n_model
+    if n_needed > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {n_needed} devices, have {len(devices)}")
+    dev_array = np.array(devices[:n_needed]).reshape(n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: leading dim split over ``data``, rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays) onto the mesh, split along ``data``."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def _dense_kernel_spec(path: tuple, leaf) -> P:
+    """Tensor-parallel spec for a parameter leaf.
+
+    Shards the output dim of large Dense/conv kernels over the ``model`` axis when
+    it divides evenly; everything else is replicated. Activations stay replicated
+    over ``model``, so XLA inserts an all-gather only where profitable.
+    """
+    if leaf.ndim >= 2 and leaf.shape[-1] % 128 == 0:
+        return P(*([None] * (leaf.ndim - 1)), "model")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
+    """NamedShardings for a parameter pytree.
+
+    With ``tensor_parallel=False`` (default, the right call for CNN/ViT classifiers
+    at this scale — SURVEY.md §2.2) everything is replicated. With
+    ``tensor_parallel=True``, eligible kernels shard their output features over the
+    ``model`` axis.
+    """
+    if not tensor_parallel or mesh.shape["model"] == 1:
+        rep = replicated_sharding(mesh)
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    def spec_for(path, leaf):
+        s = _dense_kernel_spec(path, leaf)
+        # only shard if the sharded dim divides by the model axis
+        if s != P() and leaf.shape[-1] % mesh.shape["model"] != 0:
+            s = P()
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

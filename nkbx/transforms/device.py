@@ -1,0 +1,231 @@
+"""Device-stage augmentation: ONE fused, batched, jitted kernel on TPU.
+
+Replaces per-sample albumentations CPU ops (reference dataset.py:89-102). The whole
+random photometric chain (flips, brightness/contrast, HSV jitter, coarse dropout,
+motion blur, normalize) compiles to a single XLA program over a uint8 NHWC batch —
+elementwise ops fuse into a few VPU passes, no host round-trips, per-sample
+randomness from a single JAX PRNG key.
+
+Numerical notes vs albumentations:
+- albumentations quantizes to uint8 after every op; we stay in float32 and clip to
+  [0, 255] at each op boundary (differences are below quantization noise — see
+  tests/test_transforms.py tolerances);
+- HSV uses the cv2-uint8 convention (H in [0, 180), S/V in [0, 255]) so the
+  configured shift limits mean the same thing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nkbx.transforms import spec as S
+
+
+# ---------------------------------------------------------------------------
+# Color space (cv2-uint8 convention, float math)
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_hsv(x):
+    """RGB float [0,255] -> (H in [0,180), S in [0,255], V in [0,255])."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = mx - mn
+    safe = jnp.where(diff == 0, 1.0, diff)
+    h_r = jnp.mod((g - b) / safe, 6.0)
+    h_g = (b - r) / safe + 2.0
+    h_b = (r - g) / safe + 4.0
+    h6 = jnp.where(mx == r, h_r, jnp.where(mx == g, h_g, h_b))
+    h = jnp.where(diff == 0, 0.0, h6 * 30.0)  # [0, 180)
+    s = jnp.where(mx > 0, 255.0 * diff / jnp.where(mx == 0, 1.0, mx), 0.0)
+    v = mx
+    return h, s, v
+
+
+def hsv_to_rgb(h, s, v):
+    """Inverse of :func:`rgb_to_hsv`."""
+    h6 = h / 30.0
+    c = v * (s / 255.0)
+    xm = c * (1.0 - jnp.abs(jnp.mod(h6, 2.0) - 1.0))
+    m = v - c
+    sector = jnp.floor(h6).astype(jnp.int32) % 6
+    r = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3, sector == 4], [c, xm, 0.0, 0.0, xm], c)
+    g = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3, sector == 4], [xm, c, c, xm, 0.0], 0.0)
+    b = jnp.select([sector == 0, sector == 1, sector == 2, sector == 3, sector == 4], [0.0, 0.0, xm, c, c], xm)
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Per-op appliers. Each takes (x f32 NHWC [0,255], key) -> x.
+# ---------------------------------------------------------------------------
+
+
+def _gate(key, p, b):
+    """Per-sample Bernoulli(p) gate, shape (B, 1, 1, 1)."""
+    return (jax.random.uniform(key, (b, 1, 1, 1)) < p).astype(jnp.float32)
+
+
+def _apply_hflip(t: S.HorizontalFlip, x, key):
+    g = _gate(key, t.p, x.shape[0])
+    return x * (1.0 - g) + x[:, :, ::-1, :] * g
+
+
+def _apply_vflip(t: S.VerticalFlip, x, key):
+    g = _gate(key, t.p, x.shape[0])
+    return x * (1.0 - g) + x[:, ::-1, :, :] * g
+
+
+def _apply_brightness_contrast(t: S.RandomBrightnessContrast, x, key):
+    (b_lo, b_hi), (c_lo, c_hi) = t.ranges()
+    k_g, k_a, k_b = jax.random.split(key, 3)
+    bsz = x.shape[0]
+    g = _gate(k_g, t.p, bsz)
+    alpha = 1.0 + jax.random.uniform(k_a, (bsz, 1, 1, 1), minval=c_lo, maxval=c_hi)
+    beta = jax.random.uniform(k_b, (bsz, 1, 1, 1), minval=b_lo, maxval=b_hi)
+    if t.brightness_by_max:
+        y = x * alpha + beta * 255.0
+    else:
+        # brightness relative to current mean, as albumentations does
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        y = x * alpha + beta * mean
+    y = jnp.clip(y, 0.0, 255.0)
+    return x * (1.0 - g) + y * g
+
+
+def _apply_hsv(t: S.HueSaturationValue, x, key):
+    (h_lo, h_hi), (s_lo, s_hi), (v_lo, v_hi) = t.ranges()
+    k_g, k_h, k_s, k_v = jax.random.split(key, 4)
+    bsz = x.shape[0]
+    g = _gate(k_g, t.p, bsz)
+    dh = jax.random.uniform(k_h, (bsz, 1, 1), minval=h_lo, maxval=h_hi)
+    ds = jax.random.uniform(k_s, (bsz, 1, 1), minval=s_lo, maxval=s_hi)
+    dv = jax.random.uniform(k_v, (bsz, 1, 1), minval=v_lo, maxval=v_hi)
+    h, s, v = rgb_to_hsv(x)
+    h = jnp.mod(h + dh, 180.0)
+    s = jnp.clip(s + ds, 0.0, 255.0)
+    v = jnp.clip(v + dv, 0.0, 255.0)
+    y = jnp.clip(hsv_to_rgb(h, s, v), 0.0, 255.0)
+    return x * (1.0 - g) + y * g
+
+
+def _apply_coarse_dropout(t: S.CoarseDropout, x, key):
+    bsz, ih, iw, c = x.shape
+    min_holes, max_holes, min_h, max_h, min_w, max_w = t.resolved(ih, iw)
+    k_g, k_n, k_h, k_w, k_y, k_x = jax.random.split(key, 6)
+    g = _gate(k_g, t.p, bsz)  # (B,1,1,1)
+    n_holes = jax.random.randint(k_n, (bsz, 1), min_holes, max_holes + 1)
+    hh = jax.random.uniform(k_h, (bsz, max_holes), minval=min_h, maxval=max_h)
+    ww = jax.random.uniform(k_w, (bsz, max_holes), minval=min_w, maxval=max_w)
+    hh = jnp.floor(hh)
+    ww = jnp.floor(ww)
+    y1 = jax.random.uniform(k_y, (bsz, max_holes)) * jnp.maximum(ih - hh, 1.0)
+    x1 = jax.random.uniform(k_x, (bsz, max_holes)) * jnp.maximum(iw - ww, 1.0)
+    y1, x1 = jnp.floor(y1), jnp.floor(x1)
+    hole_active = (jnp.arange(max_holes)[None, :] < n_holes).astype(jnp.float32)  # (B, n)
+
+    rows = jax.lax.broadcasted_iota(jnp.float32, (1, 1, ih, 1), 2)  # (1,1,H,1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, iw), 3)  # (1,1,1,W)
+    y1e = y1[:, :, None, None]
+    x1e = x1[:, :, None, None]
+    in_rows = (rows >= y1e) & (rows < y1e + hh[:, :, None, None])  # (B,n,H,1)
+    in_cols = (cols >= x1e) & (cols < x1e + ww[:, :, None, None])  # (B,n,1,W)
+    holes = in_rows & in_cols  # (B,n,H,W)
+    holes = holes & (hole_active[:, :, None, None] > 0)
+    mask = jnp.any(holes, axis=1)[..., None].astype(jnp.float32)  # (B,H,W,1)
+    mask = mask * g
+    fill = jnp.asarray(t.fill_value, dtype=jnp.float32)
+    fill = jnp.broadcast_to(fill, (c,)) if fill.ndim <= 1 else fill
+    return x * (1.0 - mask) + fill[None, None, None, :] * mask
+
+
+def _apply_motion_blur(t: S.MotionBlur, x, key):
+    """Random straight-line blur through the kernel center.
+
+    Albumentations rasterizes a random line with cv2.line; we rasterize a centered
+    line at a random angle with random odd length from ``blur_limit`` — same blur
+    family, batched on device via a depthwise conv.
+    """
+    ksizes = t.ksizes()
+    kmax = max(ksizes)
+    bsz, ih, iw, c = x.shape
+    k_g, k_len, k_ang = jax.random.split(key, 3)
+    g = _gate(k_g, t.p, bsz)
+    length = jnp.asarray(ksizes)[jax.random.randint(k_len, (bsz,), 0, len(ksizes))]  # odd
+    theta = jax.random.uniform(k_ang, (bsz,), minval=0.0, maxval=np.pi)
+
+    # Rasterize per-sample centered line kernels (B, kmax, kmax)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (kmax, kmax), 0) - (kmax - 1) / 2.0
+    xx = jax.lax.broadcasted_iota(jnp.float32, (kmax, kmax), 1) - (kmax - 1) / 2.0
+    dy, dx = jnp.sin(theta), jnp.cos(theta)  # (B,)
+    # distance from pixel center to the line, and projection along it
+    dist = jnp.abs(yy[None] * dx[:, None, None] - xx[None] * dy[:, None, None])
+    proj = jnp.abs(yy[None] * dy[:, None, None] + xx[None] * dx[:, None, None])
+    half = (length.astype(jnp.float32) - 1.0) / 2.0
+    kern = ((dist <= 0.5) & (proj <= half[:, None, None] + 0.25)).astype(jnp.float32)
+    kern = kern / jnp.maximum(jnp.sum(kern, axis=(1, 2), keepdims=True), 1.0)
+
+    # Per-sample kernels applied as a static shift-and-accumulate: y = sum_ij
+    # kern[:, i, j] * shifted(x). K*K fused multiply-adds on the VPU — avoids a
+    # batched grouped conv (which XLA handles poorly for per-sample kernels).
+    pad = kmax // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    y = jnp.zeros_like(x)
+    for i in range(kmax):
+        for j in range(kmax):
+            w = kern[:, i, j][:, None, None, None]
+            y = y + w * jax.lax.dynamic_slice(xp, (0, i, j, 0), x.shape)
+    y = jnp.clip(y, 0.0, 255.0)
+    return x * (1.0 - g) + y * g
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+_RANDOM_APPLIERS = {
+    S.HorizontalFlip: _apply_hflip,
+    S.VerticalFlip: _apply_vflip,
+    S.RandomBrightnessContrast: _apply_brightness_contrast,
+    S.HueSaturationValue: _apply_hsv,
+    S.CoarseDropout: _apply_coarse_dropout,
+    S.MotionBlur: _apply_motion_blur,
+}
+
+
+def build_device_fn(transforms: Sequence[S.Transform]):
+    """Compile the device-stage chain to one jitted fn(batch_u8, key, train)."""
+    norm = None
+    random_ops = []
+    for t in transforms:
+        if isinstance(t, S.Normalize):
+            norm = t
+        elif type(t) in _RANDOM_APPLIERS:
+            random_ops.append(t)
+        elif t.stage == S.MARKER:
+            continue
+        else:
+            raise NotImplementedError(f"Device transform {type(t).__name__} not implemented")
+
+    if norm is not None:
+        mean = np.asarray(norm.mean, dtype=np.float32) * norm.max_pixel_value
+        std = np.asarray(norm.std, dtype=np.float32) * norm.max_pixel_value
+    else:
+        mean = np.zeros(1, dtype=np.float32)
+        std = np.ones(1, dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def device_fn(batch, key, train=True):
+        x = batch.astype(jnp.float32)
+        if train and random_ops:
+            keys = jax.random.split(key, len(random_ops))
+            for t, k in zip(random_ops, keys):
+                x = _RANDOM_APPLIERS[type(t)](t, x, k)
+        return (x - mean) / std
+
+    return device_fn

@@ -1,0 +1,307 @@
+"""Transform specs + Compose.
+
+Names/parameters mirror the albumentations ops used by the reference configs
+(configs/singletask_config.py:162-219, configs/trtconfig.py) so existing pipelines
+port by changing only the import. Implementation is brand-new:
+
+- host-stage geometry: numpy/cv2 per-sample (nkbx/transforms/host.py);
+- device-stage randomness: one fused batched jitted kernel (nkbx/transforms/device.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+HOST = "host"
+DEVICE = "device"
+MARKER = "marker"
+
+
+def _as_range(limit, symmetric=True) -> Tuple[float, float]:
+    """Albumentations-style limit: scalar x -> (-x, x); tuple kept (sorted)."""
+    if isinstance(limit, (tuple, list)):
+        lo, hi = float(limit[0]), float(limit[1])
+        return (min(lo, hi), max(lo, hi))
+    x = float(limit)
+    return (-x, x) if symmetric else (0.0, x)
+
+
+@dataclasses.dataclass
+class Transform:
+    stage = HOST
+
+    def __post_init__(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Host-stage (deterministic or per-sample-random geometry; runs in loader workers)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class LongestMaxSize(Transform):
+    """Resize so the longest side equals ``max_size``, keeping aspect ratio."""
+
+    max_size: int = 1024
+    interpolation: int = 1  # cv2.INTER_LINEAR
+    always_apply: bool = True
+    p: float = 1.0
+    stage = HOST
+
+    def out_size(self, h, w):
+        scale = self.max_size / max(h, w)
+        return max(1, round(h * scale)), max(1, round(w * scale))
+
+
+@dataclasses.dataclass
+class SmallestMaxSize(Transform):
+    max_size: int = 1024
+    interpolation: int = 1
+    always_apply: bool = True
+    p: float = 1.0
+    stage = HOST
+
+    def out_size(self, h, w):
+        scale = self.max_size / min(h, w)
+        return max(1, round(h * scale)), max(1, round(w * scale))
+
+
+@dataclasses.dataclass
+class PadIfNeeded(Transform):
+    """Center-pad to at least (min_height, min_width) with a constant value."""
+
+    min_height: int = 1024
+    min_width: int = 1024
+    border_mode: int = 0  # constant
+    value: Union[int, Sequence[int]] = 0
+    always_apply: bool = True
+    p: float = 1.0
+    stage = HOST
+
+
+@dataclasses.dataclass
+class Resize(Transform):
+    height: int = 224
+    width: int = 224
+    interpolation: int = 1
+    always_apply: bool = True
+    p: float = 1.0
+    stage = HOST
+
+
+@dataclasses.dataclass
+class CenterCrop(Transform):
+    height: int = 224
+    width: int = 224
+    always_apply: bool = True
+    p: float = 1.0
+    stage = HOST
+
+
+@dataclasses.dataclass
+class RandomCrop(Transform):
+    height: int = 224
+    width: int = 224
+    always_apply: bool = True
+    p: float = 1.0
+    stage = HOST
+
+
+# ---------------------------------------------------------------------------
+# Device-stage (random photometric / flips / dropout / normalize; fused on TPU)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class HorizontalFlip(Transform):
+    p: float = 0.5
+    stage = DEVICE
+
+
+@dataclasses.dataclass
+class VerticalFlip(Transform):
+    p: float = 0.5
+    stage = DEVICE
+
+
+@dataclasses.dataclass
+class RandomBrightnessContrast(Transform):
+    """img <- clip(img * alpha + beta * 255), alpha~U(1+c_lo,1+c_hi), beta~U(b_lo,b_hi)."""
+
+    brightness_limit: Union[float, Tuple[float, float]] = 0.2
+    contrast_limit: Union[float, Tuple[float, float]] = 0.2
+    brightness_by_max: bool = True
+    p: float = 0.5
+    stage = DEVICE
+
+    def ranges(self):
+        return _as_range(self.brightness_limit), _as_range(self.contrast_limit)
+
+
+@dataclasses.dataclass
+class HueSaturationValue(Transform):
+    """Random shifts in cv2-uint8 HSV space (H in [0,180), S/V in [0,255])."""
+
+    hue_shift_limit: Union[float, Tuple[float, float]] = 20
+    sat_shift_limit: Union[float, Tuple[float, float]] = 30
+    val_shift_limit: Union[float, Tuple[float, float]] = 20
+    p: float = 0.5
+    stage = DEVICE
+
+    def ranges(self):
+        return (
+            _as_range(self.hue_shift_limit),
+            _as_range(self.sat_shift_limit),
+            _as_range(self.val_shift_limit),
+        )
+
+
+@dataclasses.dataclass
+class CoarseDropout(Transform):
+    """Cut out N random rectangles filled with ``fill_value``.
+
+    Fractional hole sizes (<1.0) are relative to image H/W, matching
+    albumentations.
+    """
+
+    max_holes: int = 8
+    min_holes: Optional[int] = None
+    max_height: Union[int, float] = 8
+    min_height: Optional[Union[int, float]] = None
+    max_width: Union[int, float] = 8
+    min_width: Optional[Union[int, float]] = None
+    fill_value: Union[int, float, Sequence[float]] = 0
+    p: float = 0.5
+    stage = DEVICE
+
+    def resolved(self, img_h: int, img_w: int):
+        min_holes = self.max_holes if self.min_holes is None else self.min_holes
+        min_h = self.max_height if self.min_height is None else self.min_height
+        min_w = self.max_width if self.min_width is None else self.min_width
+
+        def _px(v, dim):
+            return float(v) * dim if isinstance(v, float) and v <= 1.0 else float(v)
+
+        return (
+            int(min_holes),
+            int(self.max_holes),
+            _px(min_h, img_h),
+            _px(self.max_height, img_h),
+            _px(min_w, img_w),
+            _px(self.max_width, img_w),
+        )
+
+
+@dataclasses.dataclass
+class MotionBlur(Transform):
+    """Random directional blur with odd kernel size in [3, blur_limit]."""
+
+    blur_limit: Union[int, Tuple[int, int]] = 7
+    p: float = 0.5
+    stage = DEVICE
+
+    def ksizes(self):
+        lim = self.blur_limit
+        lo, hi = (3, lim) if isinstance(lim, int) else lim
+        return [k for k in range(lo, hi + 1) if k % 2 == 1]
+
+
+@dataclasses.dataclass
+class Normalize(Transform):
+    mean: Sequence[float] = (0.485, 0.456, 0.406)
+    std: Sequence[float] = (0.229, 0.224, 0.225)
+    max_pixel_value: float = 255.0
+    p: float = 1.0
+    always_apply: bool = True
+    stage = DEVICE
+
+
+@dataclasses.dataclass
+class ToTensorV2(Transform):
+    """Layout marker for API compat. nkbx keeps NHWC (TPU-native) end to end."""
+
+    transpose_mask: bool = False
+    stage = MARKER
+
+
+# ---------------------------------------------------------------------------
+# Compose
+# ---------------------------------------------------------------------------
+
+
+class Compose:
+    """A pipeline of transform specs split into host and device stages.
+
+    The host stage is everything up to the first device-stage transform
+    (deterministic geometry must come first — this matches every reference
+    pipeline, where LongestMaxSize/PadIfNeeded/Resize precede the random ops).
+    """
+
+    def __init__(self, transforms: Sequence[Transform]):
+        self.transforms = [t for t in transforms if not isinstance(t, ToTensorV2)]
+        split = 0
+        for i, t in enumerate(self.transforms):
+            if t.stage == DEVICE:
+                split = i
+                break
+        else:
+            split = len(self.transforms)
+        self.host_transforms = self.transforms[:split]
+        self.device_transforms = self.transforms[split:]
+        for t in self.device_transforms:
+            if t.stage == HOST:
+                raise ValueError(
+                    f"Host-stage transform {type(t).__name__} appears after a device-stage "
+                    "transform; geometry must come before random photometric ops."
+                )
+        self._device_fn = None
+        self._normalize = any(isinstance(t, Normalize) for t in self.device_transforms)
+
+    # -- host stage ---------------------------------------------------------
+
+    def host_apply(self, img: np.ndarray, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """Apply host-stage geometry to one uint8 HWC image."""
+        from nkbx.transforms import host as H
+
+        return H.apply_host(self.host_transforms, img, rng)
+
+    def output_size(self, in_h: int = 1024, in_w: int = 768):
+        """Static (H, W) the host stage produces, if inferable; else None."""
+        from nkbx.transforms import host as H
+
+        return H.infer_output_size(self.host_transforms, in_h, in_w)
+
+    # -- device stage ---------------------------------------------------------
+
+    def device_apply(self, batch, key, train: bool = True):
+        """Apply the fused batched augmentation to a uint8 NHWC batch on device.
+
+        Returns float32 NHWC (cast to the model's compute dtype downstream).
+        ``train=False`` skips every random op, keeping only Normalize — so one
+        Compose serves as its own eval pipeline when needed.
+        """
+        from nkbx.transforms.device import build_device_fn
+
+        if self._device_fn is None:
+            self._device_fn = build_device_fn(self.device_transforms)
+        return self._device_fn(batch, key, train)
+
+    # -- reference-compat single-sample call ---------------------------------
+
+    def __call__(self, image=None, **kwargs):
+        """Albumentations-compatible single-sample call: returns {'image': np.ndarray}.
+
+        Runs host geometry + device ops on a batch of one. Slow path — intended
+        for save_augs.py-style debugging, not the hot loop.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        img = np.asarray(image)
+        img = self.host_apply(img)
+        out = self.device_apply(jnp.asarray(img[None]), jax.random.PRNGKey(np.random.randint(2**31)))
+        return {"image": np.asarray(out[0])}

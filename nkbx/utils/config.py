@@ -1,0 +1,117 @@
+"""Python-module config system.
+
+Configs are executable Python modules, same public surface as the reference
+(``nkb_classification/utils.py:101-105`` + ``train.py:92``): a config file declares
+module-level attributes (``task``, ``train_data``, ``train_pipeline``, ``model``,
+``optimizer``, ``lr_policy``, ``criterion``, ``experiment``, ``n_epochs``, ...).
+
+Unlike the reference — which returns an ``import`` statement string for the caller to
+``exec()`` — we load the module directly and wrap it in a :class:`Config` view that
+provides attribute access with defaults and accepts both the correct and the
+reference's typo'd precision key (``enable_mixed_presicion``).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+
+# Defaults for optional config attributes. Mirrors the documented knobs of
+# reference configs/singletask_config.py:1-254.
+_DEFAULTS = {
+    "device": None,  # None => let JAX pick (TPU if present)
+    "enable_mixed_precision": True,  # bf16 compute on TPU; no GradScaler needed
+    "compile": True,  # everything is jitted; kept for config compat
+    "log_gradients": False,
+    "show_full_current_loss_in_terminal": False,
+    "show_all_classes_in_confusion_matrix": False,
+    "backbone_state_policy": {},
+    "lr_policy": {},
+    "n_epochs": 1,
+    "seed": 0,
+    "mesh": None,  # optional dict: {"data": N} / {"data": N, "model": M}
+}
+
+
+class Config:
+    """Attribute view over a loaded config module (or a plain dict).
+
+    Accessing a missing attribute falls back to :data:`_DEFAULTS`; the reference
+    typo ``enable_mixed_presicion`` is accepted as an alias of
+    ``enable_mixed_precision`` (see reference configs/singletask_config.py:6).
+    """
+
+    def __init__(self, source):
+        if isinstance(source, dict):
+            self._ns = dict(source)
+        elif isinstance(source, types.ModuleType):
+            self._ns = {k: v for k, v in vars(source).items() if not k.startswith("__")}
+        elif isinstance(source, Config):
+            self._ns = dict(source._ns)
+        else:
+            raise TypeError(f"Cannot build Config from {type(source)}")
+        # normalize the typo'd key both ways so either spelling works
+        if "enable_mixed_presicion" in self._ns and "enable_mixed_precision" not in self._ns:
+            self._ns["enable_mixed_precision"] = self._ns["enable_mixed_presicion"]
+        if "enable_mixed_precision" in self._ns:
+            self._ns.setdefault("enable_mixed_presicion", self._ns["enable_mixed_precision"])
+
+    def __getattr__(self, name):
+        ns = object.__getattribute__(self, "_ns")
+        if name in ns:
+            return ns[name]
+        if name in _DEFAULTS:
+            return _DEFAULTS[name]
+        raise AttributeError(f"Config has no attribute {name!r}")
+
+    def __contains__(self, name):
+        return name in self._ns or name in _DEFAULTS
+
+    def get(self, name, default=None):
+        return self._ns.get(name, _DEFAULTS.get(name, default))
+
+    def __setattr__(self, name, value):
+        if name == "_ns":
+            object.__setattr__(self, name, value)
+        else:
+            self._ns[name] = value
+
+    def asdict(self):
+        return dict(self._ns)
+
+    def __repr__(self):
+        return f"Config({sorted(self._ns)})"
+
+
+def load_config(path) -> Config:
+    """Load a Python config file as a :class:`Config`.
+
+    The config's directory is added to ``sys.path`` so configs may import sibling
+    modules (matching the reference's behavior, utils.py:101-105).
+    """
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Config file not found: {path}")
+    parent = str(path.parent.resolve())
+    if parent not in sys.path:
+        sys.path.append(parent)
+    spec = importlib.util.spec_from_file_location(path.stem, path)
+    module = importlib.util.module_from_spec(spec)
+    # register so dataclasses/pickling inside configs resolve
+    sys.modules.setdefault(path.stem, module)
+    spec.loader.exec_module(module)
+    return Config(module)
+
+
+def read_py_config(path):
+    """Reference-compatible helper (utils.py:101-105): returns an import line.
+
+    Kept so external scripts written against the reference API keep working; new
+    code should call :func:`load_config`.
+    """
+    path = Path(path)
+    sys.path.append(str(path.parent))
+    return f"import {path.stem} as cfg"

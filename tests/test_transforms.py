@@ -1,0 +1,168 @@
+"""Transform semantics: host geometry vs cv2 golden, device ops vs numpy golden."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nkbx.transforms as T
+from nkbx.transforms.device import rgb_to_hsv, hsv_to_rgb
+
+
+def _img(h=37, w=53, seed=0):
+    return np.random.default_rng(seed).integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+
+class TestHostGeometry:
+    def test_longest_max_size(self):
+        img = _img(40, 80)
+        out = T.Compose([T.LongestMaxSize(32)]).host_apply(img)
+        assert out.shape == (16, 32, 3)
+
+    def test_longest_max_size_matches_cv2(self):
+        import cv2
+
+        img = _img(64, 48)
+        out = T.Compose([T.LongestMaxSize(32)]).host_apply(img)
+        ref = cv2.resize(img, (24, 32), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_pad_if_needed_centered(self):
+        img = _img(10, 20)
+        out = T.Compose([T.PadIfNeeded(32, 32, value=0)]).host_apply(img)
+        assert out.shape == (32, 32, 3)
+        # centered: pad_top = (32-10)//2 = 11
+        assert (out[:11] == 0).all() and (out[21:]== 0).all()
+        np.testing.assert_array_equal(out[11:21, 6:26], img)
+
+    def test_longest_plus_pad_static_shape(self):
+        pipe = T.Compose([T.LongestMaxSize(64), T.PadIfNeeded(64, 64)])
+        assert pipe.output_size() == (64, 64)
+        for h, w in [(100, 30), (30, 100), (64, 64), (5, 7)]:
+            assert pipe.host_apply(_img(h, w)).shape == (64, 64, 3)
+
+    def test_resize_center_crop(self):
+        pipe = T.Compose([T.Resize(48, 48), T.CenterCrop(32, 32)])
+        assert pipe.output_size() == (32, 32)
+        assert pipe.host_apply(_img()).shape == (32, 32, 3)
+
+
+class TestColorSpace:
+    def test_hsv_roundtrip(self):
+        x = jnp.asarray(_img(16, 16).astype(np.float32))
+        h, s, v = rgb_to_hsv(x)
+        y = hsv_to_rgb(h, s, v)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-3)
+
+    def test_hsv_matches_cv2(self):
+        import cv2
+
+        img = _img(24, 24, seed=3)
+        h, s, v = rgb_to_hsv(jnp.asarray(img.astype(np.float32)))
+        ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+        dh = np.abs(np.asarray(h) - ref[..., 0])
+        dh = np.minimum(dh, 180.0 - dh)  # hue is circular mod 180
+        assert dh.max() <= 1.0
+        np.testing.assert_allclose(np.asarray(s), ref[..., 1], atol=1.0)
+        np.testing.assert_allclose(np.asarray(v), ref[..., 2], atol=0.51)
+
+
+class TestDeviceOps:
+    def _batch(self, n=4, hw=32, seed=0):
+        return jnp.asarray(
+            np.random.default_rng(seed).integers(0, 255, (n, hw, hw, 3), dtype=np.uint8)
+        )
+
+    def test_normalize_only(self):
+        pipe = T.Compose([T.Normalize(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))])
+        batch = self._batch()
+        out = pipe.device_apply(batch, jax.random.PRNGKey(0))
+        ref = (np.asarray(batch).astype(np.float32) - 127.5) / 127.5
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_hflip_deterministic_p1(self):
+        pipe = T.Compose([T.HorizontalFlip(p=1.0), T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        batch = self._batch()
+        out = pipe.device_apply(batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(batch)[:, :, ::-1, :], atol=1e-4)
+
+    def test_vflip_p0_noop(self):
+        pipe = T.Compose([T.VerticalFlip(p=0.0), T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        batch = self._batch()
+        out = pipe.device_apply(batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(batch), atol=1e-4)
+
+    def test_eval_mode_skips_random(self):
+        pipe = T.Compose([
+            T.HorizontalFlip(p=1.0),
+            T.CoarseDropout(max_holes=4, max_height=0.5, max_width=0.5, p=1.0),
+            T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255)),
+        ])
+        batch = self._batch()
+        out = pipe.device_apply(batch, jax.random.PRNGKey(0), train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(batch), atol=1e-4)
+
+    def test_brightness_contrast_matches_formula(self):
+        t = T.RandomBrightnessContrast(brightness_limit=(0.3, 0.3), contrast_limit=(0.2, 0.2), p=1.0)
+        pipe = T.Compose([t, T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        batch = self._batch()
+        out = np.asarray(pipe.device_apply(batch, jax.random.PRNGKey(1)))
+        ref = np.clip(np.asarray(batch).astype(np.float32) * 1.2 + 0.3 * 255.0, 0, 255)
+        np.testing.assert_allclose(out, ref, atol=1e-2)
+
+    def test_coarse_dropout_fills_holes(self):
+        t = T.CoarseDropout(max_holes=3, min_holes=3, max_height=0.3, min_height=0.3,
+                            max_width=0.3, min_width=0.3, fill_value=0, p=1.0)
+        pipe = T.Compose([t, T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        batch = jnp.full((2, 32, 32, 3), 200, dtype=jnp.uint8)
+        out = np.asarray(pipe.device_apply(batch, jax.random.PRNGKey(2)))
+        n_zero = (out == 0).all(axis=-1).sum(axis=(1, 2))
+        hole_area = int(0.3 * 32) ** 2
+        assert (n_zero >= hole_area * 0.9).all()  # at least ~1 hole survives overlap
+        assert (n_zero <= 3 * hole_area).all()
+
+    def test_hsv_value_shift(self):
+        t = T.HueSaturationValue(hue_shift_limit=0, sat_shift_limit=0, val_shift_limit=(50, 50), p=1.0)
+        pipe = T.Compose([t, T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        batch = jnp.full((1, 8, 8, 3), 100, dtype=jnp.uint8)
+        out = np.asarray(pipe.device_apply(batch, jax.random.PRNGKey(0)))
+        # gray pixel: V=100 -> 150, stays gray
+        np.testing.assert_allclose(out, 150.0, atol=1.0)
+
+    def test_motion_blur_preserves_mean(self):
+        t = T.MotionBlur(blur_limit=7, p=1.0)
+        pipe = T.Compose([t, T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        batch = self._batch(2, 32)
+        out = np.asarray(pipe.device_apply(batch, jax.random.PRNGKey(5)))
+        # blur is an average: interior mean approximately preserved
+        ref = np.asarray(batch).astype(np.float32)
+        assert abs(out[:, 8:-8, 8:-8].mean() - ref[:, 8:-8, 8:-8].mean()) < 3.0
+
+    def test_full_reference_train_pipeline_compiles(self):
+        """The exact singletask_config.py:162-201 pipeline, fused and jitted."""
+        pipe = T.Compose([
+            T.LongestMaxSize(64),
+            T.PadIfNeeded(64, 64, border_mode=0, value=0),
+            T.HorizontalFlip(p=0.5),
+            T.VerticalFlip(p=0.5),
+            T.RandomBrightnessContrast(brightness_limit=(-0.2, 0.2), contrast_limit=(0.1, -0.5), p=0.5),
+            T.HueSaturationValue(hue_shift_limit=0, sat_shift_limit=10, val_shift_limit=50, p=0.5),
+            T.CoarseDropout(max_holes=4, min_holes=1, max_height=0.2, min_height=0.05,
+                            max_width=0.2, min_width=0.05, fill_value=[0, 0.5, 1], p=0.5),
+            T.Normalize(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)),
+            T.ToTensorV2(),
+        ])
+        img = _img(100, 40)
+        host_out = pipe.host_apply(img)
+        assert host_out.shape == (64, 64, 3) and host_out.dtype == np.uint8
+        batch = jnp.asarray(np.stack([host_out] * 8))
+        out = pipe.device_apply(batch, jax.random.PRNGKey(0))
+        assert out.shape == (8, 64, 64, 3) and out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_single_sample_call_compat(self):
+        """Albumentations-style dict call used by save_augs-style debugging."""
+        pipe = T.Compose([T.LongestMaxSize(32), T.PadIfNeeded(32, 32),
+                          T.Normalize(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))])
+        out = pipe(image=_img())
+        assert out["image"].shape == (32, 32, 3)
