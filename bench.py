@@ -1,0 +1,85 @@
+"""nkbx headline benchmark: ResNet-50 @224 bf16 training throughput (images/sec/chip).
+
+Run on real TPU hardware by the driver; prints ONE JSON line.
+
+Baseline note (BASELINE.md): the torch reference publishes NO numbers. The
+north-star target is >=2x an A100 torch-AMP reference for ResNet-50 @224
+single-task training. We use 2500 img/s/GPU as the A100 torch reference point
+(typical public torch AMP ResNet-50 training throughput on A100-80GB), so
+``vs_baseline`` = measured / 2500 — i.e. vs_baseline >= 2.0 meets the target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_TORCH_REFERENCE_IPS = 2500.0  # img/s, torch AMP ResNet-50 @224 on A100 (see module docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import nkbx.transforms as T
+    from nkbx.models import get_model
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+    batch_size = 256
+    model = get_model(
+        {"task": "single", "model": "resnet50", "pretrained": False},
+        classes=[f"c{i}" for i in range(1000)],
+        input_size=(224, 224),
+        dtype=jnp.bfloat16,
+    )
+    pipeline = T.Compose([
+        T.HorizontalFlip(p=0.5),
+        T.Normalize(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)),
+    ])
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+    bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.1})
+    train_step = build_train_step(model, criterion, bundle,
+                                  augment_fn=pipeline.device_apply)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+
+    r = np.random.default_rng(0)
+    image = jnp.asarray(r.integers(0, 255, (batch_size, 224, 224, 3)).astype(np.uint8))
+    label = jnp.asarray(r.integers(0, 1000, (batch_size,)).astype(np.int64))
+    mask = jnp.ones((batch_size,), bool)
+    key = jax.random.PRNGKey(0)
+    one = jnp.asarray(1.0)
+
+    # Compile, then SYNC IMMEDIATELY (fetch the loss) before dispatching more
+    # work: queueing executions behind an in-flight compilation degrades the
+    # tunneled-TPU session ~200x. Also never block_until_ready on donated
+    # outputs (returns early on this backend); a dependent scalar fetch is the
+    # reliable sync.
+    state, metrics = train_step(state, image, label, mask, key, one, one)
+    float(metrics["loss"])
+    for _ in range(2):
+        state, metrics = train_step(state, image, label, mask, key, one, one)
+    float(metrics["loss"])
+
+    # Timing: dispatch all steps async, then force ONE D2H on the final loss.
+    # The loss of step N depends on the state chain through steps 0..N-1, so
+    # this waits for the whole pipeline without serializing per-step D2H
+    # round-trips (through the remote-TPU tunnel those cost ~0.5s each, and
+    # block_until_ready on donation-aliased outputs can return early).
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, image, label, mask, key, one, one)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    ips = batch_size / dt
+    print(json.dumps({
+        "metric": "train images/sec/chip (ResNet-50 @224, bf16, incl. on-device augment)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / A100_TORCH_REFERENCE_IPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

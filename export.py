@@ -1,0 +1,90 @@
+"""nkbx export CLI — deployment lowering (reference export.py surface, TPU-native).
+
+    python export.py -cfg config.py --to serving -w runs/x/weights/best [--half]
+    python export.py -cfg config.py --to stablehlo -w ... --input-shape 1 224 224 3
+
+Formats:
+    serving    .nkbx bundle (JSON metadata + StableHLO, dynamic-batch) for
+               nkbx.export.TPUServingModule — replaces ONNX+TensorRT engines
+    stablehlo  human-readable StableHLO MLIR text — replaces raw ONNX export
+"""
+
+import argparse
+from pathlib import Path
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-cfg", "--config", type=str, required=True, help="Config file path")
+    parser.add_argument("--to", type=str, required=True, help="serving or stablehlo")
+    parser.add_argument("-w", "--weights", type=str, required=True,
+                        help="nkbx checkpoint (orbax dir or .msgpack)")
+    parser.add_argument("--dynamic", type=str, default="batch", help="batch or none")
+    parser.add_argument("--input-shape", nargs="+", type=int, default=[32, 224, 224, 3],
+                        help="B H W C (NHWC; B = max batch for dynamic export)")
+    parser.add_argument("--save_path", type=str, default=".", help="Save dir")
+    parser.add_argument("--half", type=str2bool, nargs="?", const=True, default=False,
+                        help="bf16 inference I/O (TPU-native half precision)")
+    args = parser.parse_args()
+    assert args.to in ("serving", "stablehlo")
+    assert args.dynamic in ("batch", "none")
+    assert len(args.input_shape) == 4
+    return args
+
+
+def main(args):
+    print(f"Export to {args.to}")
+    import jax.numpy as jnp
+
+    from nkbx.data import get_dataset
+    from nkbx.export import export_model, make_metadata, save_stablehlo_text
+    from nkbx.models import get_model
+    from nkbx.utils import load_config
+
+    cfg = load_config(args.config)
+
+    # classes come from the train dataset, as in the reference (export.py:106-109)
+    data_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
+    classes = data_loader.dataset.classes
+
+    model_cfg = dict(cfg.model)
+    model_cfg["pretrained"] = False
+    model_cfg["checkpoint"] = args.weights
+    b, h, w, c = args.input_shape
+    dtype = jnp.bfloat16 if args.half else jnp.float32
+    model = get_model(model_cfg, classes, input_size=(h, w),
+                      dtype=jnp.bfloat16 if cfg.enable_mixed_precision else jnp.float32)
+
+    stem = Path(args.weights).stem or "model"
+    save_dir = Path(args.save_path)
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    exp_name = cfg.experiment["local"]["path"] if hasattr(cfg, "experiment") else "nkbx"
+    metadata = make_metadata(classes, args.input_shape, cfg.task,
+                             description=f"nkbx classification model ({exp_name})")
+
+    if args.to == "serving":
+        out = save_dir / f"{stem}.nkbx"
+        path, meta = export_model(
+            model, args.input_shape, out, metadata=metadata,
+            dynamic_batch=(args.dynamic == "batch"), dtype=dtype,
+        )
+        print(f"serving export success, saved as {path}")
+    else:
+        out = save_dir / f"{stem}.stablehlo"
+        save_stablehlo_text(model, args.input_shape, out, dtype=dtype)
+        print(f"stablehlo export success, saved as {out}")
+
+
+if __name__ == "__main__":
+    main(parse_args())

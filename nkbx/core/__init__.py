@@ -1,0 +1,15 @@
+from nkbx.core.runtime import (
+    initialize,
+    precision_policy,
+    enable_nan_debugging,
+    Throughput,
+    profile_trace,
+)
+
+__all__ = [
+    "initialize",
+    "precision_policy",
+    "enable_nan_debugging",
+    "Throughput",
+    "profile_trace",
+]

@@ -1,0 +1,131 @@
+"""TPUServingModule — batched inference runtime (the TRTModule analog).
+
+Reference trtmodule.py:13-128 deserializes a TensorRT engine, rebinds buffers
+per dynamic batch, and runs ``execute_v2``. Here the serving module loads a
+.nkbx StableHLO bundle, and handles dynamic batch via **bucketed compilation**:
+incoming batches are zero-padded up to the next bucket size (1, 2, 4, ..., max),
+each bucket compiles once on first use (ahead-of-time warm-up available), and
+results are sliced back. jit caching keys on shape, so steady-state serving is
+one dispatch with zero recompiles.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nkbx.export.stablehlo import load_exported
+
+
+def default_buckets(max_batch: int) -> list:
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return out
+
+
+class TPUServingModule:
+    """Load a .nkbx bundle and serve batched inference with bucket padding."""
+
+    def __init__(self, weight, device=None, buckets: Optional[Sequence[int]] = None):
+        self.metadata, self._exported = load_exported(weight)
+        self.classes = self.metadata.get("classes")
+        self.task = self.metadata.get("task", "single")
+        max_batch = int(self.metadata.get("batch", 32)) or 32
+        self.buckets = sorted(buckets) if buckets else default_buckets(max_batch)
+        self.device = device or jax.devices()[0]
+        self._call = jax.jit(self._exported.call)
+
+    # -- core ---------------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def forward(self, im):
+        """Run a uint8/float NHWC batch; returns logits (array or {target: array})."""
+        x = np.asarray(im)
+        if x.ndim == 3:
+            x = x[None]
+        n = x.shape[0]
+        bucket = self._bucket_for(n)
+        if n > bucket:  # larger than the largest bucket: chunk
+            outs = [self.forward(x[i:i + bucket]) for i in range(0, n, bucket)]
+            if isinstance(outs[0], dict):
+                return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+            return jnp.concatenate(outs)
+        if n < bucket:
+            pad = np.zeros((bucket - n, *x.shape[1:]), dtype=x.dtype)
+            x = np.concatenate([x, pad])
+        out = self._call(jnp.asarray(x, dtype=self._exported.in_avals[0].dtype))
+        if isinstance(out, (tuple, list)):
+            out = out[0] if len(out) == 1 else out
+        if isinstance(out, dict):
+            return {k: v[:n] for k, v in out.items()}
+        return out[:n]
+
+    __call__ = forward
+
+    # -- ops ----------------------------------------------------------------
+
+    def warm_up(self, batches: Optional[Sequence[int]] = None):
+        """AOT-compile every bucket (TRT builds profiles at export; we compile here)."""
+        h, w = self.metadata["imgsz"]
+        for b in batches or self.buckets:
+            x = np.zeros((b, h, w, 3), dtype=np.float32)
+            jax.block_until_ready(self.forward(x))
+
+    def benchmark(self, batch_size: int = 32, iters: int = 100):
+        """p50/p99 latency + throughput for one bucket (trtmodule.py:117-124,
+        but actually measuring)."""
+        h, w = self.metadata["imgsz"]
+        x = np.random.default_rng(0).random((batch_size, h, w, 3), dtype=np.float32)
+        jax.block_until_ready(self.forward(x))  # compile
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(self.forward(x))
+            times.append(time.perf_counter() - t0)
+        times = np.asarray(times)
+        return {
+            "batch_size": batch_size,
+            "p50_ms": float(np.percentile(times, 50) * 1e3),
+            "p99_ms": float(np.percentile(times, 99) * 1e3),
+            "images_per_sec": float(batch_size / np.median(times)),
+        }
+
+
+class ExportedModel:
+    """ClassificationModel-shaped adapter over a serving bundle, so eval.py /
+    inference.py accept ``model: {"scripted": True, "checkpoint": "*.nkbx"}``
+    configs (reference model.py:163-164 surface)."""
+
+    class _ModuleShim:
+        def __init__(self, serving):
+            self._serving = serving
+
+        def apply(self, variables, x, train=False, **kw):
+            return self._serving.forward(x)
+
+    def __init__(self, path):
+        self.serving = TPUServingModule(path)
+        self.module = ExportedModel._ModuleShim(self.serving)
+        self.variables = {"params": {}}
+        self.classes = self.serving.classes
+        self.task = self.serving.task
+        self.params = {}
+        self.batch_stats = {}
+
+    def apply(self, variables, x, train=False, rngs=None):
+        return self.serving.forward(x)
+
+    def __call__(self, x, train=False, rngs=None):
+        return self.serving.forward(x)

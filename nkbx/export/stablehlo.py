@@ -1,0 +1,103 @@
+"""StableHLO export — the TPU-native deployment lowering.
+
+Replaces the reference's ONNX/TorchScript/TensorRT chain (export.py:146-301):
+``jax.export`` serializes the jitted inference function (weights baked in) as
+portable StableHLO with an optional *symbolic batch dimension* — the analog of a
+TensorRT dynamic-batch optimization profile, except any batch size works and the
+runtime compiles/caches per bucket on load.
+
+Bundle format mirrors the reference's engine file (export.py:295-301):
+    4-byte little-endian metadata length | JSON metadata | serialized StableHLO
+Extension: ``.nkbx``.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_metadata(classes, input_shape, task="single", description=""):
+    """Model metadata (reference export.py:126-135 keys)."""
+    import nkbx
+
+    return {
+        "description": description or "nkbx classification model",
+        "author": "nkbx",
+        "date": datetime.now().isoformat(),
+        "version": nkbx.__version__,
+        "batch": input_shape[0],
+        "imgsz": list(input_shape[1:3]),
+        "layout": "NHWC",
+        "task": task,
+        "classes": classes,
+    }
+
+
+def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=True,
+                 dtype=jnp.float32):
+    """Export a ClassificationModel's inference fn to a .nkbx bundle.
+
+    Args:
+        model: nkbx ClassificationModel (variables are baked into the program).
+        input_shape: (B, H, W, C) — B is the max/typical batch; with
+            ``dynamic_batch`` the exported program is batch-polymorphic.
+        save_path: output file path (``.nkbx``).
+        metadata: optional metadata dict (defaults via :func:`make_metadata`).
+    """
+    from jax import export as jexp
+
+    variables = jax.device_get(model.variables)
+    module = model.module
+
+    def infer(x):
+        return module.apply(variables, x, train=False)
+
+    b, h, w, c = input_shape
+    if dynamic_batch:
+        (bdim,) = jexp.symbolic_shape("b")
+        arg = jax.ShapeDtypeStruct((bdim, h, w, c), dtype)
+    else:
+        arg = jax.ShapeDtypeStruct((b, h, w, c), dtype)
+
+    exported = jexp.export(jax.jit(infer))(arg)
+    blob = exported.serialize()
+
+    meta = metadata or make_metadata(model.classes, input_shape, model.task)
+    meta_bytes = json.dumps(meta).encode()
+    save_path = Path(save_path)
+    with open(save_path, "wb") as f:
+        f.write(len(meta_bytes).to_bytes(4, byteorder="little", signed=True))
+        f.write(meta_bytes)
+        f.write(blob)
+    return save_path, meta
+
+
+def load_exported(path):
+    """Read a .nkbx bundle -> (metadata dict, jax.export.Exported)."""
+    from jax import export as jexp
+
+    with open(path, "rb") as f:
+        meta_len = int.from_bytes(f.read(4), byteorder="little", signed=True)
+        metadata = json.loads(f.read(meta_len).decode())
+        exported = jexp.deserialize(f.read())
+    return metadata, exported
+
+
+def save_stablehlo_text(model, input_shape, save_path, dtype=jnp.float32):
+    """Dump human-readable StableHLO MLIR (debugging / external toolchains)."""
+    variables = jax.device_get(model.variables)
+    module = model.module
+
+    def infer(x):
+        return module.apply(variables, x, train=False)
+
+    lowered = jax.jit(infer).lower(jax.ShapeDtypeStruct(tuple(input_shape), dtype))
+    text = lowered.as_text(dialect="stablehlo")
+    Path(save_path).write_text(text)
+    return save_path

@@ -1,0 +1,86 @@
+"""Backbone registry — timm/unicom-name-compatible ``create_backbone``.
+
+The reference resolves backbones via ``timm.create_model(name, num_classes=0)``
+or ``unicom.load(name.split()[1])`` (reference model.py:74-85). nkbx resolves the
+same names to Flax modules. ``pretrained=True`` looks for a converted checkpoint
+under ``NKBX_PRETRAINED_DIR`` (torch->Flax converter: nkbx/models/convert.py);
+absent that, it warns and initializes randomly.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Any
+
+import jax.numpy as jnp
+
+from nkbx.models import convnext, efficientnet, mobilenetv3, resnet, vit
+
+_REGISTRY = {
+    "resnet_tiny_test": resnet.resnet_tiny_test,  # for tests on 1-core CPU hosts
+    "resnet14t": resnet.resnet14t,
+    "resnet18": resnet.resnet18,
+    "resnet26": resnet.resnet26,
+    "resnet34": resnet.resnet34,
+    "resnet50": resnet.resnet50,
+    "resnet101": resnet.resnet101,
+    "mobilenetv3_large_100": mobilenetv3.mobilenetv3_large_100,
+    "mobilenetv3_small_100": mobilenetv3.mobilenetv3_small_100,
+    "efficientnet_b0": efficientnet.efficientnet_b0,
+    "efficientnet_b1": efficientnet.efficientnet_b1,
+    "efficientnet_b2": efficientnet.efficientnet_b2,
+    "efficientnet_b3": efficientnet.efficientnet_b3,
+    "convnext_tiny": convnext.convnext_tiny,
+    "convnext_small": convnext.convnext_small,
+    "convnext_base": convnext.convnext_base,
+    "vit_small_patch16_224": vit.vit_small_patch16_224,
+    "vit_base_patch16_224": vit.vit_base_patch16_224,
+    "vit_base_patch32_224": vit.vit_base_patch32_224,
+}
+
+_UNICOM = {
+    "ViT-B/32": vit.unicom_vit_b32,
+    "ViT-B/16": vit.unicom_vit_b16,
+    "ViT-L/14": vit.unicom_vit_l14,
+}
+
+
+def list_backbones():
+    return sorted(_REGISTRY) + [f"unicom {k}" for k in sorted(_UNICOM)]
+
+
+def create_backbone(name: str, pretrained: bool = False, drop_rate: float = 0.0,
+                    dtype: Any = jnp.bfloat16):
+    """Build a backbone module by timm/unicom-style name.
+
+    Returns the Flax module; ``module.num_features`` is the embedding size
+    (the reference's ``emb_size``, model.py:79,83).
+    """
+    if name.lower().startswith("unicom"):
+        variant = name.split(maxsplit=1)[1]
+        if variant not in _UNICOM:
+            raise NotImplementedError(f"Unknown unicom variant {variant!r}; have {sorted(_UNICOM)}")
+        ctor = _UNICOM[variant]
+    elif name in _REGISTRY:
+        ctor = _REGISTRY[name]
+    else:
+        raise NotImplementedError(
+            f"Unknown backbone {name!r}. Available: {list_backbones()}"
+        )
+    module = ctor(drop_rate=drop_rate, dtype=dtype)
+    if pretrained and not pretrained_params_path(name):
+        warnings.warn(
+            f"pretrained=True but no converted checkpoint for {name!r} under "
+            f"$NKBX_PRETRAINED_DIR — initializing randomly. Convert torch weights "
+            f"with nkbx.models.convert."
+        )
+    return module
+
+
+def pretrained_params_path(name: str):
+    d = os.environ.get("NKBX_PRETRAINED_DIR", "")
+    if not d:
+        return None
+    p = os.path.join(d, name.replace("/", "_").replace(" ", "_") + ".msgpack")
+    return p if os.path.exists(p) else None

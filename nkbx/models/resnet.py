@@ -61,7 +61,7 @@ class ResNet(nn.Module):
 
     @property
     def num_features(self):
-        return 512 * self.block_cls.expansion
+        return 64 * (2 ** (len(self.stage_sizes) - 1)) * self.block_cls.expansion
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,6 +84,9 @@ class ResNet(nn.Module):
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
         return x.astype(jnp.float32)
 
+
+# tiny 2-stage net for tests/CI on the 1-core CPU host (not a timm name)
+resnet_tiny_test = partial(ResNet, stage_sizes=(1, 1), block_cls=BasicBlock, stem_width=16)
 
 # timm-name-compatible constructors (reference resolves these via timm)
 resnet14t = partial(ResNet, stage_sizes=(1, 1, 1, 1), block_cls=Bottleneck, stem="tiered", stem_width=32)

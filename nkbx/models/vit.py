@@ -1,0 +1,102 @@
+"""Vision Transformer (ViT-S/B, patch 16/32) + unicom-style metric-learning ViT.
+
+Covers the reference's ``unicom ViT-B/32`` path (reference model.py:77-79: unicom
+models emit a projected embedding whose size comes from ``feature[-2].out_features``
+— i.e. a trunk + MLP feature head ending in a 512-d embedding).
+
+Attention is plain full attention (images at <=512 px give <=257 tokens; sequence
+parallelism is an explicit non-goal, SURVEY.md §5.7). Heads could shard over the
+mesh's ``model`` axis via nkbx.parallel if ever needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    n_heads: int
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            dropout_rate=self.drop_rate,
+            deterministic=not train,
+        )(y, y)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.gelu(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
+        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        return x + y
+
+
+class ViT(nn.Module):
+    patch_size: int = 16
+    dim: int = 768
+    depth: int = 12
+    n_heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    pool: str = "cls"  # 'cls' | 'mean'
+    projection_dim: Optional[int] = None  # unicom-style feature head -> 512
+    dtype: Any = jnp.float32
+
+    @property
+    def num_features(self):
+        return self.projection_dim if self.projection_dim else self.dim
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        x = nn.Conv(
+            self.dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, self.dim)
+        if self.pool == "cls":
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+            x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
+        )
+        x = x + pos.astype(x.dtype)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+        for _ in range(self.depth):
+            x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio, self.drop_rate, self.dtype)(x, train)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = x[:, 0] if self.pool == "cls" else jnp.mean(x, axis=1)
+        if self.projection_dim:
+            # unicom feature head: LN -> Dense(proj) (emb_size = feature[-2].out_features)
+            x = nn.Dense(self.projection_dim, dtype=self.dtype, param_dtype=jnp.float32, name="feature_proj")(x)
+        return x.astype(jnp.float32)
+
+
+vit_small_patch16_224 = partial(ViT, patch_size=16, dim=384, depth=12, n_heads=6)
+vit_base_patch16_224 = partial(ViT, patch_size=16, dim=768, depth=12, n_heads=12)
+vit_base_patch32_224 = partial(ViT, patch_size=32, dim=768, depth=12, n_heads=12)
+
+# unicom naming: "unicom ViT-B/32" etc. (reference model.py:77-79)
+unicom_vit_b32 = partial(ViT, patch_size=32, dim=768, depth=12, n_heads=12, projection_dim=512)
+unicom_vit_b16 = partial(ViT, patch_size=16, dim=768, depth=12, n_heads=12, projection_dim=512)
+unicom_vit_l14 = partial(ViT, patch_size=14, dim=1024, depth=24, n_heads=16, projection_dim=768)

@@ -1,0 +1,97 @@
+"""Checkpointing: Orbax best/last with FULL train-state resume.
+
+Reference semantics (train.py:59-73): save best (by val balanced accuracy) and
+last every epoch; "checkpoint" config key warm-starts weights only
+(model.py:170-172). nkbx keeps that surface and adds what preemptible TPUs
+require (SURVEY.md §5.3-5.4): optimizer state, step, epoch, and best-metric are
+in the checkpoint, so ``--resume`` continues exactly where training stopped.
+
+Layout under <run>/weights/:
+    best/   orbax checkpoint (full train state + meta)
+    last/   orbax checkpoint (full train state + meta)
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_save(state, epoch: int, best_val_acc: float):
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "meta": {
+            "epoch": np.asarray(epoch, np.int32),
+            "best_val_acc": np.asarray(best_val_acc, np.float64),
+        },
+    }
+
+
+def save_checkpoint(path, state, epoch: int, best_val_acc: float = 0.0):
+    path = Path(path).resolve()
+    if path.exists():
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _to_save(state, epoch, best_val_acc))
+
+
+def restore_train_state(path, state_template, epoch: int = 0):
+    """Full resume: returns (TrainState, epoch, best_val_acc)."""
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, _to_save(state_template, epoch, 0.0))
+    new_state = state_template.replace(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    return new_state, int(restored["meta"]["epoch"]), float(restored["meta"]["best_val_acc"])
+
+
+def load_model_variables(path, variables):
+    """Weights-only warm start (reference model.py:170-172 analog).
+
+    Accepts an orbax checkpoint dir (best/ or last/) or a flax msgpack file;
+    restores 'params' (+ 'batch_stats') into the given variables dict.
+    """
+    path = Path(path)
+    variables = dict(variables)
+    if path.is_dir():
+        with ocp.StandardCheckpointer() as ckptr:
+            # restore raw (no template) and graft only the weight subtrees;
+            # opt_state in the ckpt is ignored for a warm start
+            restored = ckptr.restore(path.resolve())
+        variables["params"] = restored["params"]
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        return variables
+    # msgpack fallback (nkbx.models.convert)
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        restored = flax.serialization.from_bytes(
+            {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
+            f.read(),
+        )
+    variables.update(restored)
+    return variables
+
+
+def save_model_msgpack(path, variables):
+    """Portable single-file weight dump (params + batch_stats)."""
+    import flax.serialization
+
+    payload = {
+        "params": jax.device_get(variables["params"]),
+        "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+    }
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(payload))

@@ -1,0 +1,310 @@
+"""The hot loop: jitted train/eval steps + epoch drivers.
+
+TPU-native replacement of reference engine.py:20-117. One jitted ``train_step``
+does H2D-batched uint8 augmentation, bf16 forward, loss, backward, and the
+optimizer update in a single XLA program (donated state, no GradScaler — bf16
+keeps fp32 range). Gradient all-reduce over the mesh's ``data`` axis is inserted
+by XLA when the batch is sharded and params are replicated.
+
+Per-iteration metrics (softmax confidences, argmax predictions, ground truth,
+loss) are returned as DEVICE arrays and collected lazily — the epoch never
+blocks on a D2H sync (the reference syncs every iteration via ``.item()`` /
+``.cpu().tolist()``, logging.py:261-281); numpy conversion happens once at epoch
+end, preserving the exact per-sample values sklearn metrics need.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nkbx.train.optim import OptimizerBundle, mask_frozen_grads, scale_updates
+from nkbx.train.state import TrainState
+
+
+def _iter_metrics(preds, label, mask, loss_out):
+    """Per-batch metric payload mirroring BaseLogger.log_iter (logging.py:261-281)."""
+    if isinstance(preds, dict):
+        out = {
+            t: {
+                "confidences": jax.nn.softmax(preds[t].astype(jnp.float32), axis=-1),
+                "predictions": jnp.argmax(preds[t], axis=-1),
+                "ground_truth": label[t],
+                "loss": loss_out[t],
+            }
+            for t in preds
+        }
+        out["loss"] = loss_out["loss"]
+        out["mask"] = mask
+        return out
+    return {
+        "confidences": jax.nn.softmax(preds.astype(jnp.float32), axis=-1),
+        "predictions": jnp.argmax(preds, axis=-1),
+        "ground_truth": label,
+        "loss": loss_out,
+        "mask": mask,
+    }
+
+
+def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
+                     log_gradients: bool = False):
+    """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
+    -> (state, metrics)."""
+    module = model.module
+
+    def train_step(state: TrainState, image, label, mask, key, lr_factor, freeze_scale):
+        step_key = jax.random.fold_in(key, state.step)
+        aug_key, drop_key = jax.random.split(step_key)
+        x = augment_fn(image, aug_key, True) if augment_fn is not None else image
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            preds, mutated = module.apply(
+                variables, x, train=True, rngs={"dropout": drop_key}, mutable=["batch_stats"]
+            )
+            loss_out = criterion(preds, label, mask=mask)
+            scalar = loss_out["loss"] if isinstance(loss_out, dict) else loss_out
+            return scalar, (preds, mutated.get("batch_stats", {}), loss_out)
+
+        (loss, (preds, new_bs, loss_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = mask_frozen_grads(grads, freeze_scale)
+        updates, new_opt_state = bundle.tx.update(grads, state.opt_state, state.params)
+        updates = scale_updates(updates, state.params, bundle.lrs, lr_factor, freeze_scale)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs if new_bs else state.batch_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        metrics = _iter_metrics(preds, label, mask, loss_out)
+        if log_gradients:
+            metrics["grad_norms"] = {
+                "/".join(str(getattr(p, "key", p)) for p in path): jnp.linalg.norm(g.astype(jnp.float32))
+                for path, g in jax.tree_util.tree_leaves_with_path(grads)
+            }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def build_eval_step(model, criterion, augment_fn=None):
+    """Returns jitted (state, image_u8, label, mask) -> metrics (no grads)."""
+    module = model.module
+
+    if getattr(model, "serving", None) is not None:
+        # exported .nkbx bundle: the serving module jits internally (bucketed
+        # dynamic batch), so only augmentation + loss run here
+        def eval_step_serving(state: TrainState, image, label, mask):
+            x = augment_fn(image, jax.random.PRNGKey(0), False) if augment_fn is not None else image
+            preds = model.serving.forward(np.asarray(x))
+            loss_out = criterion(preds, label, mask=mask)
+            return _iter_metrics(preds, label, mask, loss_out)
+
+        return eval_step_serving
+
+    def eval_step(state: TrainState, image, label, mask):
+        x = augment_fn(image, jax.random.PRNGKey(0), False) if augment_fn is not None else image
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        preds = module.apply(variables, x, train=False)
+        loss_out = criterion(preds, label, mask=mask)
+        return _iter_metrics(preds, label, mask, loss_out)
+
+    return jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# Epoch collection (BaseLogger-equivalent, device-lazy)
+# ---------------------------------------------------------------------------
+
+
+class EpochCollector:
+    """Accumulates per-iter device metrics; converts to host lists at epoch end.
+
+    ``get_epoch_results()`` returns the same dict shape as reference
+    BaseLogger.get_epoch_results (logging.py:287-294): running_loss (per-iter
+    floats), confidences, predictions, ground_truth — lists (single-task) or
+    per-target dicts (multi-task) — with padded rows removed.
+    """
+
+    def __init__(self, task: str = "single"):
+        self.task = task
+        self.init_iter_logs()
+
+    def init_iter_logs(self):
+        self._batches = []
+        self.epoch_images_example = None
+
+    def log_iter(self, metrics):
+        self._batches.append(metrics)
+
+    def log_images_if_needed(self, images):
+        if self.epoch_images_example is None:
+            self.epoch_images_example = np.asarray(images)
+
+    def get_epoch_results(self):
+        if self.task == "multi":
+            running_loss = defaultdict(list)
+            confidences = defaultdict(list)
+            predictions = defaultdict(list)
+            ground_truth = defaultdict(list)
+            for m in self._batches:
+                valid = np.asarray(m["mask"])
+                for t, tm in m.items():
+                    if t in ("mask", "loss", "grad_norms"):
+                        continue
+                    running_loss[t].append(float(tm["loss"]))
+                    confidences[t].extend(np.asarray(tm["confidences"])[valid].tolist())
+                    predictions[t].extend(np.asarray(tm["predictions"])[valid].tolist())
+                    ground_truth[t].extend(np.asarray(tm["ground_truth"])[valid].tolist())
+                running_loss["loss"].append(float(m["loss"]))
+        else:
+            running_loss, confidences, predictions, ground_truth = [], [], [], []
+            for m in self._batches:
+                valid = np.asarray(m["mask"])
+                running_loss.append(float(m["loss"]))
+                confidences.extend(np.asarray(m["confidences"])[valid].tolist())
+                predictions.extend(np.asarray(m["predictions"])[valid].tolist())
+                ground_truth.extend(np.asarray(m["ground_truth"])[valid].tolist())
+        results = {
+            "running_loss": running_loss,
+            "confidences": confidences,
+            "predictions": predictions,
+            "ground_truth": ground_truth,
+            "images": self.epoch_images_example,
+        }
+        grad_logs = [m["grad_norms"] for m in self._batches if "grad_norms" in m]
+        if grad_logs:
+            grad_log = defaultdict(list)
+            total = defaultdict(float)
+            for g in grad_logs:
+                t = 0.0
+                for k, v in g.items():
+                    val = float(v)
+                    grad_log[f"Gradients/{k}"].append(val)
+                    t += val
+                grad_log["Gradients/Total"].append(t)
+            results["metrics_grad_log"] = dict(grad_log)
+        return results
+
+
+# ---------------------------------------------------------------------------
+# Epoch drivers (reference engine.py:20-117 equivalents)
+# ---------------------------------------------------------------------------
+
+
+def _put_batch(batch, mesh=None):
+    """Host batch -> device, batch-dim sharded over the mesh's data axis."""
+    arrays = {k: v for k, v in batch.items() if isinstance(v, (np.ndarray, dict))}
+    if mesh is not None:
+        from nkbx.parallel import shard_batch
+
+        return shard_batch(mesh, arrays)
+    return jax.tree_util.tree_map(jnp.asarray, arrays)
+
+
+def train_epoch(
+    state: TrainState,
+    train_loader,
+    train_step: Callable,
+    epoch: int,
+    key,
+    lr_factor: float,
+    freeze_scale: float,
+    epoch_logger: Optional[EpochCollector] = None,
+    mesh=None,
+    progress: bool = True,
+    cfg=None,
+):
+    """One training epoch; returns (state, epoch_results)."""
+    import jax as _jax
+
+    from nkbx.core import Throughput
+
+    logger = epoch_logger if epoch_logger is not None else EpochCollector()
+    logger.init_iter_logs()
+    lr_f = jnp.asarray(lr_factor, jnp.float32)
+    fz = jnp.asarray(freeze_scale, jnp.float32)
+    tp = Throughput(n_chips=_jax.device_count())
+
+    it = train_loader.epoch(epoch)
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(it, leave=False, desc="Training", total=len(train_loader))
+    show_full = bool(getattr(cfg, "show_full_current_loss_in_terminal", False)) if cfg else False
+    task_multi = bool(cfg and getattr(cfg, "task", "single") == "multi")
+    first = True
+    prev_metrics = None
+    for batch in it:
+        dev = _put_batch(batch, mesh)
+        state, metrics = train_step(state, dev["image"], dev["label"], dev["mask"], key, lr_f, fz)
+        logger.log_iter(metrics)
+        tp.step(int(batch["mask"].sum()))
+        if progress and prev_metrics is not None:
+            # show the PREVIOUS step's loss: it is already materialized, so the
+            # readout never blocks the dispatch pipeline (the reference syncs
+            # every iteration, engine.py:53 + logging.py:261-281)
+            if task_multi and show_full:
+                it.set_postfix_str(", ".join(
+                    f"loss {k}: {float(v['loss']):.4f}" for k, v in prev_metrics.items()
+                    if isinstance(v, dict) and "loss" in v
+                ))
+            else:
+                it.set_postfix_str(f"Loss: {float(prev_metrics['loss']):.4f}")
+        prev_metrics = metrics
+        if first:
+            logger.log_images_if_needed(batch["image"])
+            # sync once after the compiling step: queueing dispatches behind an
+            # in-flight compilation degrades tunneled-TPU sessions badly
+            float(metrics["loss"])
+            first = False
+    if prev_metrics is not None:
+        # Sync on the final loss (depends on the whole step chain) so the
+        # throughput number is honest. Do NOT block_until_ready on the donated
+        # state: on tunneled-TPU backends that returns early and degrades the
+        # session (see bench.py).
+        float(prev_metrics["loss"])
+    results = logger.get_epoch_results()
+    results["throughput"] = tp.snapshot()
+    return state, results
+
+
+def val_epoch(
+    state: TrainState,
+    val_loader,
+    eval_step: Callable,
+    epoch: int = 0,
+    epoch_logger: Optional[EpochCollector] = None,
+    mesh=None,
+    progress: bool = True,
+):
+    logger = epoch_logger if epoch_logger is not None else EpochCollector()
+    logger.init_iter_logs()
+    it = val_loader.epoch(epoch)
+    if progress:
+        from tqdm import tqdm
+
+        it = tqdm(it, leave=False, desc="Evaluating", total=len(val_loader))
+    first = True
+    for batch in it:
+        dev = _put_batch(batch, mesh)
+        metrics = eval_step(state, dev["image"], dev["label"], dev["mask"])
+        logger.log_iter(metrics)
+        if first:
+            logger.log_images_if_needed(batch["image"])
+            float(metrics["loss"])  # sync after the compiling step (see train_epoch)
+            first = False
+    return logger.get_epoch_results()

@@ -1,0 +1,143 @@
+"""Optimizers + LR schedules, torch-semantics-compatible, built on optax.
+
+Reference surface (utils.py:10-61): two param groups — backbone vs classifier —
+with per-group lr and weight decay; optimizer types adam / radam / nadam
+(decoupled wd) / sparse_adam / sgd; epoch-stepped schedules step / multistep /
+cosine.
+
+TPU-first design: the optimizer produces *unit-lr* update directions per group;
+the jitted train step scales them by ``lr_group * schedule_factor * freeze_scale``
+passed as device scalars. That keeps the jit signature constant across
+
+- epoch LR changes (reference scheduler.step(), engine.py:77-78),
+- backbone freeze/unfreeze flips (reference model.py:59-64 requires_grad) —
+
+no recompiles, no optimizer-state surgery.
+
+Weight-decay coupling matches torch:
+- adam / radam / sgd: coupled (wd*p added to the gradient before moments);
+- nadam: decoupled (lr*wd*p subtracted at the step — torch
+  ``decoupled_weight_decay=True``, reference utils.py:35), realized here by
+  adding wd*p *after* the moment transform so the shared lr scaling applies.
+
+Freeze semantics note: frozen backbone gradients are zeroed before the moment
+update, so Adam moments decay toward zero during a freeze (torch instead skips
+frozen params entirely, leaving stale moments). Both resume cleanly on unfreeze.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nkbx.models.classifier import param_labels
+
+
+class OptimizerBundle(NamedTuple):
+    tx: optax.GradientTransformation  # unit-lr direction transform
+    lrs: dict  # {"backbone": lr, "classifier": lr}
+    labels_fn: Callable  # params -> label pytree ("backbone"/"classifier")
+
+
+def _direction(kind: str, wd: float) -> optax.GradientTransformation:
+    """Unit-lr update direction with torch-compatible wd coupling."""
+    kind = kind.lower()
+    if kind == "adam":
+        return optax.chain(optax.add_decayed_weights(wd), optax.scale_by_adam())
+    if kind == "radam":
+        return optax.chain(optax.add_decayed_weights(wd), optax.scale_by_radam())
+    if kind == "nadam":
+        # nesterov adam + decoupled weight decay (scaled by lr downstream)
+        return optax.chain(optax.scale_by_adam(nesterov=True), optax.add_decayed_weights(wd))
+    if kind == "sparse_adam":
+        # TPU/XLA has no sparse gradients; dense adam is the faithful equivalent
+        return optax.chain(optax.add_decayed_weights(wd), optax.scale_by_adam())
+    if kind == "sgd":
+        return optax.chain(optax.add_decayed_weights(wd), optax.identity())
+    raise NotImplementedError(f"Unknown optimizer in config: {kind}")
+
+
+def get_optimizer(params, cfg_optimizer: dict) -> OptimizerBundle:
+    """Two-group (backbone/classifier) optimizer from a reference-style config."""
+    base_lr = cfg_optimizer.get("lr", 0.001)
+    backbone_lr = cfg_optimizer.get("backbone_lr", base_lr)
+    classifier_lr = cfg_optimizer.get("classifier_lr", base_lr)
+    base_wd = cfg_optimizer.get("weight_decay", 0.0)
+    backbone_wd = cfg_optimizer.get("backbone_weight_decay", base_wd)
+    classifier_wd = cfg_optimizer.get("classifier_weight_decay", base_wd)
+    kind = cfg_optimizer["type"]
+
+    tx = optax.multi_transform(
+        {
+            "backbone": _direction(kind, backbone_wd),
+            "classifier": _direction(kind, classifier_wd),
+        },
+        param_labels,
+    )
+    return OptimizerBundle(
+        tx=tx,
+        lrs={"backbone": float(backbone_lr), "classifier": float(classifier_lr)},
+        labels_fn=param_labels,
+    )
+
+
+def scale_updates(updates, params, lrs: dict, lr_factor, freeze_scale):
+    """Apply -lr_group * schedule * (freeze for backbone) to update directions.
+
+    ``lr_factor`` and ``freeze_scale`` are device scalars (traced), so schedule
+    and freeze-policy changes never retrigger compilation.
+    """
+    labels = param_labels(params)
+
+    def scale(u, lab):
+        lr = lrs[lab]
+        s = lr_factor * (freeze_scale if lab == "backbone" else 1.0)
+        return -lr * s * u
+
+    return jax.tree_util.tree_map(scale, updates, labels)
+
+
+def mask_frozen_grads(grads, freeze_scale):
+    """Zero backbone grads when frozen (freeze_scale=0), before moment updates."""
+    labels = param_labels(grads)
+    return jax.tree_util.tree_map(
+        lambda g, lab: g * (freeze_scale if lab == "backbone" else 1.0), grads, labels
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch LR schedules (reference utils.py:45-61: stepped once per epoch)
+# ---------------------------------------------------------------------------
+
+
+def get_scheduler(lr_policy: dict) -> Callable[[int], float]:
+    """Return factor(epoch) -> multiplicative LR factor in [0, 1]."""
+    if not lr_policy:
+        return lambda epoch: 1.0
+    kind = lr_policy["type"]
+    if kind == "step":
+        step_size, gamma = lr_policy["step_size"], lr_policy["gamma"]
+        return lambda epoch: gamma ** (epoch // step_size)
+    if kind == "multistep":
+        steps, gamma = sorted(lr_policy["steps"]), lr_policy["gamma"]
+        return lambda epoch: gamma ** sum(1 for s in steps if epoch >= s)
+    if kind == "cosine":
+        t_max = lr_policy["n_epochs"]
+        return lambda epoch: 0.5 * (1.0 + math.cos(math.pi * epoch / t_max))
+    raise NotImplementedError(f"Learning rate policy {kind} not implemented.")
+
+
+def backbone_state_factor(backbone_state_policy: dict, epoch: int, prev: float = 1.0) -> float:
+    """Resolve the freeze scale for an epoch from a {epoch: 'freeze'|'unfreeze'}
+    policy (reference train.py:40-41): the policy at the largest key <= epoch wins.
+    """
+    state = None
+    for e in sorted(k for k in backbone_state_policy if k <= epoch):
+        state = backbone_state_policy[e]
+    if state is None:
+        return prev
+    return 0.0 if state == "freeze" else 1.0

@@ -1,0 +1,109 @@
+"""High-level training driver (reference train.py:19-77 semantics, TPU-native).
+
+Per epoch: resolve backbone freeze policy + LR schedule factor (as device
+scalars — no recompiles), run jitted train + val epochs, compute sklearn
+metrics, log locally (+Comet), save best-by-val-balanced-accuracy and last
+checkpoints (full train state, Orbax) and a portable weights msgpack.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from tqdm import tqdm
+
+from nkbx.logging import TrainLogger
+from nkbx.metrics import compute_metrics
+from nkbx.train.checkpoint import restore_train_state, save_checkpoint, save_model_msgpack
+from nkbx.train.engine import (
+    EpochCollector,
+    build_eval_step,
+    build_train_step,
+    train_epoch,
+    val_epoch,
+)
+from nkbx.train.optim import backbone_state_factor, get_optimizer, get_scheduler
+from nkbx.train.state import TrainState
+
+
+def train(
+    model,
+    train_loader,
+    val_loader,
+    criterion,
+    comet_experiment,
+    local_experiment,
+    cfg,
+    mesh=None,
+    resume_from=None,
+):
+    """Run the full training loop; returns the final TrainState."""
+    model_path = local_experiment.path / "weights"
+    n_epochs = cfg.n_epochs
+    classes = train_loader.dataset.classes
+    train_logger = TrainLogger(cfg, comet_experiment, local_experiment, classes)
+    train_logger.log_images_at_start(train_loader)
+
+    bundle = get_optimizer(model.params, cfg.optimizer)
+    schedule = get_scheduler(cfg.lr_policy)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+
+    start_epoch, best_val_acc = 0, 0.0
+    if resume_from is not None:
+        state, last_epoch, best_val_acc = restore_train_state(resume_from, state)
+        start_epoch = last_epoch + 1
+
+    if mesh is not None:
+        # replicate the train state over the mesh; the batch is sharded along
+        # 'data', so XLA emits the gradient all-reduce over ICI automatically
+        from nkbx.parallel import replicated_sharding
+
+        state = jax.device_put(state, replicated_sharding(mesh))
+
+    augment_train = train_loader.pipeline.device_apply if train_loader.pipeline else None
+    augment_val = val_loader.pipeline.device_apply if val_loader.pipeline else None
+    train_step = build_train_step(
+        model, criterion, bundle, augment_fn=augment_train,
+        log_gradients=getattr(cfg, "log_gradients", False),
+    )
+    eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
+
+    key = jax.random.PRNGKey(getattr(cfg, "seed", 0))
+    freeze_scale = 1.0
+    task = cfg.task
+    policy = getattr(cfg, "backbone_state_policy", {}) or {}
+
+    for epoch in tqdm(range(start_epoch, n_epochs), desc="Training epochs"):
+        freeze_scale = backbone_state_factor(policy, epoch, prev=freeze_scale)
+        lr_factor = schedule(epoch)
+
+        state, train_results = train_epoch(
+            state, train_loader, train_step, epoch, key,
+            lr_factor, freeze_scale,
+            epoch_logger=EpochCollector(task), mesh=mesh, cfg=cfg,
+        )
+        val_results = val_epoch(
+            state, val_loader, eval_step, epoch,
+            epoch_logger=EpochCollector(task), mesh=mesh,
+        )
+
+        train_results["metrics"] = compute_metrics(cfg, train_results)
+        val_results["metrics"] = compute_metrics(cfg, val_results)
+        epoch_val_acc = val_results["metrics"]["epoch_acc"]
+        train_logger.log_epoch(epoch, train_results, val_results)
+        if "throughput" in train_results:  # SURVEY.md §5.1 perf counters
+            local_experiment.log_metric(
+                "train images/sec/chip",
+                train_results["throughput"]["images_per_sec_per_chip"], epoch=epoch,
+            )
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if epoch_val_acc is not None and epoch_val_acc > best_val_acc:
+            best_val_acc = epoch_val_acc
+            save_checkpoint(model_path / "best", state, epoch, best_val_acc)
+            save_model_msgpack(model_path / "best.msgpack", variables)
+        save_checkpoint(model_path / "last", state, epoch, best_val_acc)
+        save_model_msgpack(model_path / "last.msgpack", variables)
+
+    model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return state

@@ -43,6 +43,9 @@ from nkbx.transforms.spec import (
     HueSaturationValue,
     CoarseDropout,
     MotionBlur,
+    RandomShadow,
+    RandomFog,
+    RandomRain,
     Normalize,
     ToTensorV2,
 )
@@ -64,6 +67,9 @@ __all__ = [
     "HueSaturationValue",
     "CoarseDropout",
     "MotionBlur",
+    "RandomShadow",
+    "RandomFog",
+    "RandomRain",
     "Normalize",
     "ToTensorV2",
 ]

@@ -184,6 +184,66 @@ def _apply_motion_blur(t: S.MotionBlur, x, key):
     return x * (1.0 - g) + y * g
 
 
+def _apply_shadow(t: S.RandomShadow, x, key):
+    bsz, ih, iw, _ = x.shape
+    x1r, y1r, x2r, y2r = t.shadow_roi
+    n_max = max(1, t.num_shadows_upper)
+    k_g, k_n, k_c, k_ab, k_th = jax.random.split(key, 5)
+    g = _gate(k_g, t.p, bsz)
+    n_shadows = jax.random.randint(k_n, (bsz, 1), t.num_shadows_lower, t.num_shadows_upper + 1)
+    # shadow centers inside the ROI, random rotated-rect half-extents and angle
+    cy = jax.random.uniform(k_c, (bsz, n_max, 2))
+    cx = (x1r + cy[..., 0] * (x2r - x1r)) * iw
+    cyy = (y1r + cy[..., 1] * (y2r - y1r)) * ih
+    ab = jax.random.uniform(k_ab, (bsz, n_max, 2), minval=0.1, maxval=0.35)
+    a = ab[..., 0] * iw
+    b = ab[..., 1] * ih
+    theta = jax.random.uniform(k_th, (bsz, n_max), maxval=np.pi)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (1, 1, ih, 1), 2)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, iw), 3)
+    dy = rows - cyy[:, :, None, None]
+    dx = cols - cx[:, :, None, None]
+    ct, st = jnp.cos(theta)[:, :, None, None], jnp.sin(theta)[:, :, None, None]
+    u = dx * ct + dy * st
+    v = -dx * st + dy * ct
+    inside = (jnp.abs(u) < a[:, :, None, None]) & (jnp.abs(v) < b[:, :, None, None])
+    active = (jnp.arange(n_max)[None, :] < n_shadows)[:, :, None, None]
+    mask = jnp.any(inside & active, axis=1)[..., None].astype(jnp.float32) * g
+    return x * (1.0 - mask * t.shadow_intensity)
+
+
+def _apply_fog(t: S.RandomFog, x, key):
+    k_g, k_f = jax.random.split(key)
+    bsz = x.shape[0]
+    g = _gate(k_g, t.p, bsz)
+    f = jax.random.uniform(k_f, (bsz, 1, 1, 1), minval=t.fog_coef_lower, maxval=t.fog_coef_upper)
+    y = x * (1.0 - f) + 255.0 * f
+    return x * (1.0 - g) + y * g
+
+
+def _apply_rain(t: S.RandomRain, x, key):
+    bsz, ih, iw, c = x.shape
+    k_g, k_noise, k_slant = jax.random.split(key, 3)
+    g = _gate(k_g, t.p, bsz)
+    density = 0.002  # fraction of streak seeds
+    seeds = (jax.random.uniform(k_noise, (bsz, ih, iw, 1)) < density).astype(jnp.float32)
+    slant = jax.random.randint(k_slant, (bsz,), t.slant_lower, t.slant_upper + 1)
+    # smear seeds along the slant over drop_length steps (static loop, fused adds)
+    streaks = jnp.zeros_like(seeds)
+    steps = max(1, min(t.drop_length, ih))
+    for i in range(steps):
+        dx = (slant * i) // max(steps - 1, 1)
+        shifted = jnp.roll(seeds, shift=i, axis=1)
+        # per-sample horizontal shift via take_along_axis-free roll on a vmapped axis
+        shifted = jax.vmap(lambda im, d: jnp.roll(im, d, axis=1))(shifted, dx)
+        streaks = jnp.maximum(streaks, shifted)
+    color = jnp.asarray(t.drop_color, jnp.float32)
+    y = x * t.brightness_coefficient
+    y = y * (1.0 - streaks) + color[None, None, None, :] * streaks
+    y = jnp.clip(y, 0.0, 255.0)
+    return x * (1.0 - g) + y * g
+
+
 # ---------------------------------------------------------------------------
 # Builder
 # ---------------------------------------------------------------------------
@@ -195,6 +255,9 @@ _RANDOM_APPLIERS = {
     S.HueSaturationValue: _apply_hsv,
     S.CoarseDropout: _apply_coarse_dropout,
     S.MotionBlur: _apply_motion_blur,
+    S.RandomShadow: _apply_shadow,
+    S.RandomFog: _apply_fog,
+    S.RandomRain: _apply_rain,
 }
 
 

@@ -211,6 +211,47 @@ class MotionBlur(Transform):
 
 
 @dataclasses.dataclass
+class RandomShadow(Transform):
+    """Darken a random rotated-rectangle region (albumentations RandomShadow's
+    polygon shadows, approximated by rotated rectangles — documented deviation)."""
+
+    shadow_roi: Tuple[float, float, float, float] = (0.0, 0.5, 1.0, 1.0)
+    num_shadows_lower: int = 1
+    num_shadows_upper: int = 2
+    shadow_intensity: float = 0.5
+    p: float = 0.5
+    stage = DEVICE
+
+
+@dataclasses.dataclass
+class RandomFog(Transform):
+    """Blend toward white haze: out = img*(1-f) + 255*f, f ~ U(lower, upper)."""
+
+    fog_coef_lower: float = 0.3
+    fog_coef_upper: float = 1.0
+    alpha_coef: float = 0.08
+    p: float = 0.5
+    stage = DEVICE
+
+
+@dataclasses.dataclass
+class RandomRain(Transform):
+    """Slanted bright streaks + mild darkening (albumentations RandomRain
+    approximation: streaks from thresholded noise smeared along the slant)."""
+
+    slant_lower: int = -10
+    slant_upper: int = 10
+    drop_length: int = 20
+    drop_width: int = 1
+    drop_color: Tuple[int, int, int] = (200, 200, 200)
+    blur_value: int = 7
+    brightness_coefficient: float = 0.7
+    rain_type: Optional[str] = None
+    p: float = 0.5
+    stage = DEVICE
+
+
+@dataclasses.dataclass
 class Normalize(Transform):
     mean: Sequence[float] = (0.485, 0.456, 0.406)
     std: Sequence[float] = (0.229, 0.224, 0.225)

@@ -1,0 +1,219 @@
+"""Data layer: readers, sampler distribution, loader batching/padding/sharding."""
+
+import numpy as np
+import pytest
+
+import nkbx.transforms as T
+from nkbx.data import (
+    AnnotatedMultitaskDataset,
+    AnnotatedSingletaskDataset,
+    DataLoader,
+    ImageFolderDataset,
+    ImbalancedDatasetSampler,
+    get_dataset,
+)
+
+PIPE = T.Compose([T.LongestMaxSize(32), T.PadIfNeeded(32, 32), T.Normalize()])
+
+
+class TestReaders:
+    def test_image_folder(self, image_folder_dataset):
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")
+        assert ds.classes == ["cat", "dog"]
+        assert len(ds) == 24
+        img, label = ds.read(0)
+        assert img.dtype == np.uint8 and img.ndim == 3
+        assert label in (0, 1)
+
+    def test_csv_singletask(self, csv_dataset):
+        ds = AnnotatedSingletaskDataset(
+            annotations_file=csv_dataset["annotations_file"],
+            image_base_dir=csv_dataset["image_base_dir"],
+            target_column="label", fold="train",
+        )
+        assert ds.classes == ["blue", "green", "red"]  # np.sort(unique) order
+        assert len(ds) == 24
+        img, label = ds.read(3)
+        assert 0 <= label < 3
+
+    def test_csv_singletask_val_fold(self, csv_dataset):
+        ds = AnnotatedSingletaskDataset(
+            annotations_file=csv_dataset["annotations_file"],
+            image_base_dir=csv_dataset["image_base_dir"],
+            target_column="label", fold="val",
+        )
+        assert len(ds) == 12
+
+    def test_csv_explicit_classes(self, csv_dataset):
+        ds = AnnotatedSingletaskDataset(
+            annotations_file=csv_dataset["annotations_file"],
+            image_base_dir=csv_dataset["image_base_dir"],
+            target_column="label", fold="train",
+            classes=["red", "green", "blue"],  # custom order preserved
+        )
+        assert ds.classes == ["red", "green", "blue"]
+        assert ds.class_to_idx["red"] == 0
+
+    def test_csv_multitask(self, csv_dataset):
+        ds = AnnotatedMultitaskDataset(
+            annotations_file=csv_dataset["annotations_file"],
+            image_base_dir=csv_dataset["image_base_dir"],
+            target_names=["size", "color"], fold="train",
+        )
+        assert ds.target_names == ["color", "size"]  # sorted
+        img, labels = ds.read(0)
+        assert set(labels) == {"color", "size"}
+
+
+class TestSampler:
+    def test_inverse_frequency_weights(self):
+        labels = np.array([0] * 90 + [1] * 10)
+        s = ImbalancedDatasetSampler(labels=labels, seed=0)
+        idx = np.concatenate([s.indices(e) for e in range(30)])
+        frac_minority = np.mean(labels[idx] == 1)
+        assert 0.42 < frac_minority < 0.58  # balanced in expectation
+
+    def test_deterministic_per_epoch(self):
+        labels = np.array([0, 0, 0, 1, 1, 2])
+        s = ImbalancedDatasetSampler(labels=labels, seed=3)
+        assert np.array_equal(s.indices(5), s.indices(5))
+        assert not np.array_equal(s.indices(5), s.indices(6))
+
+    def test_multitask_joint_labels(self):
+        labels = np.array([[0, 0]] * 50 + [[1, 1]] * 5)
+        s = ImbalancedDatasetSampler(labels=labels, seed=0)
+        idx = np.concatenate([s.indices(e) for e in range(20)])
+        assert 0.35 < np.mean(idx >= 50) < 0.65
+
+
+class TestLoader:
+    def test_batches_and_final_padding(self, image_folder_dataset):
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")  # 24 samples
+        loader = DataLoader(ds, pipeline=PIPE, batch_size=10, num_workers=2)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 3
+        assert all(b["image"].shape == (10, 32, 32, 3) for b in batches)
+        assert batches[-1]["mask"].sum() == 4  # 24 = 10+10+4, padded to 10
+        assert batches[0]["mask"].all()
+
+    def test_drop_last(self, image_folder_dataset):
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")
+        loader = DataLoader(ds, pipeline=PIPE, batch_size=10, drop_last=True, num_workers=2)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2 and all(b["mask"].all() for b in batches)
+
+    def test_shuffle_reshuffles_each_epoch(self, image_folder_dataset):
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")
+        loader = DataLoader(ds, pipeline=PIPE, batch_size=24, shuffle=True, num_workers=2)
+        l0 = next(iter(loader.epoch(0)))["label"]
+        l1 = next(iter(loader.epoch(1)))["label"]
+        assert not np.array_equal(l0, l1)
+        assert np.array_equal(l0, next(iter(loader.epoch(0)))["label"])  # reproducible
+
+    def test_multihost_sharding_disjoint(self, image_folder_dataset):
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")
+        seen = []
+        for pi in range(2):
+            loader = DataLoader(ds, pipeline=PIPE, batch_size=12, num_workers=2,
+                                process_index=pi, process_count=2)
+            for b in loader.epoch(0):
+                seen.append((pi, tuple(b["label"][b["mask"]])))
+        n0 = sum(len(lbls) for pi, lbls in seen if pi == 0)
+        n1 = sum(len(lbls) for pi, lbls in seen if pi == 1)
+        assert n0 + n1 == 24 and n0 == n1
+
+    def test_get_dataset_factory(self, csv_dataset):
+        loader = get_dataset(
+            {
+                "type": "AnnotatedSingletaskDataset",
+                "annotations_file": csv_dataset["annotations_file"],
+                "image_base_dir": csv_dataset["image_base_dir"],
+                "target_column": "label",
+                "fold": "train",
+                "weighted_sampling": True,
+                "shuffle": True,
+                "batch_size": 8,
+                "num_workers": 2,
+                "drop_last": True,
+            },
+            PIPE,
+        )
+        batches = list(loader.epoch(0))
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["image"].dtype == np.uint8 and b["label"].dtype == np.int64
+
+    def test_multitask_collate(self, csv_dataset):
+        loader = get_dataset(
+            {
+                "type": "AnnotatedMultitaskDataset",
+                "annotations_file": csv_dataset["annotations_file"],
+                "image_base_dir": csv_dataset["image_base_dir"],
+                "target_names": ["color", "size"],
+                "fold": "train",
+                "shuffle": False,
+                "batch_size": 6,
+                "num_workers": 2,
+            },
+            PIPE,
+        )
+        b = next(iter(loader.epoch(0)))
+        assert set(b["label"]) == {"color", "size"}
+        assert b["label"]["color"].shape == (6,)
+
+
+class TestYOLO:
+    @pytest.fixture(scope="class")
+    def yolo_dataset(self, tmp_path_factory):
+        import cv2
+        import yaml
+
+        root = tmp_path_factory.mktemp("yolo")
+        r = np.random.default_rng(5)
+        for split in ("train", "val"):
+            (root / split / "images").mkdir(parents=True)
+            (root / split / "labels").mkdir(parents=True)
+            for i in range(6):
+                img = r.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+                cv2.imwrite(str(root / split / "images" / f"{i}.jpg"), img)
+                # one big box per image, class i%2, centered
+                with open(root / split / "labels" / f"{i}.txt", "w") as f:
+                    f.write(f"{i % 2} 0.5 0.5 0.4 0.4\n")
+        cfg = {"path": str(root), "train": "train/images", "val": "val/images",
+               "names": ["obj_a", "obj_b"]}
+        ypath = root / "data.yaml"
+        with open(ypath, "w") as f:
+            yaml.safe_dump(cfg, f)
+        return ypath
+
+    def test_crops_and_classes(self, yolo_dataset):
+        from nkbx.data import AnnotatedYOLODataset
+
+        ds = AnnotatedYOLODataset(annotations_file=str(yolo_dataset), fold="train")
+        assert ds.classes == ["obj_a", "obj_b"]
+        assert len(ds) == 6
+        img, label = ds.read(0)
+        assert img.shape == (32, 40, 3)  # 0.4*80 x 0.4*100 crop
+
+    def test_background_generation(self, yolo_dataset):
+        from nkbx.data import AnnotatedYOLODataset
+
+        ds = AnnotatedYOLODataset(
+            annotations_file=str(yolo_dataset), fold="train",
+            generate_backgrounds=True, background_generating_prob=1.0,
+            background_crop_sizes=(0.1, 0.2), seed=1,
+        )
+        assert ds.classes[-1] == "<GENERATED>_background"
+        bg_label = ds.class_to_idx["<GENERATED>_background"]
+        bg = [(p, b) for p, b, lb in ds.list_bbox if lb == bg_label]
+        assert len(bg) >= 1
+        # background crops must not intersect the true box
+        for path, box in bg:
+            true_box = ds.bbox_xywhn2xyxy(0.5, 0.5, 0.4, 0.4, (80, 100))
+            assert not ds.bbox_intersect(box, true_box)
+
+    def test_min_box_size_filter(self, yolo_dataset):
+        from nkbx.data import AnnotatedYOLODataset
+
+        ds = AnnotatedYOLODataset(annotations_file=str(yolo_dataset), fold="train", min_box_size=50)
+        assert len(ds) == 0  # 32x40 crops all filtered

@@ -1,0 +1,82 @@
+"""Export round-trip: StableHLO bundle must reproduce training-model logits
+(SURVEY.md §4: 'export, reload, compare logits at tolerance ~0')."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    import jax.numpy as jnp
+
+    from nkbx.models import get_model
+
+    return get_model(
+        {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+        ["a", "b", "c"], input_size=(32, 32), dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def bundle(tiny_model, tmp_path_factory):
+    from nkbx.export import export_model
+
+    out = tmp_path_factory.mktemp("export") / "model.nkbx"
+    path, meta = export_model(tiny_model, (8, 32, 32, 3), out, dynamic_batch=True)
+    return path, meta
+
+
+class TestExportRoundTrip:
+    def test_metadata(self, bundle):
+        from nkbx.export import load_exported
+
+        meta, exported = load_exported(bundle[0])
+        assert meta["classes"] == ["a", "b", "c"]
+        assert meta["imgsz"] == [32, 32]
+        assert meta["layout"] == "NHWC"
+
+    def test_logits_match_training_model(self, tiny_model, bundle):
+        import jax.numpy as jnp
+
+        from nkbx.export import TPUServingModule
+
+        serving = TPUServingModule(bundle[0])
+        x = np.random.default_rng(0).normal(size=(4, 32, 32, 3)).astype(np.float32)
+        served = np.asarray(serving(x))
+        direct = np.asarray(tiny_model(jnp.asarray(x)))
+        np.testing.assert_allclose(served, direct, atol=1e-5)
+
+    def test_bucket_padding_consistent(self, bundle):
+        from nkbx.export import TPUServingModule
+
+        serving = TPUServingModule(bundle[0], buckets=[4, 8])
+        x = np.random.default_rng(1).normal(size=(3, 32, 32, 3)).astype(np.float32)
+        out3 = np.asarray(serving(x))  # padded to bucket 4
+        assert out3.shape == (3, 3)
+        out_full = np.asarray(serving(np.concatenate([x, x[:1]])))[:3]
+        np.testing.assert_allclose(out3, out_full, atol=1e-5)
+
+    def test_oversize_batch_chunks(self, bundle):
+        from nkbx.export import TPUServingModule
+
+        serving = TPUServingModule(bundle[0], buckets=[4])
+        x = np.random.default_rng(2).normal(size=(10, 32, 32, 3)).astype(np.float32)
+        out = np.asarray(serving(x))
+        assert out.shape == (10, 3)
+
+    def test_scripted_config_load(self, bundle):
+        """model: {'scripted': True, 'checkpoint': bundle} (reference eval_config.py:87-90)."""
+        from nkbx.models import get_model
+
+        m = get_model({"scripted": True, "checkpoint": str(bundle[0])}, classes=None)
+        x = np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(np.float32)
+        out = np.asarray(m(x))
+        assert out.shape == (2, 3)
+        assert m.classes == ["a", "b", "c"]
+
+    def test_benchmark_runs(self, bundle):
+        from nkbx.export import TPUServingModule
+
+        serving = TPUServingModule(bundle[0], buckets=[4])
+        stats = serving.benchmark(batch_size=4, iters=5)
+        assert stats["p50_ms"] > 0 and stats["images_per_sec"] > 0

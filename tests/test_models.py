@@ -1,0 +1,109 @@
+"""Model layer: registry, heads, init strategies, freeze labels, dropout.
+
+Big backbone families compile for minutes on this 1-core CPU host, so shape
+checks use the tiny ResNet; full-family forward passes are covered on TPU by
+bench/verify runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nkbx.models import (
+    create_backbone,
+    get_model,
+    is_backbone_param,
+    list_backbones,
+    param_labels,
+)
+
+
+class TestRegistry:
+    def test_reference_model_names_resolve(self):
+        # every backbone name used by reference configs must resolve
+        for name in ["resnet14t", "mobilenetv3_large_100", "efficientnet_b2",
+                     "convnext_base", "unicom ViT-B/32"]:
+            m = create_backbone(name)
+            assert m.num_features > 0
+
+    def test_unknown_name_raises(self):
+        with pytest.raises(NotImplementedError):
+            create_backbone("resnext9000")
+        with pytest.raises(NotImplementedError):
+            create_backbone("unicom ViT-Z/1")
+
+    def test_list_backbones(self):
+        names = list_backbones()
+        assert "resnet50" in names and "unicom ViT-B/32" in names
+
+    def test_pretrained_without_checkpoint_warns(self):
+        with pytest.warns(UserWarning, match="pretrained"):
+            create_backbone("resnet_tiny_test", pretrained=True)
+
+    def test_num_features(self):
+        assert create_backbone("resnet18").num_features == 512
+        assert create_backbone("resnet50").num_features == 2048
+        assert create_backbone("resnet14t").num_features == 2048
+        assert create_backbone("mobilenetv3_large_100").num_features == 1280
+        assert create_backbone("efficientnet_b0").num_features == 1280
+        assert create_backbone("convnext_tiny").num_features == 768
+        assert create_backbone("vit_base_patch32_224").num_features == 768
+        assert create_backbone("unicom ViT-B/32").num_features == 512
+
+
+class TestClassifier:
+    @pytest.fixture(scope="class")
+    def single(self):
+        return get_model({"task": "single", "model": "resnet_tiny_test", "pretrained": False,
+                          "classifier_dropout": 0.5},
+                         ["a", "b", "c"], input_size=(32, 32), dtype=jnp.float32)
+
+    def test_param_partition(self, single):
+        labels = param_labels(single.params)
+        flat = jax.tree_util.tree_leaves(labels)
+        assert "backbone" in flat and "classifier" in flat
+        # the head Dense has exactly kernel+bias in the classifier group
+        assert flat.count("classifier") == 2
+
+    def test_head_bias_zero_init(self, single):
+        head = single.params["head"]
+        assert (np.asarray(head["bias"]) == 0).all()
+        assert np.asarray(head["kernel"]).std() > 0
+
+    def test_dropout_active_only_in_train(self, single):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32))
+        e1 = single(x)
+        e2 = single(x)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))  # eval deterministic
+        r1, _ = single.apply(single.variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        r2, _ = single.apply(single.variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(r1), np.asarray(r2))  # dropout varies
+
+    def test_init_strategies(self):
+        outs = {}
+        for strat in ["kaiming_normal_", "kaiming_uniform_", "xavier_normal_", "xavier_uniform_"]:
+            m = get_model({"task": "single", "model": "resnet_tiny_test", "pretrained": False,
+                           "classifier_initialization": strat}, ["a", "b"],
+                          input_size=(32, 32), dtype=jnp.float32)
+            k = np.asarray(m.params["head"]["kernel"])
+            outs[strat] = k.std()
+        # kaiming variance 2/fan_in vs xavier 2/(fan_in+fan_out): kaiming is larger
+        assert outs["kaiming_normal_"] > outs["xavier_normal_"]
+
+    def test_multitask_heads(self):
+        m = get_model({"task": "multi", "model": "resnet_tiny_test", "pretrained": False},
+                      {"color": ["r", "g", "b"], "size": ["s", "l"]},
+                      input_size=(32, 32), dtype=jnp.float32)
+        out = m(jnp.zeros((2, 32, 32, 3)))
+        assert out["color"].shape == (2, 3) and out["size"].shape == (2, 2)
+        labels = jax.tree_util.tree_leaves(param_labels(m.params))
+        assert labels.count("classifier") == 4  # two heads x (kernel, bias)
+
+    def test_batchnorm_stats_update_in_train(self, single):
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(4, 32, 32, 3)).astype(np.float32))
+        _, new_bs = single.apply(single.variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(0)})
+        old = jax.tree_util.tree_leaves(single.batch_stats)
+        new = jax.tree_util.tree_leaves(new_bs)
+        assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new))

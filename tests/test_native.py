@@ -1,0 +1,110 @@
+"""Native C++ decode pool vs the Python (cv2) reference path."""
+
+import numpy as np
+import pytest
+
+import nkbx.transforms as T
+
+native = pytest.importorskip("nkbx.native")
+
+if native.load() is None:  # pragma: no cover
+    pytest.skip("libnkbx_data.so unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def jpeg_files(tmp_path_factory):
+    import cv2
+
+    d = tmp_path_factory.mktemp("imgs")
+    r = np.random.default_rng(0)
+    paths = []
+    for i, (h, w) in enumerate([(60, 90), (120, 40), (64, 64)]):
+        img = r.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        p = d / f"{i}.jpg"
+        cv2.imwrite(str(p), img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        paths.append(str(p))
+    # and one png (lossless: exact comparison possible)
+    img = r.integers(0, 255, (50, 70, 3), dtype=np.uint8)
+    p = d / "x.png"
+    cv2.imwrite(str(p), img[:, :, ::-1])
+    paths.append(str(p))
+    return paths
+
+
+class TestNativeDecode:
+    def test_version(self):
+        assert "nkbx-native" in native.version()
+
+    def test_decode_matches_python_path(self, jpeg_files):
+        from nkbx.data.datasets import imread_rgb
+
+        pool = native.NativeDecodePool(2)
+        out, status = pool.decode_batch(jpeg_files, 64, 64)
+        assert (status == 0).all()
+        pipe = T.Compose([T.LongestMaxSize(64), T.PadIfNeeded(64, 64)])
+        for i, p in enumerate(jpeg_files):
+            ref = pipe.host_apply(imread_rgb(p))
+            diff = np.abs(out[i].astype(int) - ref.astype(int))
+            # bilinear rounding differences only
+            assert diff.mean() < 1.0 and diff.max() <= 16, (i, diff.mean(), diff.max())
+
+    def test_crop(self, jpeg_files):
+        from nkbx.data.datasets import imread_rgb
+
+        pool = native.NativeDecodePool(2)
+        crops = np.array([[10, 5, 40, 35]] * len(jpeg_files), dtype=np.int32)
+        out, status = pool.decode_batch(jpeg_files, 32, 32, crops=crops, mode=native.MODE_STRETCH)
+        assert (status == 0).all()
+        import cv2
+
+        ref_img = imread_rgb(jpeg_files[0])[5:35, 10:40]
+        ref = cv2.resize(ref_img, (32, 32), interpolation=cv2.INTER_LINEAR)
+        diff = np.abs(out[0].astype(int) - ref.astype(int))
+        assert diff.mean() < 1.0
+
+    def test_missing_file_status(self, jpeg_files):
+        pool = native.NativeDecodePool(2)
+        out, status = pool.decode_batch([jpeg_files[0], "/nonexistent/x.jpg"], 32, 32)
+        assert status[0] == 0 and status[1] < 0
+
+    def test_invalid_crop_status(self, jpeg_files):
+        pool = native.NativeDecodePool(1)
+        crops = np.array([[0, 0, 10_000, 10_000]], dtype=np.int32)
+        out, status = pool.decode_batch([jpeg_files[0]], 32, 32, crops=crops)
+        assert status[0] < 0
+
+
+class TestLoaderNativePath:
+    def test_loader_uses_native_and_matches_python(self, jpeg_files, tmp_path_factory):
+        import cv2
+        from nkbx.data import ImageFolderDataset, DataLoader
+
+        root = tmp_path_factory.mktemp("nat_folder")
+        r = np.random.default_rng(1)
+        for cls in ("a", "b"):
+            (root / cls).mkdir()
+            for i in range(4):
+                img = r.integers(0, 255, (50, 60, 3), dtype=np.uint8)
+                cv2.imwrite(str(root / cls / f"{i}.jpg"), img[:, :, ::-1])
+        ds = ImageFolderDataset(root=root)
+        pipe = T.Compose([T.LongestMaxSize(32), T.PadIfNeeded(32, 32), T.Normalize()])
+        loader = DataLoader(ds, pipeline=pipe, batch_size=8, num_workers=2)
+        assert loader._native is not None  # fast path engaged
+        nat_batch = next(iter(loader.epoch(0)))
+        loader._native = None  # force python path
+        py_batch = next(iter(loader.epoch(0)))
+        assert np.array_equal(nat_batch["label"], py_batch["label"])
+        diff = np.abs(nat_batch["image"].astype(int) - py_batch["image"].astype(int))
+        assert diff.mean() < 1.0 and diff.max() <= 16
+
+    def test_random_crop_pipeline_disables_native(self, tmp_path_factory):
+        import cv2
+        from nkbx.data import ImageFolderDataset, DataLoader
+
+        root = tmp_path_factory.mktemp("nat_rc")
+        (root / "a").mkdir()
+        cv2.imwrite(str(root / "a" / "0.jpg"), np.zeros((40, 40, 3), np.uint8))
+        ds = ImageFolderDataset(root=root)
+        pipe = T.Compose([T.Resize(48, 48), T.RandomCrop(32, 32), T.Normalize()])
+        loader = DataLoader(ds, pipeline=pipe, batch_size=1, num_workers=1)
+        assert loader._native is None

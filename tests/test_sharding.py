@@ -1,0 +1,77 @@
+"""Distributed-without-hardware: 8-virtual-device mesh (conftest) — sharded
+train step must equal the single-device step numerically (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nkbx.models import get_model
+from nkbx.parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = get_model(
+        {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+        ["a", "b"], input_size=(32, 32), dtype=jnp.float32,
+    )
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+    bundle = get_optimizer(model.params, {"type": "adam", "lr": 1e-3})
+    step = build_train_step(model, criterion, bundle)
+    r = np.random.default_rng(0)
+    image = r.normal(size=(16, 32, 32, 3)).astype(np.float32)
+    label = r.integers(0, 2, size=16).astype(np.int64)
+    mask = np.ones(16, dtype=bool)
+    return model, bundle, step, image, label, mask
+
+
+def _run_step(state, step, image, label, mask):
+    key = jax.random.PRNGKey(0)
+    return step(state, jnp.asarray(image), jnp.asarray(label), jnp.asarray(mask),
+                key, jnp.asarray(1.0), jnp.asarray(1.0))
+
+
+class TestDataParallelEquivalence:
+    def test_8device_mesh_available(self):
+        assert len(jax.devices()) == 8
+
+    def test_sharded_step_matches_single_device(self, setup):
+        model, bundle, step, image, label, mask = setup
+
+        # single device
+        state1 = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        new1, m1 = _run_step(state1, step, image, label, mask)
+
+        # 8-way data parallel
+        mesh = make_mesh(n_data=8)
+        state8 = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        state8 = jax.device_put(state8, replicated_sharding(mesh))
+        batch = shard_batch(mesh, {"image": image, "label": label, "mask": mask})
+        new8, m8 = step(state8, batch["image"], batch["label"], batch["mask"],
+                        jax.random.PRNGKey(0), jnp.asarray(1.0), jnp.asarray(1.0))
+
+        l1 = jax.tree_util.tree_leaves(new1.params)
+        l8 = jax.tree_util.tree_leaves(new8.params)
+        for a, b in zip(l1, l8):
+            # all-reduce reduction order differs from single-device sum
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+
+    def test_batch_is_actually_sharded(self, setup):
+        mesh = make_mesh(n_data=8)
+        x = np.zeros((16, 4), np.float32)
+        sharded = shard_batch(mesh, {"x": x})["x"]
+        assert sharded.sharding == batch_sharding(mesh)
+        assert len(sharded.addressable_shards) == 8
+        assert sharded.addressable_shards[0].data.shape == (2, 4)
+
+    def test_tensor_parallel_spec(self, setup):
+        from nkbx.parallel import param_shardings
+
+        model, *_ = setup
+        mesh = make_mesh(n_data=4, n_model=2)
+        sh = param_shardings(mesh, model.params, tensor_parallel=True)
+        leaves = jax.tree_util.tree_leaves(sh, is_leaf=lambda x: hasattr(x, "spec"))
+        assert len(leaves) > 0  # spec tree built without error

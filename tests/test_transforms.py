@@ -166,3 +166,29 @@ class TestDeviceOps:
                           T.Normalize(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))])
         out = pipe(image=_img())
         assert out["image"].shape == (32, 32, 3)
+
+
+class TestWeatherOps:
+    def _gray(self, v=100, n=2, hw=32):
+        return jnp.full((n, hw, hw, 3), v, dtype=jnp.uint8)
+
+    def test_fog_whitens(self):
+        pipe = T.Compose([T.RandomFog(fog_coef_lower=0.5, fog_coef_upper=0.5, p=1.0),
+                          T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        out = np.asarray(pipe.device_apply(self._gray(), jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(out, 0.5 * 100 + 0.5 * 255, atol=1.0)
+
+    def test_shadow_darkens_some_pixels(self):
+        pipe = T.Compose([T.RandomShadow(num_shadows_lower=1, num_shadows_upper=1, p=1.0),
+                          T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        out = np.asarray(pipe.device_apply(self._gray(200), jax.random.PRNGKey(1)))
+        darkened = (out < 150).any(axis=-1)
+        assert darkened.sum() > 0
+        assert (out <= 200.5).all()
+
+    def test_rain_adds_streaks_and_darkens(self):
+        pipe = T.Compose([T.RandomRain(p=1.0, brightness_coefficient=0.7),
+                          T.Normalize(mean=(0, 0, 0), std=(1 / 255, 1 / 255, 1 / 255))])
+        out = np.asarray(pipe.device_apply(self._gray(100, hw=48), jax.random.PRNGKey(2)))
+        assert abs(np.median(out) - 70) < 3  # darkened background
+        assert (out > 150).sum() > 0  # bright streaks exist
