@@ -76,23 +76,30 @@ class TPUServingModule:
 
     # -- ops ----------------------------------------------------------------
 
+    @staticmethod
+    def _sync(out):
+        """Reliable completion sync: fetch a scalar that depends on the output
+        (block_until_ready can return early on tunneled-TPU backends)."""
+        leaf = out[next(iter(out))] if isinstance(out, dict) else out
+        return float(jnp.ravel(leaf)[0])
+
     def warm_up(self, batches: Optional[Sequence[int]] = None):
         """AOT-compile every bucket (TRT builds profiles at export; we compile here)."""
         h, w = self.metadata["imgsz"]
         for b in batches or self.buckets:
             x = np.zeros((b, h, w, 3), dtype=np.float32)
-            jax.block_until_ready(self.forward(x))
+            self._sync(self.forward(x))
 
     def benchmark(self, batch_size: int = 32, iters: int = 100):
         """p50/p99 latency + throughput for one bucket (trtmodule.py:117-124,
         but actually measuring)."""
         h, w = self.metadata["imgsz"]
         x = np.random.default_rng(0).random((batch_size, h, w, 3), dtype=np.float32)
-        jax.block_until_ready(self.forward(x))  # compile
+        self._sync(self.forward(x))  # compile
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(self.forward(x))
+            self._sync(self.forward(x))
             times.append(time.perf_counter() - t0)
         times = np.asarray(times)
         return {
@@ -129,3 +136,23 @@ class ExportedModel:
 
     def __call__(self, x, train=False, rngs=None):
         return self.serving.forward(x)
+
+
+def main():  # pragma: no cover - thin CLI
+    """Serving-side benchmark CLI (the reference trtmodule.py __main__ analog,
+    trtmodule.py:117-124 — but it reports numbers)."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description="nkbx serving benchmark")
+    parser.add_argument("weights", help=".nkbx serving bundle")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--iters", type=int, default=100)
+    args = parser.parse_args()
+    module = TPUServingModule(args.weights)
+    module.warm_up([args.batch_size])
+    print(json.dumps(module.benchmark(args.batch_size, args.iters)))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -143,7 +143,86 @@ def convert_torch_state_dict(name: str, state_dict):
         stage_sizes, tiered = _RESNET_SPECS[name]
         params, stats = convert_resnet_state_dict(state_dict, stage_sizes, tiered)
         return {"params": params, "batch_stats": stats}
+    if name in _MBV3_STAGES:
+        params, stats = convert_mobilenetv3_state_dict(state_dict, _MBV3_STAGES[name])
+        return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
-        f"(have: {sorted(_RESNET_SPECS)})"
+        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# timm mobilenetv3 -> nkbx MobileNetV3
+# ---------------------------------------------------------------------------
+
+# timm mobilenetv3_large_100 / small_100 block counts per stage (efficientnet
+# builder layout: blocks.{stage}.{i}; the trailing ConvBnAct stage is separate)
+_MBV3_STAGES = {
+    "mobilenetv3_large_100": [1, 2, 3, 4, 2, 3],
+    "mobilenetv3_small_100": [1, 2, 3, 2, 3],
+}
+
+
+def convert_mobilenetv3_state_dict(state_dict, stage_blocks):
+    """timm mobilenetv3 state_dict -> (params, batch_stats) for nkbx MobileNetV3.
+
+    timm layout: conv_stem/bn1; blocks.{s}.{i} where block (0,0) is a
+    DepthwiseSeparableConv (conv_dw/bn1, conv_pw/bn2, optional se) and the rest
+    are InvertedResiduals (conv_pw/bn1 expand, conv_dw/bn2, optional
+    se.conv_reduce/conv_expand, conv_pwl/bn3); blocks.{last}.0 is ConvBnAct
+    (conv/bn1); conv_head is the 1x1 -> Dense(1280) with bias.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+        _set(stats, path + ("mean",), sd[f"{t}.running_mean"])
+        _set(stats, path + ("var",), sd[f"{t}.running_var"])
+
+    _set(params, ("ConvBN_0", "Conv_0", "kernel"), _conv_w(sd["conv_stem.weight"]))
+    put_bn("bn1", ("ConvBN_0", "BatchNorm_0"))
+
+    k = 0
+    for s, n_blocks in enumerate(stage_blocks):
+        for b in range(n_blocks):
+            t = f"blocks.{s}.{b}"
+            f = f"InvertedResidual_{k}"
+            if f"{t}.conv_pwl.weight" in sd:  # full inverted residual
+                _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_pw.weight"]))
+                put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                _set(params, (f, "ConvBN_1", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_dw.weight"]))
+                put_bn(f"{t}.bn2", (f, "ConvBN_1", "BatchNorm_0"))
+                proj = ("ConvBN_2",)
+                proj_src = (f"{t}.conv_pwl.weight", f"{t}.bn3")
+            else:  # depthwise-separable first block (no expansion)
+                _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_dw.weight"]))
+                put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                proj = ("ConvBN_1",)
+                proj_src = (f"{t}.conv_pw.weight", f"{t}.bn2")
+            if f"{t}.se.conv_reduce.weight" in sd:
+                _set(params, (f, "SqueezeExcite_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.se.conv_reduce.weight"]))
+                _set(params, (f, "SqueezeExcite_0", "Conv_0", "bias"), sd[f"{t}.se.conv_reduce.bias"])
+                _set(params, (f, "SqueezeExcite_0", "Conv_1", "kernel"), _conv_w(sd[f"{t}.se.conv_expand.weight"]))
+                _set(params, (f, "SqueezeExcite_0", "Conv_1", "bias"), sd[f"{t}.se.conv_expand.bias"])
+            _set(params, (f,) + proj + ("Conv_0", "kernel"), _conv_w(sd[proj_src[0]]))
+            put_bn(proj_src[1], (f,) + proj + ("BatchNorm_0",))
+            k += 1
+
+    # trailing ConvBnAct stage (blocks.{last}.0.conv / bn1)
+    t = f"blocks.{len(stage_blocks)}.0"
+    _set(params, ("ConvBN_1", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv.weight"]))
+    put_bn(f"{t}.bn1", ("ConvBN_1", "BatchNorm_0"))
+
+    # conv_head 1x1 on pooled features == Dense
+    w = sd["conv_head.weight"]  # (O, I, 1, 1)
+    _set(params, ("Dense_0", "kernel"), np.transpose(w[:, :, 0, 0], (1, 0)))
+    if "conv_head.bias" in sd:
+        _set(params, ("Dense_0", "bias"), sd["conv_head.bias"])
+    else:
+        _set(params, ("Dense_0", "bias"), np.zeros(w.shape[0], np.float32))
+
+    return params, stats

@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from nkbx.train.optim import OptimizerBundle, mask_frozen_grads, scale_updates
 from nkbx.train.state import TrainState
@@ -78,8 +79,6 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         grads = mask_frozen_grads(grads, freeze_scale)
         updates, new_opt_state = bundle.tx.update(grads, state.opt_state, state.params)
         updates = scale_updates(updates, state.params, bundle.lrs, lr_factor, freeze_scale)
-        import optax
-
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params,

@@ -141,3 +141,83 @@ class TestResNetConversion:
     def test_unknown_family_raises(self):
         with pytest.raises(NotImplementedError):
             convert_torch_state_dict("convnext_tiny", {})
+
+
+def _synthetic_mbv3_large_sd(rng):
+    """timm mobilenetv3_large_100 state_dict layout with correct shapes,
+    derived from the same spec table as the nkbx model."""
+    from nkbx.models.mobilenetv3 import _LARGE_SPEC, _make_divisible
+
+    sd = {}
+
+    def conv(name, o, i, k, bias=False):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = rng.normal(size=o).astype(np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_var"] = rng.uniform(0.5, 2, c).astype(np.float32)
+
+    conv("conv_stem", 16, 3, 3)
+    bn("bn1", 16)
+    stage_blocks = [1, 2, 3, 4, 2, 3]
+    spec = iter(_LARGE_SPEC)
+    inc = 16
+    for s, n in enumerate(stage_blocks):
+        for b in range(n):
+            k, e, o, se, a, st = next(spec)
+            t = f"blocks.{s}.{b}"
+            if e == inc:  # depthwise separable
+                conv(f"{t}.conv_dw", e, 1, k)
+                bn(f"{t}.bn1", e)
+                conv(f"{t}.conv_pw", o, e, 1)
+                bn(f"{t}.bn2", o)
+            else:
+                conv(f"{t}.conv_pw", e, inc, 1)
+                bn(f"{t}.bn1", e)
+                conv(f"{t}.conv_dw", e, 1, k)
+                bn(f"{t}.bn2", e)
+                conv(f"{t}.conv_pwl", o, e, 1)
+                bn(f"{t}.bn3", o)
+            if se:
+                red = _make_divisible(e // 4)
+                conv(f"{t}.se.conv_reduce", red, e, 1, bias=True)
+                conv(f"{t}.se.conv_expand", e, red, 1, bias=True)
+            inc = o
+    conv("blocks.6.0.conv", 960, inc, 1)
+    bn("blocks.6.0.bn1", 960)
+    conv("conv_head", 1280, 960, 1, bias=True)
+    return sd
+
+
+class TestMobileNetV3Conversion:
+    def test_tree_structure_and_load(self, tmp_path):
+        rng = np.random.default_rng(5)
+        sd = _synthetic_mbv3_large_sd(rng)
+        out = convert_torch_state_dict("mobilenetv3_large_100", sd)
+        model = get_model({"task": "single", "model": "mobilenetv3_large_100",
+                           "pretrained": False}, ["a", "b"],
+                          input_size=(32, 32), dtype=jnp.float32)
+        ref = jax.tree_util.tree_structure(model.params["backbone"])
+        got = jax.tree_util.tree_structure(out["params"])
+        assert ref == got
+        ref_bs = jax.tree_util.tree_structure(model.variables["batch_stats"]["backbone"])
+        assert ref_bs == jax.tree_util.tree_structure(out["batch_stats"])
+        # dw conv kernel converted to HWIO with I=1
+        k = out["params"]["InvertedResidual_3"]["ConvBN_1"]["Conv_0"]["kernel"]
+        assert k.shape[2] == 1  # depthwise
+        # conv_head became the Dense
+        np.testing.assert_array_equal(
+            out["params"]["Dense_0"]["kernel"],
+            np.transpose(sd["conv_head.weight"][:, :, 0, 0], (1, 0)))
+        # shapes all match model init
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(model.params["backbone"]),
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(
+                jax.tree_util.tree_map(jnp.asarray, out["params"])), key=lambda t: str(t[0])),
+        ):
+            assert a.shape == b.shape, (pa, a.shape, b.shape)

@@ -26,6 +26,11 @@ def main():
 
     cfg = load_config(args.config)
 
+    if cfg.get("debug_nans", False):  # opt-in NaN checking (SURVEY.md §5.2)
+        from nkbx.core import enable_nan_debugging
+
+        enable_nan_debugging()
+
     train_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
     classes = train_loader.dataset.classes
     if "classes" not in cfg.val_data:
