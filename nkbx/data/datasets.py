@@ -269,12 +269,25 @@ class AnnotatedYOLODataset:
     # -- scan / geometry helpers -------------------------------------------
 
     @staticmethod
-    def _download(url, dest):
+    def _download(url, dest, retries: int = 3):
+        """Dataset auto-download (reference dataset.py:316-321) with retry —
+        the reference has none (SURVEY.md §5.3)."""
+        import time
+
         import requests
 
-        r = requests.get(url)
-        z = zipfile.ZipFile(io.BytesIO(r.content))
-        z.extractall(dest)
+        last_err = None
+        for attempt in range(retries):
+            try:
+                r = requests.get(url, timeout=120)
+                r.raise_for_status()
+                z = zipfile.ZipFile(io.BytesIO(r.content))
+                z.extractall(dest)
+                return
+            except Exception as e:  # pragma: no cover - network
+                last_err = e
+                time.sleep(2**attempt)
+        raise RuntimeError(f"Failed to download {url} after {retries} attempts") from last_err
 
     def scan_img_files(self, img_dirs):
         """YOLO image scan: directories recursed, .txt lists expanded

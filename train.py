@@ -26,6 +26,15 @@ def main():
 
     cfg = load_config(args.config)
 
+    if cfg.get("distributed", False):
+        # multi-host TPU slice: one process per host; the loaders shard the
+        # global permutation by process_index and the mesh spans all hosts
+        from nkbx.core import initialize
+
+        info = initialize(distributed=True)
+        print(f"distributed: process {info['process_index']}/{info['process_count']}, "
+              f"{info['devices']} devices")
+
     if cfg.get("debug_nans", False):  # opt-in NaN checking (SURVEY.md §5.2)
         from nkbx.core import enable_nan_debugging
 
