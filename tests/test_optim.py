@@ -1,0 +1,142 @@
+"""Optimizer-step parity vs torch: the two-group update pipeline
+(grads -> direction -> lr/schedule/freeze scaling) must reproduce
+torch.optim semantics (reference utils.py:10-42)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+
+from nkbx.train.optim import (
+    backbone_state_factor,
+    get_optimizer,
+    get_scheduler,
+    mask_frozen_grads,
+    scale_updates,
+)
+
+
+def _fake_params(seed=0):
+    """Param tree shaped like a classifier: backbone + head leaves."""
+    r = np.random.default_rng(seed)
+    return {
+        "backbone": {"Conv_0": {"kernel": jnp.asarray(r.normal(size=(3, 3, 4, 8)).astype(np.float32))}},
+        "head": {"kernel": jnp.asarray(r.normal(size=(8, 2)).astype(np.float32)),
+                 "bias": jnp.asarray(r.normal(size=2).astype(np.float32))},
+    }
+
+
+def _fake_grads(seed=1):
+    r = np.random.default_rng(seed)
+    return {
+        "backbone": {"Conv_0": {"kernel": jnp.asarray(r.normal(size=(3, 3, 4, 8)).astype(np.float32))}},
+        "head": {"kernel": jnp.asarray(r.normal(size=(8, 2)).astype(np.float32)),
+                 "bias": jnp.asarray(r.normal(size=2).astype(np.float32))},
+    }
+
+
+def _torch_steps(opt_ctor, params_np, grads_np, n_steps, **kw):
+    t_params = [torch.nn.Parameter(torch.tensor(p)) for p in params_np]
+    opt = opt_ctor(t_params, **kw)
+    for _ in range(n_steps):
+        opt.zero_grad()
+        for p, g in zip(t_params, grads_np):
+            p.grad = torch.tensor(g)
+        opt.step()
+    return [p.detach().numpy() for p in t_params]
+
+
+def _nkbx_steps(cfg, params, grads, n_steps, lr_factor=1.0, freeze_scale=1.0):
+    bundle = get_optimizer(params, cfg)
+    opt_state = bundle.tx.init(params)
+    for _ in range(n_steps):
+        g = mask_frozen_grads(grads, freeze_scale)
+        updates, opt_state = bundle.tx.update(g, opt_state, params)
+        updates = scale_updates(updates, params, bundle.lrs,
+                                jnp.asarray(lr_factor), jnp.asarray(freeze_scale))
+        params = optax.apply_updates(params, updates)
+    return params
+
+
+class TestOptimizerParity:
+    @pytest.mark.parametrize("n_steps", [1, 5])
+    def test_adam_coupled_wd(self, n_steps):
+        params, grads = _fake_params(), _fake_grads()
+        flat = jax.tree_util.tree_leaves(params)
+        gflat = jax.tree_util.tree_leaves(grads)
+        ref = _torch_steps(torch.optim.Adam, [np.asarray(p) for p in flat],
+                           [np.asarray(g) for g in gflat], n_steps,
+                           lr=1e-2, weight_decay=0.1)
+        out = _nkbx_steps({"type": "adam", "lr": 1e-2, "weight_decay": 0.1},
+                          params, grads, n_steps)
+        for a, b in zip(jax.tree_util.tree_leaves(out), ref):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=1e-6)
+
+    def test_sgd(self):
+        params, grads = _fake_params(), _fake_grads()
+        ref = _torch_steps(torch.optim.SGD,
+                           [np.asarray(p) for p in jax.tree_util.tree_leaves(params)],
+                           [np.asarray(g) for g in jax.tree_util.tree_leaves(grads)],
+                           3, lr=0.05, weight_decay=0.01)
+        out = _nkbx_steps({"type": "sgd", "lr": 0.05, "weight_decay": 0.01}, params, grads, 3)
+        for a, b in zip(jax.tree_util.tree_leaves(out), ref):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=1e-5, atol=1e-7)
+
+    def test_two_group_lrs(self):
+        """Backbone and head move with their own lrs (reference utils.py:11-28)."""
+        params, grads = _fake_params(), _fake_grads()
+        out = _nkbx_steps({"type": "sgd", "lr": 1.0, "backbone_lr": 0.0,
+                           "classifier_lr": 0.5}, params, grads, 1)
+        np.testing.assert_allclose(
+            np.asarray(out["backbone"]["Conv_0"]["kernel"]),
+            np.asarray(params["backbone"]["Conv_0"]["kernel"]))  # lr 0: unchanged
+        expect = np.asarray(params["head"]["bias"]) - 0.5 * np.asarray(grads["head"]["bias"])
+        np.testing.assert_allclose(np.asarray(out["head"]["bias"]), expect, rtol=1e-6)
+
+    def test_freeze_blocks_backbone_only(self):
+        params, grads = _fake_params(), _fake_grads()
+        out = _nkbx_steps({"type": "adam", "lr": 1e-2}, params, grads, 2, freeze_scale=0.0)
+        np.testing.assert_allclose(
+            np.asarray(out["backbone"]["Conv_0"]["kernel"]),
+            np.asarray(params["backbone"]["Conv_0"]["kernel"]))
+        assert not np.allclose(np.asarray(out["head"]["kernel"]),
+                               np.asarray(params["head"]["kernel"]))
+
+    def test_unknown_type_raises(self):
+        with pytest.raises(NotImplementedError):
+            get_optimizer(_fake_params(), {"type": "lion"})
+
+
+class TestSchedules:
+    def test_step(self):
+        f = get_scheduler({"type": "step", "step_size": 2, "gamma": 0.1})
+        assert [f(e) for e in range(5)] == pytest.approx([1, 1, 0.1, 0.1, 0.01])
+
+    def test_multistep(self):
+        f = get_scheduler({"type": "multistep", "steps": [2, 4], "gamma": 0.5})
+        assert [f(e) for e in range(5)] == pytest.approx([1, 1, 0.5, 0.5, 0.25])
+
+    def test_cosine_matches_torch(self):
+        t_params = [torch.nn.Parameter(torch.zeros(1))]
+        opt = torch.optim.SGD(t_params, lr=1.0)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10)
+        f = get_scheduler({"type": "cosine", "n_epochs": 10})
+        for e in range(10):
+            assert f(e) == pytest.approx(opt.param_groups[0]["lr"], abs=1e-6), e
+            sched.step()
+
+    def test_empty_policy_constant(self):
+        f = get_scheduler({})
+        assert f(0) == f(100) == 1.0
+
+    def test_backbone_state_factor(self):
+        policy = {0: "freeze", 5: "unfreeze", 10: "freeze"}
+        assert backbone_state_factor(policy, 0) == 0.0
+        assert backbone_state_factor(policy, 3) == 0.0
+        assert backbone_state_factor(policy, 5) == 1.0
+        assert backbone_state_factor(policy, 7) == 1.0
+        assert backbone_state_factor(policy, 12) == 0.0
+        # no entry <= epoch: keep previous
+        assert backbone_state_factor({3: "freeze"}, 1, prev=1.0) == 1.0
