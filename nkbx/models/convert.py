@@ -146,9 +146,20 @@ def convert_torch_state_dict(name: str, state_dict):
     if name in _MBV3_STAGES:
         params, stats = convert_mobilenetv3_state_dict(state_dict, _MBV3_STAGES[name])
         return {"params": params, "batch_stats": stats}
+    if name in _VIT_SPECS:
+        dim, depth, n_heads = _VIT_SPECS[name]
+        params, stats = convert_vit_state_dict(state_dict, dim, depth, n_heads)
+        return {"params": params, "batch_stats": stats}
+    if name in _EFFNET_STAGES:
+        params, stats = convert_efficientnet_state_dict(state_dict, _EFFNET_STAGES[name])
+        return {"params": params, "batch_stats": stats}
+    if name in _CONVNEXT_SPECS:
+        depths, _dims = _CONVNEXT_SPECS[name]
+        params, stats = convert_convnext_state_dict(state_dict, depths)
+        return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
-        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES)})"
+        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS)})"
     )
 
 
@@ -226,3 +237,184 @@ def convert_mobilenetv3_state_dict(state_dict, stage_blocks):
         _set(params, ("Dense_0", "bias"), np.zeros(w.shape[0], np.float32))
 
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# timm ViT -> nkbx ViT
+# ---------------------------------------------------------------------------
+
+_VIT_SPECS = {
+    # name: (dim, depth, n_heads)
+    "vit_small_patch16_224": (384, 12, 6),
+    "vit_base_patch16_224": (768, 12, 12),
+    "vit_base_patch32_224": (768, 12, 12),
+}
+
+
+def convert_vit_state_dict(state_dict, dim, depth, n_heads):
+    """timm ViT state_dict -> (params, {}) for nkbx ViT.
+
+    timm layout: cls_token, pos_embed, patch_embed.proj, blocks.{i}.{norm1,
+    attn.qkv (fused 3D x D), attn.proj, norm2, mlp.fc1, mlp.fc2}, final norm.
+    flax attention kernels are (in, heads, head_dim) / out (heads, head_dim, in);
+    head ordering in timm's fused qkv rows is [q; k; v] with out index
+    h*head_dim + d (row-major heads-first), matching the flax reshape.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    hd = dim // n_heads
+    params: dict = {}
+
+    def put_ln(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+
+    def put_dense(t, path):
+        _set(params, path + ("kernel",), np.transpose(sd[f"{t}.weight"], (1, 0)))
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+
+    _set(params, ("cls_token",), sd["cls_token"])
+    _set(params, ("pos_embed",), sd["pos_embed"])
+    _set(params, ("patch_embed", "kernel"), _conv_w(sd["patch_embed.proj.weight"]))
+    _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+
+    for i in range(depth):
+        t = f"blocks.{i}"
+        f = f"TransformerBlock_{i}"
+        put_ln(f"{t}.norm1", (f, "LayerNorm_0"))
+        put_ln(f"{t}.norm2", (f, "LayerNorm_1"))
+        qkv_w = sd[f"{t}.attn.qkv.weight"]  # (3*dim, dim)
+        qkv_b = sd[f"{t}.attn.qkv.bias"]
+        for j, nm in enumerate(("query", "key", "value")):
+            w = qkv_w[j * dim:(j + 1) * dim]  # (dim_out, dim_in)
+            _set(params, (f, "MultiHeadDotProductAttention_0", nm, "kernel"),
+                 np.transpose(w, (1, 0)).reshape(dim, n_heads, hd))
+            _set(params, (f, "MultiHeadDotProductAttention_0", nm, "bias"),
+                 qkv_b[j * dim:(j + 1) * dim].reshape(n_heads, hd))
+        pw = sd[f"{t}.attn.proj.weight"]  # (dim, dim)
+        _set(params, (f, "MultiHeadDotProductAttention_0", "out", "kernel"),
+             np.transpose(pw, (1, 0)).reshape(n_heads, hd, dim))
+        _set(params, (f, "MultiHeadDotProductAttention_0", "out", "bias"),
+             sd[f"{t}.attn.proj.bias"])
+        put_dense(f"{t}.mlp.fc1", (f, "Dense_0"))
+        put_dense(f"{t}.mlp.fc2", (f, "Dense_1"))
+
+    put_ln("norm", ("LayerNorm_0",))
+    return params, {}
+
+
+# ---------------------------------------------------------------------------
+# timm EfficientNet -> nkbx EfficientNet
+# ---------------------------------------------------------------------------
+
+_EFFNET_STAGES = {
+    # timm blocks.{s} counts (after depth scaling)
+    "efficientnet_b0": [1, 2, 2, 3, 3, 4, 1],
+    "efficientnet_b1": [2, 3, 3, 4, 4, 5, 2],
+    "efficientnet_b2": [2, 3, 3, 4, 4, 5, 2],
+    "efficientnet_b3": [2, 3, 3, 5, 5, 6, 2],
+}
+
+
+def convert_efficientnet_state_dict(state_dict, stage_blocks):
+    """timm EfficientNet state_dict -> (params, batch_stats) for nkbx EfficientNet.
+
+    Same efficientnet-builder layout as mobilenetv3 (conv_stem/bn1, DS + IR
+    blocks with SE, conv_head) except conv_head carries a BatchNorm (bn2) and
+    maps to the trailing ConvBN, and blocks are named MBConv_k.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+        _set(stats, path + ("mean",), sd[f"{t}.running_mean"])
+        _set(stats, path + ("var",), sd[f"{t}.running_var"])
+
+    _set(params, ("ConvBN_0", "Conv_0", "kernel"), _conv_w(sd["conv_stem.weight"]))
+    put_bn("bn1", ("ConvBN_0", "BatchNorm_0"))
+
+    k = 0
+    for s, n_blocks in enumerate(stage_blocks):
+        for b in range(n_blocks):
+            t = f"blocks.{s}.{b}"
+            f = f"MBConv_{k}"
+            if f"{t}.conv_pwl.weight" in sd:
+                _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_pw.weight"]))
+                put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                _set(params, (f, "ConvBN_1", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_dw.weight"]))
+                put_bn(f"{t}.bn2", (f, "ConvBN_1", "BatchNorm_0"))
+                proj, proj_src = ("ConvBN_2",), (f"{t}.conv_pwl.weight", f"{t}.bn3")
+            else:  # expand_ratio == 1 first block
+                _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_dw.weight"]))
+                put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                proj, proj_src = ("ConvBN_1",), (f"{t}.conv_pw.weight", f"{t}.bn2")
+            _set(params, (f, "SqueezeExcite_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.se.conv_reduce.weight"]))
+            _set(params, (f, "SqueezeExcite_0", "Conv_0", "bias"), sd[f"{t}.se.conv_reduce.bias"])
+            _set(params, (f, "SqueezeExcite_0", "Conv_1", "kernel"), _conv_w(sd[f"{t}.se.conv_expand.weight"]))
+            _set(params, (f, "SqueezeExcite_0", "Conv_1", "bias"), sd[f"{t}.se.conv_expand.bias"])
+            _set(params, (f,) + proj + ("Conv_0", "kernel"), _conv_w(sd[proj_src[0]]))
+            put_bn(proj_src[1], (f,) + proj + ("BatchNorm_0",))
+            k += 1
+
+    _set(params, ("ConvBN_1", "Conv_0", "kernel"), _conv_w(sd["conv_head.weight"]))
+    put_bn("bn2", ("ConvBN_1", "BatchNorm_0"))
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# timm ConvNeXt -> nkbx ConvNeXt
+# ---------------------------------------------------------------------------
+
+_CONVNEXT_SPECS = {
+    "convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
+    "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+}
+
+
+def convert_convnext_state_dict(state_dict, depths):
+    """timm ConvNeXt state_dict -> (params, {}) for nkbx ConvNeXt.
+
+    timm layout: stem.0 (4x4 conv) / stem.1 (LN); stages.{s}.downsample.0 (LN)
+    + .1 (2x2 conv) for s>=1; stages.{s}.blocks.{b}.{conv_dw, norm, mlp.fc1,
+    mlp.fc2, gamma}; final head norm ('head.norm' in timm >=0.8, 'norm' in
+    older checkpoints — both accepted).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+
+    def put_ln(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+
+    _set(params, ("Conv_0", "kernel"), _conv_w(sd["stem.0.weight"]))
+    _set(params, ("Conv_0", "bias"), sd["stem.0.bias"])
+    put_ln("stem.1", ("LayerNorm_0",))
+
+    k = 0  # flat ConvNeXtBlock index
+    ln_i, conv_i = 1, 1  # stage-transition LayerNorm_i / Conv_i counters
+    for s, depth in enumerate(depths):
+        if s > 0:
+            put_ln(f"stages.{s}.downsample.0", (f"LayerNorm_{ln_i}",))
+            _set(params, (f"Conv_{conv_i}", "kernel"), _conv_w(sd[f"stages.{s}.downsample.1.weight"]))
+            _set(params, (f"Conv_{conv_i}", "bias"), sd[f"stages.{s}.downsample.1.bias"])
+            ln_i += 1
+            conv_i += 1
+        for b in range(depth):
+            t = f"stages.{s}.blocks.{b}"
+            f = f"ConvNeXtBlock_{k}"
+            _set(params, (f, "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_dw.weight"]))
+            _set(params, (f, "Conv_0", "bias"), sd[f"{t}.conv_dw.bias"])
+            put_ln(f"{t}.norm", (f, "LayerNorm_0"))
+            _set(params, (f, "Dense_0", "kernel"), np.transpose(sd[f"{t}.mlp.fc1.weight"], (1, 0)))
+            _set(params, (f, "Dense_0", "bias"), sd[f"{t}.mlp.fc1.bias"])
+            _set(params, (f, "Dense_1", "kernel"), np.transpose(sd[f"{t}.mlp.fc2.weight"], (1, 0)))
+            _set(params, (f, "Dense_1", "bias"), sd[f"{t}.mlp.fc2.bias"])
+            _set(params, (f, "layer_scale"), sd[f"{t}.gamma"])
+            k += 1
+
+    head_norm = "head.norm" if "head.norm.weight" in sd else "norm"
+    put_ln(head_norm, ("head_norm",))
+    return params, {}

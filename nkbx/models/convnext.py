@@ -28,7 +28,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # timm uses exact GELU
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
         gamma = self.param("layer_scale", nn.initializers.constant(self.layer_scale_init), (self.dim,))
         return x + y * gamma.astype(y.dtype)

@@ -38,7 +38,7 @@ class TransformerBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # timm uses exact GELU
         if self.drop_rate > 0:
             y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)

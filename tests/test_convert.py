@@ -140,7 +140,7 @@ class TestResNetConversion:
 
     def test_unknown_family_raises(self):
         with pytest.raises(NotImplementedError):
-            convert_torch_state_dict("convnext_tiny", {})
+            convert_torch_state_dict("regnety_064", {})
 
 
 def _synthetic_mbv3_large_sd(rng):
@@ -221,3 +221,235 @@ class TestMobileNetV3Conversion:
                 jax.tree_util.tree_map(jnp.asarray, out["params"])), key=lambda t: str(t[0])),
         ):
             assert a.shape == b.shape, (pa, a.shape, b.shape)
+
+
+def _synthetic_vit_sd(rng, dim=64, depth=2, n_heads=4, patch=8, n_tokens=17):
+    sd = {}
+    sd["cls_token"] = rng.normal(size=(1, 1, dim)).astype(np.float32) * 0.02
+    sd["pos_embed"] = rng.normal(size=(1, n_tokens, dim)).astype(np.float32) * 0.02
+    sd["patch_embed.proj.weight"] = rng.normal(size=(dim, 3, patch, patch)).astype(np.float32) * 0.05
+    sd["patch_embed.proj.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+    for i in range(depth):
+        t = f"blocks.{i}"
+        for ln in ("norm1", "norm2"):
+            sd[f"{t}.{ln}.weight"] = rng.uniform(0.8, 1.2, dim).astype(np.float32)
+            sd[f"{t}.{ln}.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.attn.qkv.weight"] = rng.normal(size=(3 * dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.attn.qkv.bias"] = rng.normal(size=3 * dim).astype(np.float32) * 0.02
+        sd[f"{t}.attn.proj.weight"] = rng.normal(size=(dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.attn.proj.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.mlp.fc1.bias"] = rng.normal(size=4 * dim).astype(np.float32) * 0.02
+        sd[f"{t}.mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32) * 0.05
+        sd[f"{t}.mlp.fc2.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+    sd["norm.weight"] = rng.uniform(0.8, 1.2, dim).astype(np.float32)
+    sd["norm.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+    return sd
+
+
+def _torch_vit_forward(sd, x_nchw, dim, depth, n_heads, patch):
+    """timm-ViT forward in torch functional ops (pre-LN, exact GELU, cls pool)."""
+    import torch
+    import torch.nn.functional as F
+
+    hd = dim // n_heads
+    with torch.no_grad():
+        x = torch.tensor(x_nchw)
+        t = F.conv2d(x, torch.tensor(sd["patch_embed.proj.weight"]),
+                     torch.tensor(sd["patch_embed.proj.bias"]), stride=patch)
+        b, d, gh, gw = t.shape
+        t = t.flatten(2).transpose(1, 2)  # (B, N, D)
+        cls = torch.tensor(sd["cls_token"]).expand(b, -1, -1)
+        t = torch.cat([cls, t], dim=1) + torch.tensor(sd["pos_embed"])
+        for i in range(depth):
+            p = f"blocks.{i}"
+            y = F.layer_norm(t, (dim,), torch.tensor(sd[f"{p}.norm1.weight"]),
+                             torch.tensor(sd[f"{p}.norm1.bias"]), eps=1e-6)
+            qkv = F.linear(y, torch.tensor(sd[f"{p}.attn.qkv.weight"]),
+                           torch.tensor(sd[f"{p}.attn.qkv.bias"]))
+            n = t.shape[1]
+            qkv = qkv.reshape(b, n, 3, n_heads, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * hd ** -0.5
+            attn = attn.softmax(dim=-1)
+            y = (attn @ v).transpose(1, 2).reshape(b, n, dim)
+            y = F.linear(y, torch.tensor(sd[f"{p}.attn.proj.weight"]),
+                         torch.tensor(sd[f"{p}.attn.proj.bias"]))
+            t = t + y
+            y = F.layer_norm(t, (dim,), torch.tensor(sd[f"{p}.norm2.weight"]),
+                             torch.tensor(sd[f"{p}.norm2.bias"]), eps=1e-6)
+            y = F.linear(y, torch.tensor(sd[f"{p}.mlp.fc1.weight"]), torch.tensor(sd[f"{p}.mlp.fc1.bias"]))
+            y = F.gelu(y)
+            y = F.linear(y, torch.tensor(sd[f"{p}.mlp.fc2.weight"]), torch.tensor(sd[f"{p}.mlp.fc2.bias"]))
+            t = t + y
+        t = F.layer_norm(t, (dim,), torch.tensor(sd["norm.weight"]), torch.tensor(sd["norm.bias"]), eps=1e-6)
+        return t[:, 0].numpy()  # cls pooled embedding
+
+
+class TestViTConversion:
+    def test_full_forward_matches_torch(self):
+        """Converted weights + nkbx ViT == timm-style torch functional forward."""
+        from nkbx.models.convert import convert_vit_state_dict
+        from nkbx.models.vit import ViT
+
+        dim, depth, n_heads, patch = 64, 2, 4, 8
+        rng = np.random.default_rng(7)
+        sd = _synthetic_vit_sd(rng, dim, depth, n_heads, patch, n_tokens=17)
+        params, _ = convert_vit_state_dict(sd, dim, depth, n_heads)
+
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        ref = _torch_vit_forward(sd, x, dim, depth, n_heads, patch)
+
+        module = ViT(patch_size=patch, dim=dim, depth=depth, n_heads=n_heads, dtype=jnp.float32)
+        ours = module.apply({"params": params}, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), False)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+    def test_registered_in_factory(self):
+        from nkbx.models.convert import _VIT_SPECS
+
+        assert "vit_base_patch32_224" in _VIT_SPECS
+
+
+class TestEfficientNetConversion:
+    def test_tree_structure(self):
+        from nkbx.models.convert import convert_efficientnet_state_dict, _EFFNET_STAGES
+        from nkbx.models.efficientnet import _B0_SPEC, _round_channels
+
+        rng = np.random.default_rng(9)
+        sd = {}
+
+        def conv(name, o, i, k, bias=False):
+            sd[f"{name}.weight"] = rng.normal(size=(o, i, k, k)).astype(np.float32)
+            if bias:
+                sd[f"{name}.bias"] = rng.normal(size=o).astype(np.float32)
+
+        def bn(name, c):
+            for sfx, v in [("weight", rng.normal(size=c)), ("bias", rng.normal(size=c)),
+                           ("running_mean", rng.normal(size=c)), ("running_var", rng.uniform(0.5, 2, c))]:
+                sd[f"{name}.{sfx}"] = v.astype(np.float32)
+
+        conv("conv_stem", 32, 3, 3)
+        bn("bn1", 32)
+        inc = 32
+        for s, (expand, k, stride, repeats, out) in enumerate(_B0_SPEC):
+            for b in range(repeats):
+                t = f"blocks.{s}.{b}"
+                mid = inc * expand
+                if expand == 1:
+                    conv(f"{t}.conv_dw", mid, 1, k)
+                    bn(f"{t}.bn1", mid)
+                    conv(f"{t}.conv_pw", out, mid, 1)
+                    bn(f"{t}.bn2", out)
+                else:
+                    conv(f"{t}.conv_pw", mid, inc, 1)
+                    bn(f"{t}.bn1", mid)
+                    conv(f"{t}.conv_dw", mid, 1, k)
+                    bn(f"{t}.bn2", mid)
+                    conv(f"{t}.conv_pwl", out, mid, 1)
+                    bn(f"{t}.bn3", out)
+                red = max(1, int(inc * 0.25))
+                conv(f"{t}.se.conv_reduce", red, mid, 1, bias=True)
+                conv(f"{t}.se.conv_expand", mid, red, 1, bias=True)
+                inc = out
+        conv("conv_head", 1280, inc, 1)
+        bn("bn2", 1280)
+
+        out_tree = convert_efficientnet_state_dict(sd, _EFFNET_STAGES["efficientnet_b0"])
+        model = get_model({"task": "single", "model": "efficientnet_b0", "pretrained": False},
+                          ["a", "b"], input_size=(32, 32), dtype=jnp.float32)
+        assert (jax.tree_util.tree_structure(model.params["backbone"]) ==
+                jax.tree_util.tree_structure(out_tree[0] if isinstance(out_tree, tuple) else out_tree["params"]))
+        got = out_tree["params"] if isinstance(out_tree, dict) else out_tree[0]
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(model.params["backbone"]), key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(jax.tree_util.tree_map(jnp.asarray, got)), key=lambda t: str(t[0])),
+        ):
+            assert a.shape == b.shape, (pa, a.shape, b.shape)
+
+
+class TestConvNeXtConversion:
+    def test_block_forward_matches_torch(self):
+        """One converted ConvNeXt block == torch functional reference."""
+        import torch
+        import torch.nn.functional as F
+
+        from nkbx.models.convert import convert_convnext_state_dict
+        from nkbx.models.convnext import ConvNeXtBlock
+
+        dim = 32
+        rng = np.random.default_rng(11)
+        sd = {}
+        sd["stem.0.weight"] = rng.normal(size=(dim, 3, 4, 4)).astype(np.float32) * 0.05
+        sd["stem.0.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd["stem.1.weight"] = rng.uniform(0.8, 1.2, dim).astype(np.float32)
+        sd["stem.1.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        t = "stages.0.blocks.0"
+        sd[f"{t}.conv_dw.weight"] = rng.normal(size=(dim, 1, 7, 7)).astype(np.float32) * 0.05
+        sd[f"{t}.conv_dw.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.norm.weight"] = rng.uniform(0.8, 1.2, dim).astype(np.float32)
+        sd[f"{t}.norm.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.mlp.fc1.bias"] = rng.normal(size=4 * dim).astype(np.float32) * 0.02
+        sd[f"{t}.mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32) * 0.05
+        sd[f"{t}.mlp.fc2.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.gamma"] = rng.uniform(0.01, 0.1, dim).astype(np.float32)
+        sd["head.norm.weight"] = np.ones(dim, np.float32)
+        sd["head.norm.bias"] = np.zeros(dim, np.float32)
+
+        params, _ = convert_convnext_state_dict(sd, depths=(1,))
+        blk_params = params["ConvNeXtBlock_0"]
+
+        x = rng.normal(size=(2, dim, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            tx = torch.tensor(x)
+            y = F.conv2d(tx, torch.tensor(sd[f"{t}.conv_dw.weight"]),
+                         torch.tensor(sd[f"{t}.conv_dw.bias"]), padding=3, groups=dim)
+            y = y.permute(0, 2, 3, 1)
+            y = F.layer_norm(y, (dim,), torch.tensor(sd[f"{t}.norm.weight"]),
+                             torch.tensor(sd[f"{t}.norm.bias"]), eps=1e-6)
+            y = F.linear(y, torch.tensor(sd[f"{t}.mlp.fc1.weight"]), torch.tensor(sd[f"{t}.mlp.fc1.bias"]))
+            y = F.gelu(y)
+            y = F.linear(y, torch.tensor(sd[f"{t}.mlp.fc2.weight"]), torch.tensor(sd[f"{t}.mlp.fc2.bias"]))
+            y = y * torch.tensor(sd[f"{t}.gamma"])
+            ref = (tx.permute(0, 2, 3, 1) + y).numpy()
+
+        blk = ConvNeXtBlock(dim, dtype=jnp.float32)
+        ours = blk.apply({"params": blk_params}, jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), False)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+    def test_full_tree_structure(self):
+        from nkbx.models.convert import convert_torch_state_dict
+
+        rng = np.random.default_rng(12)
+        depths, dims = (3, 3, 9, 3), (96, 192, 384, 768)
+        sd = {}
+
+        def ln(name, c):
+            sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+            sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+
+        sd["stem.0.weight"] = rng.normal(size=(dims[0], 3, 4, 4)).astype(np.float32)
+        sd["stem.0.bias"] = rng.normal(size=dims[0]).astype(np.float32)
+        ln("stem.1", dims[0])
+        for s, (depth, dim) in enumerate(zip(depths, dims)):
+            if s > 0:
+                ln(f"stages.{s}.downsample.0", dims[s - 1])
+                sd[f"stages.{s}.downsample.1.weight"] = rng.normal(size=(dim, dims[s - 1], 2, 2)).astype(np.float32)
+                sd[f"stages.{s}.downsample.1.bias"] = rng.normal(size=dim).astype(np.float32)
+            for b in range(depth):
+                t = f"stages.{s}.blocks.{b}"
+                sd[f"{t}.conv_dw.weight"] = rng.normal(size=(dim, 1, 7, 7)).astype(np.float32)
+                sd[f"{t}.conv_dw.bias"] = rng.normal(size=dim).astype(np.float32)
+                ln(f"{t}.norm", dim)
+                sd[f"{t}.mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32)
+                sd[f"{t}.mlp.fc1.bias"] = rng.normal(size=4 * dim).astype(np.float32)
+                sd[f"{t}.mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32)
+                sd[f"{t}.mlp.fc2.bias"] = rng.normal(size=dim).astype(np.float32)
+                sd[f"{t}.gamma"] = rng.normal(size=dim).astype(np.float32)
+        ln("norm", dims[-1])  # old-style head norm name
+
+        out = convert_torch_state_dict("convnext_tiny", sd)
+        model = get_model({"task": "single", "model": "convnext_tiny", "pretrained": False},
+                          ["a", "b"], input_size=(32, 32), dtype=jnp.float32)
+        assert (jax.tree_util.tree_structure(model.params["backbone"]) ==
+                jax.tree_util.tree_structure(out["params"]))
