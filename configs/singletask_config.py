@@ -153,6 +153,10 @@ optimizer = {
 
 n_epochs = 5
 
+# export best/last .nkbx serving bundles at the end of training (the
+# reference's per-epoch TorchScript analog; orbax checkpoints cover resume)
+export_serving = False
+
 lr_policy = {
     "type": "cosine",  # step / multistep / cosine (stepped once per epoch)
     "n_epochs": n_epochs,

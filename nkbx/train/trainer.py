@@ -106,4 +106,23 @@ def train(
         save_model_msgpack(model_path / "last.msgpack", variables)
 
     model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if getattr(cfg, "export_serving", False):
+        # reference train.py re-scripts TorchScript every epoch (train.py:66-73);
+        # nkbx exports the final serving bundle once at the end (the per-epoch
+        # orbax checkpoints already cover resume/warm-start)
+        from nkbx.export import export_model
+
+        h, w = train_loader._out_hw or (224, 224)
+        bs = val_loader.batch_size
+        try:
+            from nkbx.train.checkpoint import load_model_variables
+
+            best_vars = load_model_variables(model_path / "best", model.variables)
+            best_model = type(model)(model.module, best_vars, model.classes, model.task, model.emb_size)
+            export_model(best_model, (bs, h, w, 3), model_path / "best.nkbx")
+        except FileNotFoundError:
+            pass
+        export_model(model, (bs, h, w, 3), model_path / "last.nkbx")
+
     return state

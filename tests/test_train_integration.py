@@ -139,3 +139,29 @@ class TestTrainEndToEnd:
         assert epoch == 2  # 3 epochs -> last saved at epoch index 2
         assert int(restored.step) == int(state.step)
         assert 0.0 <= best <= 1.0
+
+
+class TestExportServingFlag:
+    def test_training_exports_bundles(self, image_folder_dataset, tmp_path):
+        import jax.numpy as jnp
+
+        from nkbx.data import get_dataset
+        from nkbx.export import TPUServingModule
+        from nkbx.logging import get_local_experiment
+        from nkbx.models import get_model
+        from nkbx.train import get_loss, train
+
+        cfg = _cfg(image_folder_dataset, tmp_path, n_epochs=1)
+        cfg.export_serving = True
+        train_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
+        cfg.val_data = {**cfg.val_data, "classes": train_loader.dataset.classes}
+        val_loader = get_dataset(cfg.val_data, cfg.val_pipeline)
+        model = get_model(cfg.model, train_loader.dataset.classes, input_size=(32, 32),
+                          dtype=jnp.float32)
+        local_exp = get_local_experiment(cfg.experiment["local"])
+        train(model, train_loader, val_loader, get_loss(cfg.criterion), None, local_exp, cfg)
+        assert (local_exp.path / "weights" / "last.nkbx").exists()
+        assert (local_exp.path / "weights" / "best.nkbx").exists()
+        serving = TPUServingModule(local_exp.path / "weights" / "last.nkbx")
+        out = serving(np.zeros((2, 32, 32, 3), np.float32))
+        assert np.asarray(out).shape == (2, 2)
