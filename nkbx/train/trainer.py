@@ -107,22 +107,36 @@ def train(
 
     model.variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    if getattr(cfg, "export_serving", False):
+    if getattr(cfg, "export_serving", False) and jax.process_index() == 0:
         # reference train.py re-scripts TorchScript every epoch (train.py:66-73);
         # nkbx exports the final serving bundle once at the end (the per-epoch
-        # orbax checkpoints already cover resume/warm-start)
+        # orbax checkpoints already cover resume/warm-start). Only process 0
+        # writes: export_model's plain file write is not multi-host-coordinated.
         from nkbx.export import export_model
+        from nkbx.models.classifier import ClassificationModel
+        from nkbx.train.checkpoint import load_model_variables
 
-        h, w = train_loader._out_hw or (224, 224)
+        # export at the VAL/inference spatial size: H,W are static in the
+        # exported program (only the batch dim is symbolic)
+        size = val_loader._out_hw
+        if size is None:
+            raise ValueError(
+                "export_serving requires a val pipeline with a static output "
+                "size (the exported program has static H, W)"
+            )
+        h, w = size
         bs = val_loader.batch_size
-        try:
-            from nkbx.train.checkpoint import load_model_variables
-
+        if (model_path / "best").is_dir():
             best_vars = load_model_variables(model_path / "best", model.variables)
-            best_model = type(model)(model.module, best_vars, model.classes, model.task, model.emb_size)
+            best_model = ClassificationModel(
+                model.module, best_vars, model.classes, model.task, model.emb_size
+            )
             export_model(best_model, (bs, h, w, 3), model_path / "best.nkbx")
-        except FileNotFoundError:
-            pass
+        else:
+            import warnings
+
+            warnings.warn("export_serving: no best/ checkpoint in this run dir; "
+                          "skipping best.nkbx")
         export_model(model, (bs, h, w, 3), model_path / "last.nkbx")
 
     return state
