@@ -119,6 +119,14 @@ class DataLoader:
 
     def _local_indices(self, epoch: int) -> np.ndarray:
         idx = self.sampler.indices(epoch)
+        if self.process_count > 1:
+            # every host must run the SAME number of jitted (collective) steps:
+            # pad the global permutation to a multiple of process_count by
+            # wrapping, so the strided per-host slices have equal length
+            # (the few wrapped duplicates land in the final masked batch)
+            rem = len(idx) % self.process_count
+            if rem:
+                idx = np.concatenate([idx, idx[: self.process_count - rem]])
         return idx[self.process_index::self.process_count]
 
     def __len__(self):

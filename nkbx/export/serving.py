@@ -38,7 +38,13 @@ class TPUServingModule:
         self.classes = self.metadata.get("classes")
         self.task = self.metadata.get("task", "single")
         max_batch = int(self.metadata.get("batch", 32)) or 32
-        self.buckets = sorted(buckets) if buckets else default_buckets(max_batch)
+        dim0 = self._exported.in_avals[0].shape[0]
+        if isinstance(dim0, int):
+            # fixed-batch export (--dynamic none): the program accepts exactly
+            # one batch size — pad/chunk everything to it
+            self.buckets = [dim0]
+        else:
+            self.buckets = sorted(buckets) if buckets else default_buckets(max_batch)
         self.device = device or jax.devices()[0]
         self._call = jax.jit(self._exported.call)
 

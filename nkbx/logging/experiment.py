@@ -50,7 +50,9 @@ class LocalExperiment:
         if isinstance(value, Sequence) and not isinstance(value, str):
             value = np.mean(value)
         self.metrics.loc[epoch, name] = value
-        self.metrics.loc[:, "Epoch"] = range(len(self.metrics))
+        # Epoch = the row's actual epoch index (the reference writes
+        # range(len(df)), logging.py:32, which mislabels resumed runs)
+        self.metrics.loc[:, "Epoch"] = self.metrics.index
         self.metrics = sort_df_columns_titled(self.metrics)
         self.metrics.to_csv(self.path / "metrics.csv", index=False, sep="\t")
 

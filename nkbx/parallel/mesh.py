@@ -57,8 +57,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (pytree of arrays) onto the mesh, split along ``data``."""
+    """Place a host batch (pytree of arrays) onto the mesh, split along ``data``.
+
+    Single-host: a plain sharded device_put. Multi-host: each process's local
+    batch is its SHARD of the global batch (the loaders read disjoint strided
+    slices of one permutation), so the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — device_put with a global
+    sharding would wrongly treat every host's (different) local batch as the
+    same global array.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

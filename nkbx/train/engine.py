@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from nkbx.train.optim import OptimizerBundle, mask_frozen_grads, scale_updates
+from nkbx.train.optim import (
+    OptimizerBundle,
+    apply_coupled_wd,
+    mask_frozen_grads,
+    scale_updates,
+)
 from nkbx.train.state import TrainState
 
 
@@ -76,6 +81,7 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         (loss, (preds, new_bs, loss_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        grads = apply_coupled_wd(grads, state.params, bundle.coupled_wds)
         grads = mask_frozen_grads(grads, freeze_scale)
         updates, new_opt_state = bundle.tx.update(grads, state.opt_state, state.params)
         updates = scale_updates(updates, state.params, bundle.lrs, lr_factor, freeze_scale)
@@ -154,6 +160,10 @@ class EpochCollector:
             self.epoch_images_example = np.asarray(images)
 
     def get_epoch_results(self):
+        # ONE bulk D2H transfer for the whole epoch's accumulated metrics:
+        # per-batch float()/np.asarray() fetches cost a full round trip each
+        # (~120 ms on tunneled backends; see CLAUDE.md)
+        self._batches = jax.device_get(self._batches)
         if self.task == "multi":
             running_loss = defaultdict(list)
             confidences = defaultdict(list)

@@ -41,23 +41,36 @@ class OptimizerBundle(NamedTuple):
     tx: optax.GradientTransformation  # unit-lr direction transform
     lrs: dict  # {"backbone": lr, "classifier": lr}
     labels_fn: Callable  # params -> label pytree ("backbone"/"classifier")
+    coupled_wds: dict = {"backbone": 0.0, "classifier": 0.0}  # grad-coupled wd per group
+
+
+_COUPLED_WD = {"adam", "radam", "sparse_adam", "sgd"}
 
 
 def _direction(kind: str, wd: float) -> optax.GradientTransformation:
-    """Unit-lr update direction with torch-compatible wd coupling."""
+    """Unit-lr update direction.
+
+    Coupled weight decay (adam/radam/sgd: wd*p added to the gradient) is NOT in
+    this chain — it is applied explicitly to the gradients in the train step
+    via :func:`apply_coupled_wd` BEFORE the freeze mask, so that frozen params
+    feed zero into the moments (an in-chain ``add_decayed_weights`` would keep
+    injecting wd*p during a freeze, converging Adam moments to the decay
+    direction and causing full-magnitude sign(p) steps at unfreeze).
+    Decoupled wd (nadam) stays in the chain after the moments, where the
+    downstream lr*freeze scaling already gates it.
+    """
     kind = kind.lower()
-    if kind == "adam":
-        return optax.chain(optax.add_decayed_weights(wd), optax.scale_by_adam())
+    if kind in ("adam", "sparse_adam"):
+        # sparse_adam: TPU/XLA has no sparse gradients; dense adam is the
+        # faithful equivalent
+        return optax.scale_by_adam()
     if kind == "radam":
-        return optax.chain(optax.add_decayed_weights(wd), optax.scale_by_radam())
+        return optax.scale_by_radam()
     if kind == "nadam":
         # nesterov adam + decoupled weight decay (scaled by lr downstream)
         return optax.chain(optax.scale_by_adam(nesterov=True), optax.add_decayed_weights(wd))
-    if kind == "sparse_adam":
-        # TPU/XLA has no sparse gradients; dense adam is the faithful equivalent
-        return optax.chain(optax.add_decayed_weights(wd), optax.scale_by_adam())
     if kind == "sgd":
-        return optax.chain(optax.add_decayed_weights(wd), optax.identity())
+        return optax.identity()
     raise NotImplementedError(f"Unknown optimizer in config: {kind}")
 
 
@@ -78,10 +91,15 @@ def get_optimizer(params, cfg_optimizer: dict) -> OptimizerBundle:
         },
         param_labels,
     )
+    coupled = kind.lower() in _COUPLED_WD
     return OptimizerBundle(
         tx=tx,
         lrs={"backbone": float(backbone_lr), "classifier": float(classifier_lr)},
         labels_fn=param_labels,
+        coupled_wds={
+            "backbone": float(backbone_wd) if coupled else 0.0,
+            "classifier": float(classifier_wd) if coupled else 0.0,
+        },
     )
 
 
@@ -106,6 +124,21 @@ def mask_frozen_grads(grads, freeze_scale):
     labels = param_labels(grads)
     return jax.tree_util.tree_map(
         lambda g, lab: g * (freeze_scale if lab == "backbone" else 1.0), grads, labels
+    )
+
+
+def apply_coupled_wd(grads, params, coupled_wds: dict):
+    """torch-style coupled weight decay: grad += wd_group * param.
+
+    Applied BEFORE :func:`mask_frozen_grads`, so frozen params contribute zero
+    to the optimizer moments (matching torch, where frozen params are skipped
+    entirely).
+    """
+    if not any(coupled_wds.values()):
+        return grads
+    labels = param_labels(grads)
+    return jax.tree_util.tree_map(
+        lambda g, p, lab: g + coupled_wds[lab] * p, grads, params, labels
     )
 
 

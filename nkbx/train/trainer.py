@@ -90,6 +90,16 @@ def train(
         train_results["metrics"] = compute_metrics(cfg, train_results)
         val_results["metrics"] = compute_metrics(cfg, val_results)
         epoch_val_acc = val_results["metrics"]["epoch_acc"]
+        if jax.process_count() > 1:
+            # each host evaluates only its val shard; the best-checkpoint
+            # decision gates a cross-process Orbax collective, so every host
+            # must agree — use host 0's accuracy (logged CSV metrics remain
+            # per-shard; global metric aggregation is a documented extension)
+            from jax.experimental import multihost_utils
+
+            epoch_val_acc = float(
+                multihost_utils.broadcast_one_to_all(jnp.asarray(epoch_val_acc, jnp.float32))
+            )
         train_logger.log_epoch(epoch, train_results, val_results)
         if "throughput" in train_results:  # SURVEY.md §5.1 perf counters
             local_experiment.log_metric(

@@ -80,3 +80,20 @@ class TestExportRoundTrip:
         serving = TPUServingModule(bundle[0], buckets=[4])
         stats = serving.benchmark(batch_size=4, iters=5)
         assert stats["p50_ms"] > 0 and stats["images_per_sec"] > 0
+
+
+class TestFixedBatchExport:
+    def test_dynamic_none_bundle_serves_any_batch(self, tiny_model, tmp_path):
+        """--dynamic none exports a fixed-batch program; serving must pad/chunk
+        to that exact size instead of using power-of-2 buckets."""
+        from nkbx.export import TPUServingModule, export_model
+
+        out = tmp_path / "fixed.nkbx"
+        export_model(tiny_model, (4, 32, 32, 3), out, dynamic_batch=False)
+        serving = TPUServingModule(out)
+        assert serving.buckets == [4]
+        x = np.random.default_rng(0).normal(size=(3, 32, 32, 3)).astype(np.float32)
+        assert np.asarray(serving(x)).shape == (3, 3)  # padded to 4
+        x10 = np.random.default_rng(1).normal(size=(10, 32, 32, 3)).astype(np.float32)
+        assert np.asarray(serving(x10)).shape == (10, 3)  # chunked
+        serving.warm_up()  # must not crash on bucket sizes the program rejects

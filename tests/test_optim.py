@@ -10,6 +10,7 @@ import pytest
 import torch
 
 from nkbx.train.optim import (
+    apply_coupled_wd,
     backbone_state_factor,
     get_optimizer,
     get_scheduler,
@@ -52,7 +53,8 @@ def _nkbx_steps(cfg, params, grads, n_steps, lr_factor=1.0, freeze_scale=1.0):
     bundle = get_optimizer(params, cfg)
     opt_state = bundle.tx.init(params)
     for _ in range(n_steps):
-        g = mask_frozen_grads(grads, freeze_scale)
+        g = apply_coupled_wd(grads, params, bundle.coupled_wds)
+        g = mask_frozen_grads(g, freeze_scale)
         updates, opt_state = bundle.tx.update(g, opt_state, params)
         updates = scale_updates(updates, params, bundle.lrs,
                                 jnp.asarray(lr_factor), jnp.asarray(freeze_scale))
@@ -103,6 +105,23 @@ class TestOptimizerParity:
             np.asarray(params["backbone"]["Conv_0"]["kernel"]))
         assert not np.allclose(np.asarray(out["head"]["kernel"]),
                                np.asarray(params["head"]["kernel"]))
+
+    def test_frozen_coupled_wd_leaves_moments_zero(self):
+        """During a freeze, coupled wd must NOT leak into Adam moments
+        (otherwise unfreeze starts with full-magnitude sign(p) decay steps)."""
+        params, grads = _fake_params(), _fake_grads()
+        bundle = get_optimizer(params, {"type": "adam", "lr": 1e-2, "weight_decay": 0.1})
+        opt_state = bundle.tx.init(params)
+        for _ in range(3):
+            g = apply_coupled_wd(grads, params, bundle.coupled_wds)
+            g = mask_frozen_grads(g, 0.0)
+            updates, opt_state = bundle.tx.update(g, opt_state, params)
+            updates = scale_updates(updates, params, bundle.lrs,
+                                    jnp.asarray(1.0), jnp.asarray(0.0))
+            params = optax.apply_updates(params, updates)
+        adam_state = opt_state.inner_states["backbone"].inner_state
+        mu = jax.tree_util.tree_leaves(adam_state.mu["backbone"])
+        assert mu and all(float(np.abs(np.asarray(m)).max()) == 0.0 for m in mu)
 
     def test_unknown_type_raises(self):
         with pytest.raises(NotImplementedError):
