@@ -82,6 +82,14 @@ class ConvBN(nn.Module):
         return x
 
 
+def make_divisible(v, divisor=8):
+    """Channel rounding shared by the mobile families (timm convention)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 def global_avg_pool(x):
     return jnp.mean(x, axis=(1, 2))
 

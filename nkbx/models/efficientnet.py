@@ -13,7 +13,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nkbx.models.common import ConvBN, SqueezeExcite, global_avg_pool
+from nkbx.models.common import ConvBN, SqueezeExcite, global_avg_pool, make_divisible
 
 # (expand_ratio, kernel, stride, repeats, out_channels)
 _B0_SPEC: Sequence[Tuple[int, int, int, int, int]] = (
@@ -28,11 +28,7 @@ _B0_SPEC: Sequence[Tuple[int, int, int, int, int]] = (
 
 
 def _round_channels(c, width_mult, divisor=8):
-    c *= width_mult
-    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
-    if new_c < 0.9 * c:
-        new_c += divisor
-    return int(new_c)
+    return int(make_divisible(c * width_mult, divisor))
 
 
 def _round_repeats(r, depth_mult):

@@ -10,7 +10,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nkbx.models.common import ConvBN, SqueezeExcite, global_avg_pool, hard_swish
+from nkbx.models.common import ConvBN, SqueezeExcite, global_avg_pool, hard_swish, make_divisible
 
 # (kernel, exp_size, out, use_se, activation, stride)
 _LARGE_SPEC: Sequence[Tuple[int, int, int, bool, str, int]] = (
@@ -50,13 +50,6 @@ def _act(name):
     return hard_swish if name == "hs" else nn.relu
 
 
-def _make_divisible(v, divisor=8):
-    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
-    if new_v < 0.9 * v:
-        new_v += divisor
-    return new_v
-
-
 class InvertedResidual(nn.Module):
     kernel: int
     exp_size: int
@@ -75,7 +68,7 @@ class InvertedResidual(nn.Module):
             y = ConvBN(self.exp_size, 1, 1, act=act, dtype=self.dtype)(y, train)
         y = ConvBN(self.exp_size, self.kernel, self.strides, groups=self.exp_size, act=act, dtype=self.dtype)(y, train)
         if self.use_se:
-            y = SqueezeExcite(_make_divisible(self.exp_size // 4), dtype=self.dtype)(y)
+            y = SqueezeExcite(make_divisible(self.exp_size // 4), dtype=self.dtype)(y)
         y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train)
         if self.strides == 1 and inp == self.out:
             y = y + x
@@ -97,12 +90,12 @@ class MobileNetV3(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         wm = self.width_mult
-        x = ConvBN(_make_divisible(16 * wm), 3, 2, act=hard_swish, dtype=self.dtype)(x, train)
+        x = ConvBN(make_divisible(16 * wm), 3, 2, act=hard_swish, dtype=self.dtype)(x, train)
         for k, e, o, se, a, s in self.spec:
             x = InvertedResidual(
-                k, _make_divisible(e * wm), _make_divisible(o * wm), se, a, s, dtype=self.dtype
+                k, make_divisible(e * wm), make_divisible(o * wm), se, a, s, dtype=self.dtype
             )(x, train)
-        x = ConvBN(_make_divisible(self.last_conv * wm), 1, 1, act=hard_swish, dtype=self.dtype)(x, train)
+        x = ConvBN(make_divisible(self.last_conv * wm), 1, 1, act=hard_swish, dtype=self.dtype)(x, train)
         x = global_avg_pool(x)
         x = nn.Dense(self.head_features, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = hard_swish(x)

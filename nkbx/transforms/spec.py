@@ -204,10 +204,17 @@ class MotionBlur(Transform):
     p: float = 0.5
     stage = DEVICE
 
+    def __post_init__(self):
+        if not self.ksizes():
+            raise ValueError(
+                f"MotionBlur(blur_limit={self.blur_limit!r}) contains no odd "
+                "kernel size >= 3"
+            )
+
     def ksizes(self):
         lim = self.blur_limit
         lo, hi = (3, lim) if isinstance(lim, int) else lim
-        return [k for k in range(lo, hi + 1) if k % 2 == 1]
+        return [k for k in range(lo, hi + 1) if k % 2 == 1 and k >= 3]
 
 
 @dataclasses.dataclass
@@ -299,8 +306,18 @@ class Compose:
                     f"Host-stage transform {type(t).__name__} appears after a device-stage "
                     "transform; geometry must come before random photometric ops."
                 )
+        # Normalize is applied LAST by the device stage; random ops after it
+        # would silently run in normalized space — reject that ordering
+        seen_norm = False
+        for t in self.device_transforms:
+            if isinstance(t, Normalize):
+                seen_norm = True
+            elif seen_norm and t.stage == DEVICE:
+                raise ValueError(
+                    f"{type(t).__name__} appears after Normalize; the fused device "
+                    "stage applies Normalize last, so put random ops before it."
+                )
         self._device_fn = None
-        self._normalize = any(isinstance(t, Normalize) for t in self.device_transforms)
 
     # -- host stage ---------------------------------------------------------
 

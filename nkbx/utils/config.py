@@ -13,6 +13,7 @@ reference's typo'd precision key (``enable_mixed_presicion``).
 
 from __future__ import annotations
 
+import hashlib
 import importlib.util
 import sys
 import types
@@ -68,10 +69,19 @@ class Config:
         raise AttributeError(f"Config has no attribute {name!r}")
 
     def __contains__(self, name):
-        return name in self._ns or name in _DEFAULTS
+        """True only for keys the USER set (defaults are reachable via
+        attribute access / get, but presence checks must distinguish)."""
+        return name in self._ns
 
-    def get(self, name, default=None):
-        return self._ns.get(name, _DEFAULTS.get(name, default))
+    _MISSING = object()
+
+    def get(self, name, default=_MISSING):
+        """User value > caller's explicit default > framework default."""
+        if name in self._ns:
+            return self._ns[name]
+        if default is not Config._MISSING:
+            return default
+        return _DEFAULTS.get(name)
 
     def __setattr__(self, name, value):
         if name == "_ns":
@@ -98,10 +108,13 @@ def load_config(path) -> Config:
     parent = str(path.parent.resolve())
     if parent not in sys.path:
         sys.path.append(parent)
-    spec = importlib.util.spec_from_file_location(path.stem, path)
+    # unique module name per file, so two configs sharing a stem (or a stem
+    # colliding with an installed module) never alias each other in sys.modules
+    digest = hashlib.md5(str(path.resolve()).encode()).hexdigest()[:8]
+    mod_name = f"nkbx_cfg_{path.stem}_{digest}"
+    spec = importlib.util.spec_from_file_location(mod_name, path)
     module = importlib.util.module_from_spec(spec)
-    # register so dataclasses/pickling inside configs resolve
-    sys.modules.setdefault(path.stem, module)
+    sys.modules[mod_name] = module  # dataclasses/pickling inside configs resolve
     spec.loader.exec_module(module)
     return Config(module)
 

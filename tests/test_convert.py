@@ -146,7 +146,8 @@ class TestResNetConversion:
 def _synthetic_mbv3_large_sd(rng):
     """timm mobilenetv3_large_100 state_dict layout with correct shapes,
     derived from the same spec table as the nkbx model."""
-    from nkbx.models.mobilenetv3 import _LARGE_SPEC, _make_divisible
+    from nkbx.models.mobilenetv3 import _LARGE_SPEC
+    from nkbx.models.common import make_divisible as _make_divisible
 
     sd = {}
 

@@ -192,3 +192,54 @@ class TestWeatherOps:
         out = np.asarray(pipe.device_apply(self._gray(100, hw=48), jax.random.PRNGKey(2)))
         assert abs(np.median(out) - 70) < 3  # darkened background
         assert (out > 150).sum() > 0  # bright streaks exist
+
+
+class TestReviewFixes:
+    def test_crop_pads_small_inputs(self):
+        out = T.Compose([T.CenterCrop(64, 64)]).host_apply(_img(40, 100))
+        assert out.shape == (64, 64, 3)
+        out = T.Compose([T.RandomCrop(64, 64)]).host_apply(_img(40, 30))
+        assert out.shape == (64, 64, 3)
+        assert T.Compose([T.RandomCrop(64, 64)]).output_size() == (64, 64)
+
+    def test_bare_pad_if_needed_not_static(self):
+        assert T.Compose([T.PadIfNeeded(128, 128)]).output_size() is None
+        assert T.Compose([T.LongestMaxSize(64), T.PadIfNeeded(128, 128)]).output_size() == (128, 128)
+        assert T.Compose([T.SmallestMaxSize(64), T.PadIfNeeded(128, 128)]).output_size() is None
+
+    def test_pad_border_reflect(self):
+        img = _img(4, 8)
+        out = T.Compose([T.PadIfNeeded(8, 8, border_mode=4)]).host_apply(img)
+        assert out.shape == (8, 8, 3)
+        np.testing.assert_array_equal(out[2:6, :], img)
+        np.testing.assert_array_equal(out[1], img[1])  # reflect101 above
+
+    def test_random_op_after_normalize_rejected(self):
+        with pytest.raises(ValueError, match="after Normalize"):
+            T.Compose([T.Normalize(), T.HorizontalFlip(p=0.5)])
+
+    def test_motion_blur_validation(self):
+        with pytest.raises(ValueError, match="MotionBlur"):
+            T.MotionBlur(blur_limit=(4, 4))
+
+
+class TestConfigSemantics:
+    def test_get_explicit_default_wins_over_framework_default(self):
+        from nkbx.utils.config import Config
+
+        c = Config({})
+        assert c.get("mesh", {"data": 8}) == {"data": 8}
+        assert c.get("mesh") is None  # framework default
+        assert "mesh" not in c  # presence = user set
+        c2 = Config({"mesh": {"data": 2}})
+        assert "mesh" in c2 and c2.get("mesh", {"data": 8}) == {"data": 2}
+
+    def test_load_config_same_stem_no_alias(self, tmp_path):
+        from nkbx.utils.config import load_config
+
+        (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
+        (tmp_path / "a" / "config.py").write_text("value = 'A'\n")
+        (tmp_path / "b" / "config.py").write_text("value = 'B'\n")
+        ca = load_config(tmp_path / "a" / "config.py")
+        cb = load_config(tmp_path / "b" / "config.py")
+        assert ca.value == "A" and cb.value == "B"
