@@ -102,3 +102,36 @@ class TestMultitask:
     def test_get_loss_unknown_raises(self):
         with pytest.raises(NotImplementedError):
             get_loss({"task": "single", "type": "HingeLoss"})
+
+
+class TestBitCompatVsReferenceFocal:
+    """Run the REFERENCE's own FocalLoss (losses.py, imported from
+    /root/reference — torch is available) against nkbx focal_loss."""
+
+    @pytest.fixture(scope="class")
+    def ref_losses(self):
+        import sys
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            from nkb_classification import losses as ref_losses
+        except ImportError:
+            pytest.skip("reference repo not mounted")
+        return ref_losses
+
+    @pytest.mark.parametrize("seed,c,gamma", [(0, 5, 2.0), (1, 3, 1.5), (2, 2, 0.0)])
+    def test_focal_identical(self, ref_losses, seed, c, gamma):
+        logits, labels = _logits_labels(n=24, c=c, seed=seed)
+        theirs = ref_losses.FocalLoss(gamma=gamma)(torch.tensor(logits), torch.tensor(labels))
+        ours = focal_loss(jnp.asarray(logits), jnp.asarray(labels), gamma=gamma)
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4)
+
+    def test_focal_alpha_ignore_identical(self, ref_losses):
+        logits, labels = _logits_labels(n=20, c=4, seed=3)
+        labels[::4] = -100
+        alpha = np.array([0.1, 0.4, 0.2, 0.3], dtype=np.float32)
+        theirs = ref_losses.FocalLoss(alpha=torch.tensor(alpha), gamma=2.0)(
+            torch.tensor(logits), torch.tensor(labels))
+        ours = focal_loss(jnp.asarray(logits), jnp.asarray(labels), alpha=alpha, gamma=2.0)
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4)

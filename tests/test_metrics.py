@@ -80,3 +80,71 @@ class TestComputeMetrics:
     def test_unknown_task_raises(self):
         with pytest.raises(ValueError):
             compute_metrics(Config({"task": "triple"}), _results())
+
+
+class TestBitCompatVsReference:
+    """Run the REFERENCE's own metrics.py (pure numpy+sklearn, imported from
+    /root/reference) against nkbx.metrics on identical inputs — the
+    BASELINE.json bit-compatibility requirement, tested literally."""
+
+    @pytest.fixture(scope="class")
+    def reference_metrics(self):
+        import sys
+
+        ref_root = "/root/reference"
+        if ref_root not in sys.path:
+            sys.path.insert(0, ref_root)
+        try:
+            from nkb_classification import metrics as ref_metrics
+        except ImportError:
+            pytest.skip("reference repo not mounted")
+        return ref_metrics
+
+    @pytest.mark.parametrize("seed,c", [(0, 3), (1, 2), (2, 5), (3, 7)])
+    def test_single_task_identical(self, reference_metrics, seed, c):
+        res = _results(n=80, c=c, seed=seed)
+        ours = compute_targetwise_metrics(res)
+        import warnings as W
+
+        with W.catch_warnings():
+            W.simplefilter("ignore")
+            theirs = reference_metrics.compute_targetwise_metrics(res)
+        assert ours["epoch_acc"] == theirs["epoch_acc"]
+        np.testing.assert_array_equal(
+            np.asarray(ours["epoch_roc_auc"], dtype=float),
+            np.asarray(theirs["epoch_roc_auc"], dtype=float))
+        assert ours["epoch_loss"] == theirs["epoch_loss"]
+
+    def test_absent_class_nan_identical(self, reference_metrics):
+        res = _results(n=60, c=4, seed=5)
+        res["ground_truth"] = [g if g != 3 else 0 for g in res["ground_truth"]]
+        import warnings as W
+
+        with W.catch_warnings():
+            W.simplefilter("ignore")
+            ours = compute_targetwise_metrics(dict(res))
+            theirs = reference_metrics.compute_targetwise_metrics(dict(res))
+        np.testing.assert_array_equal(
+            np.isnan(np.asarray(ours["epoch_roc_auc"], float)),
+            np.isnan(np.asarray(theirs["epoch_roc_auc"], float)))
+        a, b = np.asarray(ours["epoch_roc_auc"], float), np.asarray(theirs["epoch_roc_auc"], float)
+        np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+    def test_multi_task_identical(self, reference_metrics):
+        from types import SimpleNamespace
+
+        res = {
+            "running_loss": {"a": [0.1, 0.2], "b": [0.3], "loss": [0.4, 0.5]},
+            "confidences": {"a": _results(seed=6)["confidences"], "b": _results(seed=7, c=2)["confidences"]},
+            "predictions": {"a": _results(seed=6)["predictions"], "b": _results(seed=7, c=2)["predictions"]},
+            "ground_truth": {"a": _results(seed=6)["ground_truth"], "b": _results(seed=7, c=2)["ground_truth"]},
+        }
+        cfg = SimpleNamespace(task="multi", target_names=["a", "b"])
+        ours = compute_metrics(cfg, res)
+        theirs = reference_metrics.compute_metrics(cfg, res)
+        assert ours["epoch_acc"] == theirs["epoch_acc"]
+        assert ours["a"]["epoch_acc"] == theirs["a"]["epoch_acc"]
+        np.testing.assert_array_equal(
+            np.asarray(ours["a"]["epoch_roc_auc"], float),
+            np.asarray(theirs["a"]["epoch_roc_auc"], float))
+        assert ours["loss"] == theirs["loss"]
