@@ -231,7 +231,10 @@ class AnnotatedYOLODataset:
         image_dirs = [base / self.yaml_data["path"] / p for p in folds]
 
         if len(image_dirs) == 1 and "download" in self.yaml_data and not image_dirs[0].is_dir():
-            self._download(self.yaml_data["download"], self.yaml_data["path"])
+            # extract under the SAME base-prefixed root the scan uses (the
+            # reference extracts to the bare yaml 'path' and then scans a
+            # different dir when image_base_dir is set)
+            self._download(self.yaml_data["download"], base / self.yaml_data["path"])
 
         img_paths = self.scan_img_files(image_dirs)
 

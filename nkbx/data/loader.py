@@ -121,22 +121,35 @@ class DataLoader:
         idx = self.sampler.indices(epoch)
         if self.process_count > 1:
             # every host must run the SAME number of jitted (collective) steps:
-            # pad the global permutation to a multiple of process_count by
-            # wrapping, so the strided per-host slices have equal length
-            # (the few wrapped duplicates land in the final masked batch)
+            # pad the global permutation to a multiple of process_count with -1
+            # sentinels (masked out in _assemble — NOT duplicate samples, which
+            # would be double-counted in loss/metrics)
             rem = len(idx) % self.process_count
             if rem:
-                idx = np.concatenate([idx, idx[: self.process_count - rem]])
+                pad = np.full(self.process_count - rem, -1, dtype=idx.dtype)
+                idx = np.concatenate([idx, pad])
         return idx[self.process_index::self.process_count]
 
+    def _n_local(self) -> int:
+        n = len(self.sampler)
+        if self.process_count > 1:
+            n = -(-n // self.process_count)  # ceil: sentinel-padded split
+        return n
+
     def __len__(self):
-        n = len(self._local_indices(0))
+        # arithmetic, NOT a sampler draw (weighted sampling over millions of
+        # rows would re-run the multinomial on every len() call)
+        n = self._n_local()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     # -- batch assembly --------------------------------------------------------
 
     def _assemble(self, indices: np.ndarray, epoch: int):
         bs = self.batch_size
+        # -1 indices are multi-host sentinel padding (masked, not decoded);
+        # they only ever appear as a suffix of the final chunk
+        indices = np.asarray(indices)
+        indices = indices[indices >= 0]
         n_valid = len(indices)
         h, w = self._out_hw if self._out_hw else (None, None)
         images = np.zeros((bs, h, w, 3), dtype=np.uint8) if h else [None] * bs
@@ -168,6 +181,13 @@ class DataLoader:
 
         mask = np.zeros(bs, dtype=bool)
         mask[:n_valid] = True
+        if n_valid == 0:
+            # all-sentinel chunk (multi-host tail): emit a fully masked batch so
+            # every host still dispatches the same number of collective steps
+            if hasattr(self.dataset, "target_names"):  # multi-task label struct
+                labels_slot[0] = {t: 0 for t in self.dataset.target_names}
+            else:
+                labels_slot[0] = 0
         first = labels_slot[0]
         if isinstance(first, dict):
             targets = sorted(first.keys())

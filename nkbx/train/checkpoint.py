@@ -34,12 +34,34 @@ def _to_save(state, epoch: int, best_val_acc: float):
     }
 
 
+def _sync(tag: str):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(path, state, epoch: int, best_val_acc: float = 0.0):
+    """Crash-safe save: write to <path>.tmp, then atomically swap into place.
+
+    The previous checkpoint stays intact until the new one is fully written
+    (a preemption mid-save must never destroy the only resumable state). On
+    multi-host runs, Orbax coordinates the save itself; the directory swap is
+    done by process 0 between global barriers.
+    """
     path = Path(path).resolve()
-    if path.exists():
-        shutil.rmtree(path)
+    tmp = path.with_name(path.name + ".tmp")
+    if jax.process_index() == 0 and tmp.exists():
+        shutil.rmtree(tmp)
+    _sync("nkbx_ckpt_pre")
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_save(state, epoch, best_val_acc))
+        ckptr.save(tmp, _to_save(state, epoch, best_val_acc))
+    _sync("nkbx_ckpt_post")
+    if jax.process_index() == 0:
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+    _sync("nkbx_ckpt_done")
 
 
 def restore_train_state(path, state_template, epoch: int = 0):

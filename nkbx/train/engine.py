@@ -159,10 +159,22 @@ class EpochCollector:
         if self.epoch_images_example is None:
             self.epoch_images_example = np.asarray(images)
 
+    @staticmethod
+    def _local_view(x):
+        """Host-fetchable view: multi-host global arrays span non-addressable
+        devices, so take this process's shards (its own rows of the batch)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.concatenate([np.asarray(s.data) for s in x.addressable_shards])
+        return x
+
     def get_epoch_results(self):
         # ONE bulk D2H transfer for the whole epoch's accumulated metrics:
         # per-batch float()/np.asarray() fetches cost a full round trip each
-        # (~120 ms on tunneled backends; see CLAUDE.md)
+        # (~120 ms on tunneled backends; see CLAUDE.md). On multi-host runs the
+        # per-sample arrays are global: fetch only the local shards (metrics
+        # are per-host; cross-host aggregation is a documented extension).
+        if jax.process_count() > 1:
+            self._batches = jax.tree_util.tree_map(self._local_view, self._batches)
         self._batches = jax.device_get(self._batches)
         if self.task == "multi":
             running_loss = defaultdict(list)
@@ -242,11 +254,13 @@ def train_epoch(
 
     from nkbx.core import Throughput
 
-    logger = epoch_logger if epoch_logger is not None else EpochCollector()
+    task = getattr(cfg, "task", "single") if cfg is not None else "single"
+    logger = epoch_logger if epoch_logger is not None else EpochCollector(task)
     logger.init_iter_logs()
     lr_f = jnp.asarray(lr_factor, jnp.float32)
     fz = jnp.asarray(freeze_scale, jnp.float32)
-    tp = Throughput(n_chips=_jax.device_count())
+    # per-chip rate from LOCAL images over LOCAL chips (each host feeds its own)
+    tp = Throughput(n_chips=_jax.local_device_count())
 
     it = train_loader.epoch(epoch)
     if progress:
@@ -254,18 +268,29 @@ def train_epoch(
 
         it = tqdm(it, leave=False, desc="Training", total=len(train_loader))
     show_full = bool(getattr(cfg, "show_full_current_loss_in_terminal", False)) if cfg else False
-    task_multi = bool(cfg and getattr(cfg, "task", "single") == "multi")
+    task_multi = task == "multi"
     first = True
+    step_i = 0
     prev_metrics = None
     for batch in it:
         dev = _put_batch(batch, mesh)
         state, metrics = train_step(state, dev["image"], dev["label"], dev["mask"], key, lr_f, fz)
         logger.log_iter(metrics)
         tp.step(int(batch["mask"].sum()))
-        if progress and prev_metrics is not None:
-            # show the PREVIOUS step's loss: it is already materialized, so the
-            # readout never blocks the dispatch pipeline (the reference syncs
-            # every iteration, engine.py:53 + logging.py:261-281)
+        if not bool(batch["mask"].all()) and not getattr(train_epoch, "_warned_partial", False):
+            import warnings
+
+            warnings.warn(
+                "Partial (padded) batch in TRAIN mode: BatchNorm batch statistics "
+                "include the zero padding rows. Use drop_last=True for training "
+                "with BN backbones (the reference configs do)."
+            )
+            train_epoch._warned_partial = True
+        if progress and prev_metrics is not None and step_i % 10 == 0:
+            # show the PREVIOUS step's loss (already materialized) and only
+            # every 10 steps: each float() is a ~120 ms D2H round trip on
+            # tunneled backends (the reference syncs EVERY iteration,
+            # engine.py:53 + logging.py:261-281)
             if task_multi and show_full:
                 it.set_postfix_str(", ".join(
                     f"loss {k}: {float(v['loss']):.4f}" for k, v in prev_metrics.items()
@@ -274,6 +299,7 @@ def train_epoch(
             else:
                 it.set_postfix_str(f"Loss: {float(prev_metrics['loss']):.4f}")
         prev_metrics = metrics
+        step_i += 1
         if first:
             logger.log_images_if_needed(batch["image"])
             # sync once after the compiling step: queueing dispatches behind an
@@ -299,8 +325,9 @@ def val_epoch(
     epoch_logger: Optional[EpochCollector] = None,
     mesh=None,
     progress: bool = True,
+    task: str = "single",
 ):
-    logger = epoch_logger if epoch_logger is not None else EpochCollector()
+    logger = epoch_logger if epoch_logger is not None else EpochCollector(task)
     logger.init_iter_logs()
     it = val_loader.epoch(epoch)
     if progress:

@@ -108,12 +108,15 @@ def train(
             )
 
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        is_proc0 = jax.process_index() == 0  # plain file writes are not multi-host-coordinated
         if epoch_val_acc is not None and epoch_val_acc > best_val_acc:
             best_val_acc = epoch_val_acc
             save_checkpoint(model_path / "best", state, epoch, best_val_acc)
-            save_model_msgpack(model_path / "best.msgpack", variables)
+            if is_proc0:
+                save_model_msgpack(model_path / "best.msgpack", variables)
         save_checkpoint(model_path / "last", state, epoch, best_val_acc)
-        save_model_msgpack(model_path / "last.msgpack", variables)
+        if is_proc0:
+            save_model_msgpack(model_path / "last.msgpack", variables)
 
     model.variables = {"params": state.params, "batch_stats": state.batch_stats}
 
