@@ -27,21 +27,11 @@ def inference(model, loader, classes, save_path, cfg):
         columns = target_names.copy()
     columns.append("path")
 
+    from nkbx.train.engine import build_predict_fn
+
     augment = loader.pipeline.device_apply if loader.pipeline else None
     rows = []
-    import jax
-
-    if getattr(model, "serving", None) is not None:
-        # exported bundle: the serving module jits internally (bucketed), so
-        # only the augment stage runs here
-        def forward(variables, image):
-            x = augment(image, jax.random.PRNGKey(0), False) if augment is not None else image
-            return model.serving.forward(np.asarray(x))
-    else:
-        @jax.jit
-        def forward(variables, image):
-            x = augment(image, jax.random.PRNGKey(0), False) if augment is not None else image
-            return model.module.apply(variables, x, train=False)
+    forward = build_predict_fn(model, augment_fn=augment)
 
     for batch in tqdm(loader.epoch(0), leave=False, desc="Inference", total=len(loader)):
         preds = forward(model.variables, jnp.asarray(batch["image"]))

@@ -57,15 +57,21 @@ class ConvBN(nn.Module):
     act: Callable | None = nn.relu
     dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
-    padding: Any = "SAME"
+    padding: Any = None  # None -> torch-style symmetric k//2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # torch/timm pad symmetrically by k//2; flax 'SAME' is ASYMMETRIC for
+        # stride-2 convs on even inputs (e.g. (2,3) instead of (3,3) for the
+        # 7x7/s2 stem at 224px), which shifts every tap window and breaks
+        # converted pretrained weights
+        k = self.kernel_size
+        padding = self.padding if self.padding is not None else ((k // 2, k // 2), (k // 2, k // 2))
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
-            padding=self.padding,
+            padding=padding,
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,

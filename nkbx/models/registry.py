@@ -58,7 +58,8 @@ def create_backbone(name: str, pretrained: bool = False, drop_rate: float = 0.0,
     (the reference's ``emb_size``, model.py:79,83).
     """
     if name.lower().startswith("unicom"):
-        variant = name.split(maxsplit=1)[1]
+        parts = name.split(maxsplit=1)
+        variant = parts[1] if len(parts) > 1 else ""
         if variant not in _UNICOM:
             raise NotImplementedError(f"Unknown unicom variant {variant!r}; have {sorted(_UNICOM)}")
         ctor = _UNICOM[variant]

@@ -103,6 +103,26 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def build_predict_fn(model, augment_fn=None):
+    """(variables, image_u8) -> logits, dispatching to the serving bundle or
+    the jitted module (shared by inference.py and build_eval_step)."""
+    if getattr(model, "serving", None) is not None:
+        def predict(variables, image):
+            x = augment_fn(image, jax.random.PRNGKey(0), False) if augment_fn is not None else image
+            return model.serving.forward(np.asarray(x))
+
+        return predict
+
+    module = model.module
+
+    @jax.jit
+    def predict(variables, image):
+        x = augment_fn(image, jax.random.PRNGKey(0), False) if augment_fn is not None else image
+        return module.apply(variables, x, train=False)
+
+    return predict
+
+
 def build_eval_step(model, criterion, augment_fn=None):
     """Returns jitted (state, image_u8, label, mask) -> metrics (no grads)."""
     module = model.module
@@ -110,9 +130,10 @@ def build_eval_step(model, criterion, augment_fn=None):
     if getattr(model, "serving", None) is not None:
         # exported .nkbx bundle: the serving module jits internally (bucketed
         # dynamic batch), so only augmentation + loss run here
+        predict = build_predict_fn(model, augment_fn)
+
         def eval_step_serving(state: TrainState, image, label, mask):
-            x = augment_fn(image, jax.random.PRNGKey(0), False) if augment_fn is not None else image
-            preds = model.serving.forward(np.asarray(x))
+            preds = predict(None, image)
             loss_out = criterion(preds, label, mask=mask)
             return _iter_metrics(preds, label, mask, loss_out)
 

@@ -33,7 +33,7 @@ def main():
 
     mean = np.array([0.0, 0.0, 0.0])
     std = np.array([1.0, 1.0, 1.0])
-    maxv = 255.0
+    maxv = 1.0  # without Normalize the device stage already emits 0..255
     for t in pipe.device_transforms:
         if isinstance(t, Normalize):
             mean, std = np.asarray(t.mean), np.asarray(t.std)

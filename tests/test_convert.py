@@ -86,7 +86,7 @@ class TestResNetConversion:
         import torch.nn.functional as F
 
         sd, out, model, variables = converted
-        x = np.random.default_rng(1).normal(size=(2, 3, 33, 33)).astype(np.float32)
+        x = np.random.default_rng(1).normal(size=(2, 3, 34, 34)).astype(np.float32)
 
         # torch stem: conv7x7 s2 pad3 -> bn(eval) -> relu
         with torch.no_grad():
