@@ -217,3 +217,49 @@ class TestYOLO:
 
         ds = AnnotatedYOLODataset(annotations_file=str(yolo_dataset), fold="train", min_box_size=50)
         assert len(ds) == 0  # 32x40 crops all filtered
+
+
+class TestMultiHostSentinels:
+    def test_equal_batch_counts_and_no_duplicates(self, image_folder_dataset):
+        """Hosts get equal step counts via -1 sentinels, never duplicate samples."""
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")  # 24 samples
+        all_valid = []
+        counts = []
+        for pi in range(5):  # 24 % 5 != 0 -> sentinel padding kicks in
+            loader = DataLoader(ds, pipeline=PIPE, batch_size=4, num_workers=1,
+                                process_index=pi, process_count=5)
+            batches = list(loader.epoch(0))
+            counts.append(len(batches))
+            assert len(batches) == len(loader)  # arithmetic __len__ agrees
+            for b in batches:
+                all_valid.extend(np.asarray(b["label"])[b["mask"]].tolist())
+        assert len(set(counts)) == 1  # lockstep
+        assert len(all_valid) == 24  # every sample exactly once, no duplicates
+
+    def test_all_sentinel_chunk_emits_masked_batch(self, image_folder_dataset):
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")
+        loader = DataLoader(ds, pipeline=PIPE, batch_size=5, num_workers=1,
+                            process_index=4, process_count=5)
+        batches = list(loader.epoch(0))
+        total_valid = sum(int(b["mask"].sum()) for b in batches)
+        assert total_valid == 4  # 24 samples over 5 hosts: last host gets 4
+        assert all(b["image"].shape == (5, 32, 32, 3) for b in batches)
+
+
+class TestCheckpointCrashSafety:
+    def test_previous_checkpoint_survives_tmp_write(self, tmp_path):
+        import jax.numpy as jnp
+
+        from nkbx.train import TrainState, get_optimizer, restore_train_state, save_checkpoint
+
+        params = {"backbone": {"k": jnp.ones((4, 4))}, "head": {"k": jnp.zeros(4)}}
+        bundle = get_optimizer(params, {"type": "sgd", "lr": 0.1})
+        state = TrainState.create(params, {}, bundle.tx)
+        path = tmp_path / "last"
+        save_checkpoint(path, state, epoch=0, best_val_acc=0.5)
+        assert path.is_dir() and not (tmp_path / "last.tmp").exists()
+        # overwrite with a new epoch: old dir must be swapped, not pre-deleted
+        save_checkpoint(path, state.replace(step=state.step + 1), epoch=1, best_val_acc=0.7)
+        restored, epoch, best = restore_train_state(path, state)
+        assert epoch == 1 and best == 0.7 and int(restored.step) == 1
+        assert not (tmp_path / "last.tmp").exists()
