@@ -1,13 +1,15 @@
 """Epoch metrics: balanced accuracy + per-class one-vs-rest ROC-AUC.
 
-Bit-compatible with reference metrics.py:7-70 — literally the same sklearn calls
-on the same accumulated per-sample values, including the NaN / class-absence
-semantics:
+Bit-compatible with reference metrics.py:7-70 — the BASELINE requirement is
+that eval numbers match the torch reference exactly, so the sklearn calls and
+their NaN / class-absence semantics are reproduced one-for-one (and asserted
+against the reference's own module in tests/test_metrics.py):
 
-- multiclass (n_classes > 2): per-class OvR ROC-AUC on the binarized ground
-  truth; classes absent from GT stay NaN (with a warning);
-- binary: ROC-AUC on confidences[:, 1]; NaN if only one class in GT;
-- ``epoch_loss`` = mean of per-iteration losses.
+- multiclass (n_classes > 2): per-class OvR ROC-AUC on label-binarized ground
+  truth, NaN for classes absent from the ground truth (warning emitted);
+- binary: single ROC-AUC on the positive-class column, NaN if the ground truth
+  is single-class;
+- ``epoch_loss``: mean of the accumulated per-iteration losses.
 """
 
 from __future__ import annotations
@@ -16,64 +18,68 @@ import warnings
 
 import numpy as np
 
+_GT_WARNING = (
+    "\nNumber of classes in ground truth is less than number of classes "
+    "in predicted confidences.\nSome of ROC AUC metric values will be NaN\n"
+)
 
-def compute_targetwise_metrics(epoch_results, target_name=None):
-    if target_name is None:
-        running_loss = epoch_results["running_loss"]
-        confidences = epoch_results["confidences"]
-        predictions = epoch_results["predictions"]
-        ground_truth = epoch_results["ground_truth"]
-    else:
-        running_loss = epoch_results["running_loss"][target_name]
-        confidences = epoch_results["confidences"][target_name]
-        predictions = epoch_results["predictions"][target_name]
-        ground_truth = epoch_results["ground_truth"][target_name]
 
-    from sklearn.metrics import balanced_accuracy_score, roc_auc_score
+def _roc_auc(ground_truth, confidences: np.ndarray):
+    """Reference ROC-AUC semantics (metrics.py:20-42): per-class OvR vector for
+    multiclass, scalar for binary; NaN where the ground truth lacks a class."""
+    from sklearn.metrics import roc_auc_score
     from sklearn.preprocessing import label_binarize
 
-    confidences = np.array(confidences)
     n_classes = confidences.shape[1]
-    gt_classes = np.unique(ground_truth)
-    gt_n_classes = len(gt_classes)
-    if gt_n_classes < n_classes:
-        warnings.warn(
-            "\nNumber of classes in ground truth is less than number of classes "
-            "in predicted confidences.\nSome of ROC AUC metric values will be NaN\n"
-        )
+    present = np.unique(ground_truth)
+    if len(present) < n_classes:
+        warnings.warn(_GT_WARNING)
 
-    epoch_acc = balanced_accuracy_score(ground_truth, predictions)
+    if n_classes <= 2:
+        if len(present) < 2:
+            return np.nan
+        return roc_auc_score(ground_truth, confidences[:, 1])
 
-    if n_classes > 2:
-        epoch_roc_auc = np.full(n_classes, np.nan)
-        if gt_n_classes > 1:
-            gt_bin = label_binarize(ground_truth, classes=range(n_classes))
-            for gt_class in gt_classes:
-                epoch_roc_auc[gt_class] = roc_auc_score(gt_bin[:, gt_class], confidences[:, gt_class])
-    else:
-        epoch_roc_auc = np.nan
-        if gt_n_classes > 1:
-            epoch_roc_auc = roc_auc_score(ground_truth, confidences[:, 1])
+    per_class = np.full(n_classes, np.nan)
+    if len(present) > 1:
+        onehot = label_binarize(ground_truth, classes=range(n_classes))
+        for cls in present:
+            per_class[cls] = roc_auc_score(onehot[:, cls], confidences[:, cls])
+    return per_class
 
+
+def compute_targetwise_metrics(epoch_results, target_name=None):
+    """Metrics for one target from accumulated per-sample epoch results."""
+    from sklearn.metrics import balanced_accuracy_score
+
+    def pick(key):
+        v = epoch_results[key]
+        return v if target_name is None else v[target_name]
+
+    confidences = np.array(pick("confidences"))
+    ground_truth = pick("ground_truth")
     return {
-        "epoch_acc": epoch_acc,
-        "epoch_roc_auc": epoch_roc_auc,
-        "epoch_loss": np.mean(running_loss),
+        "epoch_acc": balanced_accuracy_score(ground_truth, pick("predictions")),
+        "epoch_roc_auc": _roc_auc(ground_truth, confidences),
+        "epoch_loss": np.mean(pick("running_loss")),
     }
 
 
 def compute_metrics(cfg, epoch_results: dict):
-    """Single task -> one metric dict; multi -> per-target dicts + mean epoch_acc
-    (reference metrics.py:54-70)."""
+    """Single task -> one metric dict; multi -> per-target dicts + mean
+    balanced accuracy (reference metrics.py:54-70)."""
     task = cfg.task if hasattr(cfg, "task") else cfg["task"]
+
     if task == "single":
-        metrics = compute_targetwise_metrics(epoch_results)
-        metrics["loss"] = epoch_results["running_loss"]
-        return metrics
+        out = compute_targetwise_metrics(epoch_results)
+        out["loss"] = epoch_results["running_loss"]
+        return out
+
     if task == "multi":
-        target_names = cfg.target_names if hasattr(cfg, "target_names") else cfg["target_names"]
-        metrics = {t: compute_targetwise_metrics(epoch_results, t) for t in target_names}
-        metrics["loss"] = epoch_results["running_loss"]["loss"]
-        metrics["epoch_acc"] = np.mean([metrics[t]["epoch_acc"] for t in target_names])
-        return metrics
+        targets = cfg.target_names if hasattr(cfg, "target_names") else cfg["target_names"]
+        out = {t: compute_targetwise_metrics(epoch_results, t) for t in targets}
+        out["loss"] = epoch_results["running_loss"]["loss"]
+        out["epoch_acc"] = np.mean([out[t]["epoch_acc"] for t in targets])
+        return out
+
     raise ValueError(f"Unknown task type {task} for metric computation")
