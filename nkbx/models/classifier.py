@@ -35,8 +35,8 @@ class SingletaskClassifier(nn.Module):
     classifier_initialization: str = "kaiming_normal_"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        emb = self.backbone(x, train=train)
+    def __call__(self, x, train: bool = False, mask=None):
+        emb = self.backbone(x, train=train, mask=mask)
         emb = nn.Dropout(self.classifier_dropout)(emb, deterministic=not train)
         logits = nn.Dense(
             self.n_classes,
@@ -56,8 +56,8 @@ class MultitaskClassifier(nn.Module):
     classifier_initialization: str = "kaiming_normal_"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        emb = self.backbone(x, train=train)
+    def __call__(self, x, train: bool = False, mask=None):
+        emb = self.backbone(x, train=train, mask=mask)
         emb = nn.Dropout(self.classifier_dropout)(emb, deterministic=not train)
         out = {}
         for target_name in sorted(self.classes):

@@ -48,7 +48,14 @@ INIT_STRATEGIES: dict[str, Callable] = {
 
 
 class ConvBN(nn.Module):
-    """Conv + BatchNorm + optional activation, NHWC."""
+    """Conv + BatchNorm + optional activation, NHWC.
+
+    ``mask`` (optional, shape ``(B, 1, 1, 1)`` bool) weights padded batch rows
+    out of the BatchNorm batch statistics: with ``drop_last=False`` the loader
+    pads the final batch with zero rows, and unmasked stats would be
+    contaminated by them (the reference avoids the issue only because its
+    shipped configs set ``drop_last=True``).
+    """
 
     features: int
     kernel_size: int = 3
@@ -60,7 +67,7 @@ class ConvBN(nn.Module):
     padding: Any = None  # None -> torch-style symmetric k//2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         # torch/timm pad symmetrically by k//2; flax 'SAME' is ASYMMETRIC for
         # stride-2 convs on even inputs (e.g. (2,3) instead of (3,3) for the
         # 7x7/s2 stem at 224px), which shifts every tap window and breaks
@@ -82,7 +89,7 @@ class ConvBN(nn.Module):
             momentum=self.bn_momentum,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+        )(x, mask=mask if train else None)
         if self.act is not None:
             x = self.act(x)
         return x

@@ -45,7 +45,7 @@ class ConvNeXt(nn.Module):
         return self.dims[-1]
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):  # mask unused: no batch statistics
         # patchify stem: 4x4 conv stride 4 + LN
         x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)

@@ -44,15 +44,15 @@ class MBConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         inp = x.shape[-1]
         mid = inp * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = ConvBN(mid, 1, 1, act=nn.swish, dtype=self.dtype)(y, train)
-        y = ConvBN(mid, self.kernel, self.strides, groups=mid, act=nn.swish, dtype=self.dtype)(y, train)
+            y = ConvBN(mid, 1, 1, act=nn.swish, dtype=self.dtype)(y, train, mask)
+        y = ConvBN(mid, self.kernel, self.strides, groups=mid, act=nn.swish, dtype=self.dtype)(y, train, mask)
         y = SqueezeExcite(max(1, int(inp * self.se_ratio)), gate=nn.sigmoid, dtype=self.dtype)(y)
-        y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train)
+        y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
         if self.strides == 1 and inp == self.out:
             y = y + x
         return y
@@ -69,13 +69,13 @@ class EfficientNet(nn.Module):
         return _round_channels(1280, self.width_mult)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = ConvBN(_round_channels(32, self.width_mult), 3, 2, act=nn.swish, dtype=self.dtype)(x, train)
+    def __call__(self, x, train: bool = False, mask=None):
+        x = ConvBN(_round_channels(32, self.width_mult), 3, 2, act=nn.swish, dtype=self.dtype)(x, train, mask)
         for expand, kernel, stride, repeats, out in _B0_SPEC:
             out_c = _round_channels(out, self.width_mult)
             for i in range(_round_repeats(repeats, self.depth_mult)):
-                x = MBConv(expand, kernel, stride if i == 0 else 1, out_c, dtype=self.dtype)(x, train)
-        x = ConvBN(self.num_features, 1, 1, act=nn.swish, dtype=self.dtype)(x, train)
+                x = MBConv(expand, kernel, stride if i == 0 else 1, out_c, dtype=self.dtype)(x, train, mask)
+        x = ConvBN(self.num_features, 1, 1, act=nn.swish, dtype=self.dtype)(x, train, mask)
         x = global_avg_pool(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)

@@ -60,16 +60,16 @@ class InvertedResidual(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         act = _act(self.act_name)
         inp = x.shape[-1]
         y = x
         if self.exp_size != inp:
-            y = ConvBN(self.exp_size, 1, 1, act=act, dtype=self.dtype)(y, train)
-        y = ConvBN(self.exp_size, self.kernel, self.strides, groups=self.exp_size, act=act, dtype=self.dtype)(y, train)
+            y = ConvBN(self.exp_size, 1, 1, act=act, dtype=self.dtype)(y, train, mask)
+        y = ConvBN(self.exp_size, self.kernel, self.strides, groups=self.exp_size, act=act, dtype=self.dtype)(y, train, mask)
         if self.use_se:
             y = SqueezeExcite(make_divisible(self.exp_size // 4), dtype=self.dtype)(y)
-        y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train)
+        y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
         if self.strides == 1 and inp == self.out:
             y = y + x
         return y
@@ -88,14 +88,14 @@ class MobileNetV3(nn.Module):
         return self.head_features
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         wm = self.width_mult
-        x = ConvBN(make_divisible(16 * wm), 3, 2, act=hard_swish, dtype=self.dtype)(x, train)
+        x = ConvBN(make_divisible(16 * wm), 3, 2, act=hard_swish, dtype=self.dtype)(x, train, mask)
         for k, e, o, se, a, s in self.spec:
             x = InvertedResidual(
                 k, make_divisible(e * wm), make_divisible(o * wm), se, a, s, dtype=self.dtype
-            )(x, train)
-        x = ConvBN(make_divisible(self.last_conv * wm), 1, 1, act=hard_swish, dtype=self.dtype)(x, train)
+            )(x, train, mask)
+        x = ConvBN(make_divisible(self.last_conv * wm), 1, 1, act=hard_swish, dtype=self.dtype)(x, train, mask)
         x = global_avg_pool(x)
         x = nn.Dense(self.head_features, dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = hard_swish(x)

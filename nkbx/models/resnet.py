@@ -24,12 +24,12 @@ class BasicBlock(nn.Module):
     expansion = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         residual = x
-        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype)(x, train)
-        y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype)(y, train)
+        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype)(x, train, mask)
+        y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype)(y, train, mask)
         if residual.shape != y.shape:
-            residual = ConvBN(self.features, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train)
+            residual = ConvBN(self.features, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train, mask)
         return nn.relu(y + residual)
 
 
@@ -40,14 +40,14 @@ class Bottleneck(nn.Module):
     expansion = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         residual = x
         out = self.features * self.expansion
-        y = ConvBN(self.features, 1, 1, dtype=self.dtype)(x, train)
-        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype)(y, train)
-        y = ConvBN(out, 1, 1, act=None, dtype=self.dtype)(y, train)
+        y = ConvBN(self.features, 1, 1, dtype=self.dtype)(x, train, mask)
+        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype)(y, train, mask)
+        y = ConvBN(out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
         if residual.shape != y.shape:
-            residual = ConvBN(out, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train)
+            residual = ConvBN(out, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train, mask)
         return nn.relu(y + residual)
 
 
@@ -64,21 +64,21 @@ class ResNet(nn.Module):
         return 64 * (2 ** (len(self.stage_sizes) - 1)) * self.block_cls.expansion
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         if self.stem == "tiered":
             # timm tiered stem: three 3x3 convs, (3*w//4, w, w*2) channels
             w = self.stem_width
-            x = ConvBN(3 * w // 4, 3, 2, dtype=self.dtype)(x, train)
-            x = ConvBN(w, 3, 1, dtype=self.dtype)(x, train)
-            x = ConvBN(2 * w, 3, 1, dtype=self.dtype)(x, train)
+            x = ConvBN(3 * w // 4, 3, 2, dtype=self.dtype)(x, train, mask)
+            x = ConvBN(w, 3, 1, dtype=self.dtype)(x, train, mask)
+            x = ConvBN(2 * w, 3, 1, dtype=self.dtype)(x, train, mask)
         else:
-            x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype)(x, train)
+            x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = 64 * (2**stage)
             for block in range(n_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = self.block_cls(features, strides, dtype=self.dtype)(x, train)
+                x = self.block_cls(features, strides, dtype=self.dtype)(x, train, mask)
         x = global_avg_pool(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)

@@ -61,7 +61,7 @@ class ViT(nn.Module):
         return self.projection_dim if self.projection_dim else self.dim
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):  # mask unused: no batch statistics
         b, h, w, _ = x.shape
         x = nn.Conv(
             self.dim,

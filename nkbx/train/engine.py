@@ -57,22 +57,30 @@ def _iter_metrics(preds, label, mask, loss_out):
 
 
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
-                     log_gradients: bool = False):
+                     log_gradients: bool = False, masked_bn: bool = False):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
-    -> (state, metrics)."""
+    -> (state, metrics).
+
+    ``masked_bn=True`` weights padded batch rows out of BatchNorm batch
+    statistics (use when the loader may pad, i.e. ``drop_last=False``): the
+    per-channel mean/var then equal the stats over only the valid rows, so a
+    partial final batch trains exactly like a smaller batch would.
+    """
     module = model.module
 
     def train_step(state: TrainState, image, label, mask, key, lr_factor, freeze_scale):
         step_key = jax.random.fold_in(key, state.step)
         aug_key, drop_key = jax.random.split(step_key)
         x = augment_fn(image, aug_key, True) if augment_fn is not None else image
+        bn_mask = mask.reshape((-1,) + (1,) * (x.ndim - 1)) if masked_bn else None
 
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             preds, mutated = module.apply(
-                variables, x, train=True, rngs={"dropout": drop_key}, mutable=["batch_stats"]
+                variables, x, train=True, mask=bn_mask,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"],
             )
             loss_out = criterion(preds, label, mask=mask)
             scalar = loss_out["loss"] if isinstance(loss_out, dict) else loss_out
@@ -100,7 +108,12 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
             }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    try:
+        jitted.masked_bn = masked_bn  # introspected by train_epoch's padding check
+    except AttributeError:
+        pass
+    return jitted
 
 
 def build_predict_fn(model, augment_fn=None):
@@ -180,22 +193,27 @@ class EpochCollector:
         if self.epoch_images_example is None:
             self.epoch_images_example = np.asarray(images)
 
-    @staticmethod
-    def _local_view(x):
-        """Host-fetchable view: multi-host global arrays span non-addressable
-        devices, so take this process's shards (its own rows of the batch)."""
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            return np.concatenate([np.asarray(s.data) for s in x.addressable_shards])
-        return x
-
     def get_epoch_results(self):
         # ONE bulk D2H transfer for the whole epoch's accumulated metrics:
         # per-batch float()/np.asarray() fetches cost a full round trip each
         # (~120 ms on tunneled backends; see CLAUDE.md). On multi-host runs the
-        # per-sample arrays are global: fetch only the local shards (metrics
-        # are per-host; cross-host aggregation is a documented extension).
+        # per-sample arrays are global (sharded across hosts): all-gather them
+        # so EVERY host computes exact full-set metrics — same values as a
+        # single-host run on the same data (reference metrics.py semantics;
+        # the arrays are tiny: predictions/GT are (B,), confidences (B, C)).
+        # Every host must reach this point in lockstep (the loader's sentinel
+        # padding guarantees the same step count per host).
         if jax.process_count() > 1:
-            self._batches = jax.tree_util.tree_map(self._local_view, self._batches)
+            from jax.experimental import multihost_utils
+
+            def gather(x):
+                # global sharded arrays (step outputs) -> full value on every
+                # host; host-local leaves (already per-host) pass through
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return multihost_utils.process_allgather(x, tiled=True)
+                return x
+
+            self._batches = jax.tree_util.tree_map(gather, self._batches)
         self._batches = jax.device_get(self._batches)
         if self.task == "multi":
             running_loss = defaultdict(list)
@@ -298,13 +316,18 @@ def train_epoch(
         state, metrics = train_step(state, dev["image"], dev["label"], dev["mask"], key, lr_f, fz)
         logger.log_iter(metrics)
         tp.step(int(batch["mask"].sum()))
-        if not bool(batch["mask"].all()) and not getattr(train_epoch, "_warned_partial", False):
+        if (
+            not bool(batch["mask"].all())
+            and not getattr(train_step, "masked_bn", False)
+            and not getattr(train_epoch, "_warned_partial", False)
+        ):
             import warnings
 
             warnings.warn(
-                "Partial (padded) batch in TRAIN mode: BatchNorm batch statistics "
-                "include the zero padding rows. Use drop_last=True for training "
-                "with BN backbones (the reference configs do)."
+                "Partial (padded) batch in TRAIN mode with an unmasked-BN train "
+                "step: BatchNorm batch statistics include the zero padding rows. "
+                "Build the step with masked_bn=True (the trainer does this "
+                "automatically when drop_last=False) or use drop_last=True."
             )
             train_epoch._warned_partial = True
         if progress and prev_metrics is not None and step_i % 10 == 0:

@@ -65,6 +65,8 @@ def train(
     train_step = build_train_step(
         model, criterion, bundle, augment_fn=augment_train,
         log_gradients=getattr(cfg, "log_gradients", False),
+        # padded final batches must not contaminate BN batch statistics
+        masked_bn=(not train_loader.drop_last) and bool(model.batch_stats),
     )
     eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
 
@@ -91,10 +93,12 @@ def train(
         val_results["metrics"] = compute_metrics(cfg, val_results)
         epoch_val_acc = val_results["metrics"]["epoch_acc"]
         if jax.process_count() > 1:
-            # each host evaluates only its val shard; the best-checkpoint
-            # decision gates a cross-process Orbax collective, so every host
-            # must agree — use host 0's accuracy (logged CSV metrics remain
-            # per-shard; global metric aggregation is a documented extension)
+            # metrics are GLOBAL on every host (EpochCollector all-gathers the
+            # per-sample arrays at epoch end), so each host computes the same
+            # exact full-set balanced accuracy. The best-checkpoint decision
+            # gates a cross-process Orbax collective, so keep a defensive
+            # broadcast of host 0's value to rule out any float drift
+            # desynchronizing the hosts.
             from jax.experimental import multihost_utils
 
             epoch_val_acc = float(
