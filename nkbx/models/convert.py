@@ -122,6 +122,7 @@ def convert_resnet_state_dict(state_dict, stage_sizes, tiered_stem=False):
 
 
 _RESNET_SPECS = {
+    "resnet_tiny_test": ((1, 1), False),  # tests-only tiny net (nkbx/models/resnet.py)
     "resnet14t": ((1, 1, 1, 1), True),
     "resnet18": ((2, 2, 2, 2), False),
     "resnet26": ((2, 2, 2, 2), False),
@@ -157,9 +158,13 @@ def convert_torch_state_dict(name: str, state_dict):
         depths, _dims = _CONVNEXT_SPECS[name]
         params, stats = convert_convnext_state_dict(state_dict, depths)
         return {"params": params, "batch_stats": stats}
+    if name in _UNICOM_SPECS:
+        dim, depth, n_heads = _UNICOM_SPECS[name]
+        params, stats = convert_unicom_state_dict(state_dict, dim, depth, n_heads)
+        return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
-        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS)})"
+        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS)})"
     )
 
 
@@ -250,27 +255,51 @@ _VIT_SPECS = {
     "vit_base_patch32_224": (768, 12, 12),
 }
 
+_UNICOM_SPECS = {
+    # unicom.load names (reference model.py:77): (dim, depth, n_heads)
+    "unicom ViT-B/32": (768, 12, 12),
+    "unicom ViT-B/16": (768, 12, 12),
+    "unicom ViT-L/14": (1024, 24, 16),
+}
+
+
+def _put_vit_block(params, sd, t, f, dim, n_heads):
+    """Map one torch transformer block (timm/unicom shared key layout:
+    norm1, attn.qkv fused, attn.proj, norm2, mlp.fc1/fc2) onto nkbx
+    TransformerBlock ``f``. flax attention kernels are (in, heads, head_dim) /
+    out (heads, head_dim, in); head ordering in the fused qkv rows is [q; k; v]
+    with out index h*head_dim + d (row-major heads-first), matching the flax
+    reshape."""
+    hd = dim // n_heads
+    for ln_t, ln_f in ((f"{t}.norm1", "LayerNorm_0"), (f"{t}.norm2", "LayerNorm_1")):
+        _set(params, (f, ln_f, "scale"), sd[f"{ln_t}.weight"])
+        _set(params, (f, ln_f, "bias"), sd[f"{ln_t}.bias"])
+    qkv_w = sd[f"{t}.attn.qkv.weight"]  # (3*dim, dim)
+    qkv_b = sd[f"{t}.attn.qkv.bias"]
+    for j, nm in enumerate(("query", "key", "value")):
+        w = qkv_w[j * dim:(j + 1) * dim]  # (dim_out, dim_in)
+        _set(params, (f, "MultiHeadDotProductAttention_0", nm, "kernel"),
+             np.transpose(w, (1, 0)).reshape(dim, n_heads, hd))
+        _set(params, (f, "MultiHeadDotProductAttention_0", nm, "bias"),
+             qkv_b[j * dim:(j + 1) * dim].reshape(n_heads, hd))
+    pw = sd[f"{t}.attn.proj.weight"]  # (dim, dim)
+    _set(params, (f, "MultiHeadDotProductAttention_0", "out", "kernel"),
+         np.transpose(pw, (1, 0)).reshape(n_heads, hd, dim))
+    _set(params, (f, "MultiHeadDotProductAttention_0", "out", "bias"),
+         sd[f"{t}.attn.proj.bias"])
+    for fc, dn in ((f"{t}.mlp.fc1", "Dense_0"), (f"{t}.mlp.fc2", "Dense_1")):
+        _set(params, (f, dn, "kernel"), np.transpose(sd[f"{fc}.weight"], (1, 0)))
+        _set(params, (f, dn, "bias"), sd[f"{fc}.bias"])
+
 
 def convert_vit_state_dict(state_dict, dim, depth, n_heads):
     """timm ViT state_dict -> (params, {}) for nkbx ViT.
 
     timm layout: cls_token, pos_embed, patch_embed.proj, blocks.{i}.{norm1,
     attn.qkv (fused 3D x D), attn.proj, norm2, mlp.fc1, mlp.fc2}, final norm.
-    flax attention kernels are (in, heads, head_dim) / out (heads, head_dim, in);
-    head ordering in timm's fused qkv rows is [q; k; v] with out index
-    h*head_dim + d (row-major heads-first), matching the flax reshape.
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    hd = dim // n_heads
     params: dict = {}
-
-    def put_ln(t, path):
-        _set(params, path + ("scale",), sd[f"{t}.weight"])
-        _set(params, path + ("bias",), sd[f"{t}.bias"])
-
-    def put_dense(t, path):
-        _set(params, path + ("kernel",), np.transpose(sd[f"{t}.weight"], (1, 0)))
-        _set(params, path + ("bias",), sd[f"{t}.bias"])
 
     _set(params, ("cls_token",), sd["cls_token"])
     _set(params, ("pos_embed",), sd["pos_embed"])
@@ -278,28 +307,50 @@ def convert_vit_state_dict(state_dict, dim, depth, n_heads):
     _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
 
     for i in range(depth):
-        t = f"blocks.{i}"
-        f = f"TransformerBlock_{i}"
-        put_ln(f"{t}.norm1", (f, "LayerNorm_0"))
-        put_ln(f"{t}.norm2", (f, "LayerNorm_1"))
-        qkv_w = sd[f"{t}.attn.qkv.weight"]  # (3*dim, dim)
-        qkv_b = sd[f"{t}.attn.qkv.bias"]
-        for j, nm in enumerate(("query", "key", "value")):
-            w = qkv_w[j * dim:(j + 1) * dim]  # (dim_out, dim_in)
-            _set(params, (f, "MultiHeadDotProductAttention_0", nm, "kernel"),
-                 np.transpose(w, (1, 0)).reshape(dim, n_heads, hd))
-            _set(params, (f, "MultiHeadDotProductAttention_0", nm, "bias"),
-                 qkv_b[j * dim:(j + 1) * dim].reshape(n_heads, hd))
-        pw = sd[f"{t}.attn.proj.weight"]  # (dim, dim)
-        _set(params, (f, "MultiHeadDotProductAttention_0", "out", "kernel"),
-             np.transpose(pw, (1, 0)).reshape(n_heads, hd, dim))
-        _set(params, (f, "MultiHeadDotProductAttention_0", "out", "bias"),
-             sd[f"{t}.attn.proj.bias"])
-        put_dense(f"{t}.mlp.fc1", (f, "Dense_0"))
-        put_dense(f"{t}.mlp.fc2", (f, "Dense_1"))
+        _put_vit_block(params, sd, f"blocks.{i}", f"TransformerBlock_{i}", dim, n_heads)
 
-    put_ln("norm", ("LayerNorm_0",))
+    _set(params, ("LayerNorm_0", "scale"), sd["norm.weight"])
+    _set(params, ("LayerNorm_0", "bias"), sd["norm.bias"])
     return params, {}
+
+
+def convert_unicom_state_dict(state_dict, dim, depth, n_heads):
+    """deepglint/unicom VisionTransformer state_dict -> (params, batch_stats)
+    for nkbx UnicomViT (the reference's ``unicom.load`` backbone, reference
+    model.py:77-79).
+
+    unicom layout (vision_transformer.py of deepglint/unicom): pos_embed (no
+    cls token), patch_embed.proj, blocks.{i}.* (same block keys as timm), final
+    norm, and the metric-learning ``feature`` Sequential:
+    feature.0 = Linear(N*dim -> dim, no bias), feature.1 = BatchNorm1d(dim),
+    feature.2 = Linear(dim -> embedding, no bias), feature.3 = BatchNorm1d(emb)
+    (``feature[-2].out_features`` is the reference's emb_size).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    _set(params, ("pos_embed",), sd["pos_embed"])
+    _set(params, ("patch_embed", "kernel"), _conv_w(sd["patch_embed.proj.weight"]))
+    if "patch_embed.proj.bias" in sd:
+        _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    else:  # conv without bias: keep flax zeros
+        _set(params, ("patch_embed", "bias"), np.zeros(sd["patch_embed.proj.weight"].shape[0], np.float32))
+
+    for i in range(depth):
+        _put_vit_block(params, sd, f"blocks.{i}", f"TransformerBlock_{i}", dim, n_heads)
+
+    _set(params, ("norm", "scale"), sd["norm.weight"])
+    _set(params, ("norm", "bias"), sd["norm.bias"])
+
+    for fc, bn, f_fc, f_bn in (("feature.0", "feature.1", "feature_fc1", "feature_bn1"),
+                               ("feature.2", "feature.3", "feature_fc2", "feature_bn2")):
+        _set(params, (f_fc, "kernel"), np.transpose(sd[f"{fc}.weight"], (1, 0)))
+        _set(params, (f_bn, "scale"), sd[f"{bn}.weight"])
+        _set(params, (f_bn, "bias"), sd[f"{bn}.bias"])
+        _set(stats, (f_bn, "mean"), sd[f"{bn}.running_mean"])
+        _set(stats, (f_bn, "var"), sd[f"{bn}.running_var"])
+    return params, stats
 
 
 # ---------------------------------------------------------------------------
@@ -418,3 +469,109 @@ def convert_convnext_state_dict(state_dict, depths):
     head_norm = "head.norm" if "head.norm.weight" in sd else "norm"
     put_ln(head_norm, ("head_norm",))
     return params, {}
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m nkbx.models.convert --model resnet50 --weights r50.pth
+# ---------------------------------------------------------------------------
+
+
+def default_filename(name: str) -> str:
+    """Checkpoint filename for a backbone name (same rule as
+    nkbx.models.registry.pretrained_params_path)."""
+    return name.replace("/", "_").replace(" ", "_") + ".msgpack"
+
+
+def _load_torch_checkpoint(path):
+    """Load a torch checkpoint file into a flat {key: np.ndarray} state_dict.
+
+    Accepts a raw state_dict or a wrapper dict with 'state_dict'/'model' keys
+    (common timm/lightning layouts); strips 'module.' DataParallel prefixes.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    for key in ("state_dict", "model"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    if not isinstance(obj, dict):
+        raise ValueError(f"{path}: expected a state_dict, got {type(obj)}")
+    out = {}
+    for k, v in obj.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if hasattr(v, "numpy"):
+            v = v.float().numpy() if v.dtype.is_floating_point else v.numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def fetch_torch_state_dict(name: str):
+    """Fetch pretrained torch weights from timm/unicom when those packages (and
+    network access) are available — the reference's transparent-download path
+    (model.py:75-85). Raises ImportError when the source package is missing."""
+    if name.lower().startswith("unicom"):
+        import unicom  # noqa: F401  (optional dep)
+
+        model, _ = unicom.load(name.split(maxsplit=1)[1])
+        return {k: np.asarray(v.float().numpy()) for k, v in model.state_dict().items()}
+    import timm
+
+    model = timm.create_model(name, pretrained=True, num_classes=0)
+    return {k: np.asarray(v.float().numpy()) for k, v in model.state_dict().items()}
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(
+        description="Convert torch pretrained backbone weights to nkbx msgpack "
+                    "(loaded by model.pretrained=True via $NKBX_PRETRAINED_DIR)."
+    )
+    ap.add_argument("--model", required=True,
+                    help="backbone name, e.g. resnet50 or 'unicom ViT-B/32'")
+    ap.add_argument("--weights",
+                    help="torch checkpoint file (.pth/.pt/.bin). Omit to fetch "
+                         "via timm/unicom (requires those packages + network).")
+    ap.add_argument("--out",
+                    help="output .msgpack path (default: "
+                         "$NKBX_PRETRAINED_DIR/<name>.msgpack)")
+    args = ap.parse_args(argv)
+
+    if args.weights:
+        sd = _load_torch_checkpoint(args.weights)
+    else:
+        sd = fetch_torch_state_dict(args.model)
+
+    converted = convert_torch_state_dict(args.model, sd)
+
+    out = args.out
+    if not out:
+        d = os.environ.get("NKBX_PRETRAINED_DIR")
+        if not d:
+            raise SystemExit("--out not given and $NKBX_PRETRAINED_DIR not set")
+        os.makedirs(d, exist_ok=True)
+        out = os.path.join(d, default_filename(args.model))
+    save_params_msgpack(converted, out)
+    n = len(jax_tree_leaves(converted))
+    print(f"wrote {out} ({n} tensors)")
+    return out
+
+
+def jax_tree_leaves(tree):
+    leaves = []
+
+    def rec(node):
+        if isinstance(node, dict):
+            for v in node.values():
+                rec(v)
+        else:
+            leaves.append(node)
+
+    rec(tree)
+    return leaves
+
+
+if __name__ == "__main__":
+    main()

@@ -71,12 +71,42 @@ def create_backbone(name: str, pretrained: bool = False, drop_rate: float = 0.0,
         )
     module = ctor(drop_rate=drop_rate, dtype=dtype)
     if pretrained and not pretrained_params_path(name):
-        warnings.warn(
-            f"pretrained=True but no converted checkpoint for {name!r} under "
-            f"$NKBX_PRETRAINED_DIR — initializing randomly. Convert torch weights "
-            f"with nkbx.models.convert."
-        )
+        if not _fetch_and_convert(name):
+            warnings.warn(
+                f"pretrained=True but no converted checkpoint for {name!r} under "
+                f"$NKBX_PRETRAINED_DIR — initializing randomly. Convert torch "
+                f"weights with `python -m nkbx.models.convert --model {name!r} "
+                f"--weights <torch file>` (or install timm/unicom for "
+                f"transparent fetch)."
+            )
     return module
+
+
+def _fetch_and_convert(name: str):
+    """Transparent pretrained fetch (the reference's model.py:75-85 behavior):
+    when timm/unicom are installed and $NKBX_PRETRAINED_DIR is set, download
+    the torch weights, convert, and cache the msgpack. Returns the cached path
+    or None when the source package/network/dir is unavailable."""
+    d = os.environ.get("NKBX_PRETRAINED_DIR", "")
+    if not d:
+        return None
+    try:
+        from nkbx.models.convert import (
+            convert_torch_state_dict,
+            default_filename,
+            fetch_torch_state_dict,
+            save_params_msgpack,
+        )
+
+        sd = fetch_torch_state_dict(name)
+        converted = convert_torch_state_dict(name, sd)
+    except Exception as e:  # no timm/unicom, no network, unknown name...
+        warnings.warn(f"pretrained fetch for {name!r} failed: {e}")
+        return None
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, default_filename(name))
+    save_params_msgpack(converted, path)
+    return path
 
 
 def pretrained_params_path(name: str):

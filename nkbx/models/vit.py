@@ -24,10 +24,11 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
+    ln_eps: float = 1e-6  # timm passes eps=1e-6; unicom keeps torch default 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             dtype=self.dtype,
@@ -36,7 +37,7 @@ class TransformerBlock(nn.Module):
             deterministic=not train,
         )(y, y)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.gelu(y, approximate=False)  # timm uses exact GELU
         if self.drop_rate > 0:
@@ -92,11 +93,81 @@ class ViT(nn.Module):
         return x.astype(jnp.float32)
 
 
+class UnicomViT(nn.Module):
+    """deepglint/unicom VisionTransformer (the reference's ``unicom.load`` path,
+    model.py:77-79).
+
+    Architecture per deepglint/unicom ``vision_transformer.py`` (insightface-
+    style recognition ViT — the reference reads the embedding size from
+    ``emb_model.feature[-2].out_features``, so ``feature`` is a Sequential whose
+    [-2] entry is a Linear):
+
+    - patch conv -> tokens + pos_embed, NO class token;
+    - pre-LN transformer blocks (same block as timm ViT);
+    - final LayerNorm, then ALL patch tokens flattened to ``(B, N*dim)``;
+    - feature head ``Linear(N*dim -> dim, no bias) -> BatchNorm1d ->
+      Linear(dim -> embedding_size, no bias) -> BatchNorm1d`` with eps=2e-5
+      (torch BatchNorm1d default momentum 0.1 == flax momentum 0.9).
+
+    The BatchNorm1d pair means unicom backbones carry batch_stats; the sample
+    ``mask`` weights padded rows out of them like every other BN (see ConvBN).
+    """
+
+    patch_size: int = 32
+    dim: int = 768
+    depth: int = 12
+    n_heads: int = 12
+    embedding_size: int = 512
+    input_size: int = 224
+    mlp_ratio: float = 4.0
+    drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @property
+    def num_features(self):
+        return self.embedding_size  # reference emb_size = feature[-2].out_features
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        b = x.shape[0]
+        x = nn.Conv(
+            self.dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="patch_embed",
+        )(x)
+        n = x.shape[1] * x.shape[2]
+        x = x.reshape(b, n, self.dim)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n, self.dim))
+        x = x + pos.astype(x.dtype)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+        for _ in range(self.depth):
+            x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio,
+                                 self.drop_rate, self.dtype, ln_eps=1e-5)(x, train)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        x = x.reshape(b, n * self.dim)  # token-major flatten, as torch reshape
+        bn_mask = mask.reshape(b, 1) if mask is not None else None
+        x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="feature_fc1")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=2e-5, momentum=0.9,
+                         dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="feature_bn1")(x, mask=bn_mask if train else None)
+        x = nn.Dense(self.embedding_size, use_bias=False, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="feature_fc2")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=2e-5, momentum=0.9,
+                         dtype=jnp.float32, param_dtype=jnp.float32,
+                         name="feature_bn2")(x, mask=bn_mask if train else None)
+        return x
+
+
 vit_small_patch16_224 = partial(ViT, patch_size=16, dim=384, depth=12, n_heads=6)
 vit_base_patch16_224 = partial(ViT, patch_size=16, dim=768, depth=12, n_heads=12)
 vit_base_patch32_224 = partial(ViT, patch_size=32, dim=768, depth=12, n_heads=12)
 
 # unicom naming: "unicom ViT-B/32" etc. (reference model.py:77-79)
-unicom_vit_b32 = partial(ViT, patch_size=32, dim=768, depth=12, n_heads=12, projection_dim=512)
-unicom_vit_b16 = partial(ViT, patch_size=16, dim=768, depth=12, n_heads=12, projection_dim=512)
-unicom_vit_l14 = partial(ViT, patch_size=14, dim=1024, depth=24, n_heads=16, projection_dim=768)
+unicom_vit_b32 = partial(UnicomViT, patch_size=32, dim=768, depth=12, n_heads=12, embedding_size=512)
+unicom_vit_b16 = partial(UnicomViT, patch_size=16, dim=768, depth=12, n_heads=12, embedding_size=768)
+unicom_vit_l14 = partial(UnicomViT, patch_size=14, dim=1024, depth=24, n_heads=16, embedding_size=768)

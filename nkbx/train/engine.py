@@ -56,6 +56,28 @@ def _iter_metrics(preds, label, mask, loss_out):
     }
 
 
+def _bind_augment(module, augment_fn, train: bool):
+    """Augment callable that emits the backbone's compute dtype directly.
+
+    The fused normalize then writes ONE bf16 tensor instead of a float32
+    round-trip through HBM (the conv would cast to bf16 anyway — same values).
+    Augment fns without an ``out_dtype`` kwarg keep the plain 3-arg contract.
+    """
+    if augment_fn is None:
+        return lambda image, key: image
+    out_dtype = getattr(getattr(module, "backbone", None), "dtype", None)
+    if out_dtype is None:
+        return lambda image, key: augment_fn(image, key, train)
+
+    def augment(image, key):
+        try:
+            return augment_fn(image, key, train, out_dtype=out_dtype)
+        except TypeError:
+            return augment_fn(image, key, train)
+
+    return augment
+
+
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                      log_gradients: bool = False, masked_bn: bool = False):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
@@ -67,11 +89,12 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
     partial final batch trains exactly like a smaller batch would.
     """
     module = model.module
+    augment = _bind_augment(module, augment_fn, train=True)
 
     def train_step(state: TrainState, image, label, mask, key, lr_factor, freeze_scale):
         step_key = jax.random.fold_in(key, state.step)
         aug_key, drop_key = jax.random.split(step_key)
-        x = augment_fn(image, aug_key, True) if augment_fn is not None else image
+        x = augment(image, aug_key)
         bn_mask = mask.reshape((-1,) + (1,) * (x.ndim - 1)) if masked_bn else None
 
         def loss_fn(params):
@@ -152,8 +175,10 @@ def build_eval_step(model, criterion, augment_fn=None):
 
         return eval_step_serving
 
+    augment = _bind_augment(module, augment_fn, train=False)
+
     def eval_step(state: TrainState, image, label, mask):
-        x = augment_fn(image, jax.random.PRNGKey(0), False) if augment_fn is not None else image
+        x = augment(image, jax.random.PRNGKey(0))
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -72,13 +72,15 @@ def _gate(key, p, b):
 
 
 def _apply_hflip(t: S.HorizontalFlip, x, key):
-    g = _gate(key, t.p, x.shape[0])
-    return x * (1.0 - g) + x[:, :, ::-1, :] * g
+    # jnp.where keeps the op dtype-preserving, so flips run on the raw uint8
+    # batch (3 bytes/px) instead of a float32 intermediate (12 bytes/px)
+    g = jax.random.uniform(key, (x.shape[0], 1, 1, 1)) < t.p
+    return jnp.where(g, x[:, :, ::-1, :], x)
 
 
 def _apply_vflip(t: S.VerticalFlip, x, key):
-    g = _gate(key, t.p, x.shape[0])
-    return x * (1.0 - g) + x[:, ::-1, :, :] * g
+    g = jax.random.uniform(key, (x.shape[0], 1, 1, 1)) < t.p
+    return jnp.where(g, x[:, ::-1, :, :], x)
 
 
 def _apply_brightness_contrast(t: S.RandomBrightnessContrast, x, key):
@@ -282,13 +284,24 @@ def build_device_fn(transforms: Sequence[S.Transform]):
         mean = np.zeros(1, dtype=np.float32)
         std = np.ones(1, dtype=np.float32)
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def device_fn(batch, key, train=True):
-        x = batch.astype(jnp.float32)
+    # flips are dtype-preserving selects — run them on the raw uint8 batch
+    # (3 bytes/px) for as long as the op order allows; convert to float32 only
+    # when the first photometric op needs it. The final normalize emits
+    # ``out_dtype`` directly (bf16 for the train step), so the whole fast path
+    # (flips + normalize) is uint8 reads + one bf16 write instead of three
+    # float32 round-trips through HBM.
+    _FLIPS = (S.HorizontalFlip, S.VerticalFlip)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def device_fn(batch, key, train=True, out_dtype=jnp.float32):
+        x = batch
         if train and random_ops:
             keys = jax.random.split(key, len(random_ops))
             for t, k in zip(random_ops, keys):
+                if not isinstance(t, _FLIPS) and not jnp.issubdtype(x.dtype, jnp.floating):
+                    x = x.astype(jnp.float32)
                 x = _RANDOM_APPLIERS[type(t)](t, x, k)
-        return (x - mean) / std
+        x = x.astype(jnp.float32)
+        return ((x - mean) / std).astype(out_dtype)
 
     return device_fn

@@ -335,18 +335,23 @@ class Compose:
 
     # -- device stage ---------------------------------------------------------
 
-    def device_apply(self, batch, key, train: bool = True):
+    def device_apply(self, batch, key, train: bool = True, out_dtype=None):
         """Apply the fused batched augmentation to a uint8 NHWC batch on device.
 
-        Returns float32 NHWC (cast to the model's compute dtype downstream).
+        Returns float32 NHWC by default; pass ``out_dtype`` (e.g. bf16, what the
+        train step does) to emit the model's compute dtype straight out of the
+        fused normalize — one HBM write instead of a float32 round-trip.
         ``train=False`` skips every random op, keeping only Normalize — so one
         Compose serves as its own eval pipeline when needed.
         """
+        import jax.numpy as jnp
+
         from nkbx.transforms.device import build_device_fn
 
         if self._device_fn is None:
             self._device_fn = build_device_fn(self.device_transforms)
-        return self._device_fn(batch, key, train)
+        return self._device_fn(batch, key, train,
+                               jnp.float32 if out_dtype is None else out_dtype)
 
     # -- reference-compat single-sample call ---------------------------------
 

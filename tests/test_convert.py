@@ -454,3 +454,149 @@ class TestConvNeXtConversion:
                           ["a", "b"], input_size=(32, 32), dtype=jnp.float32)
         assert (jax.tree_util.tree_structure(model.params["backbone"]) ==
                 jax.tree_util.tree_structure(out["params"]))
+
+
+# ---------------------------------------------------------------------------
+# unicom VisionTransformer (reference model.py:77-79 unicom.load path)
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_unicom_sd(rng, dim=64, depth=2, n_heads=4, patch=8, n_tokens=16, emb=32):
+    sd = {}
+    sd["pos_embed"] = rng.normal(size=(1, n_tokens, dim)).astype(np.float32) * 0.02
+    sd["patch_embed.proj.weight"] = rng.normal(size=(dim, 3, patch, patch)).astype(np.float32) * 0.05
+    sd["patch_embed.proj.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+    for i in range(depth):
+        t = f"blocks.{i}"
+        for ln in ("norm1", "norm2"):
+            sd[f"{t}.{ln}.weight"] = rng.uniform(0.8, 1.2, dim).astype(np.float32)
+            sd[f"{t}.{ln}.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.attn.qkv.weight"] = rng.normal(size=(3 * dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.attn.qkv.bias"] = rng.normal(size=3 * dim).astype(np.float32) * 0.02
+        sd[f"{t}.attn.proj.weight"] = rng.normal(size=(dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.attn.proj.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+        sd[f"{t}.mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32) * 0.05
+        sd[f"{t}.mlp.fc1.bias"] = rng.normal(size=4 * dim).astype(np.float32) * 0.02
+        sd[f"{t}.mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32) * 0.05
+        sd[f"{t}.mlp.fc2.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+    sd["norm.weight"] = rng.uniform(0.8, 1.2, dim).astype(np.float32)
+    sd["norm.bias"] = rng.normal(size=dim).astype(np.float32) * 0.02
+    # feature head: Linear(N*dim->dim, no bias) -> BN1d -> Linear(dim->emb, no bias) -> BN1d
+    sd["feature.0.weight"] = rng.normal(size=(dim, n_tokens * dim)).astype(np.float32) * 0.02
+    sd["feature.2.weight"] = rng.normal(size=(emb, dim)).astype(np.float32) * 0.05
+    for bn, width in (("feature.1", dim), ("feature.3", emb)):
+        sd[f"{bn}.weight"] = rng.uniform(0.8, 1.2, width).astype(np.float32)
+        sd[f"{bn}.bias"] = rng.normal(size=width).astype(np.float32) * 0.02
+        sd[f"{bn}.running_mean"] = rng.normal(size=width).astype(np.float32) * 0.1
+        sd[f"{bn}.running_var"] = rng.uniform(0.5, 1.5, width).astype(np.float32)
+    return sd
+
+
+def _torch_unicom_forward(sd, x_nchw, dim, depth, n_heads, patch):
+    """unicom VisionTransformer forward in torch functional ops: no cls token,
+    pre-LN blocks (torch-default LN eps 1e-5), final norm, flatten ALL tokens,
+    Linear->BN1d->Linear->BN1d feature head (BN eval, eps 2e-5)."""
+    import torch
+    import torch.nn.functional as F
+
+    hd = dim // n_heads
+    with torch.no_grad():
+        x = torch.tensor(x_nchw)
+        t = F.conv2d(x, torch.tensor(sd["patch_embed.proj.weight"]),
+                     torch.tensor(sd["patch_embed.proj.bias"]), stride=patch)
+        b = t.shape[0]
+        t = t.flatten(2).transpose(1, 2) + torch.tensor(sd["pos_embed"])
+        for i in range(depth):
+            p = f"blocks.{i}"
+            y = F.layer_norm(t, (dim,), torch.tensor(sd[f"{p}.norm1.weight"]),
+                             torch.tensor(sd[f"{p}.norm1.bias"]), eps=1e-5)
+            qkv = F.linear(y, torch.tensor(sd[f"{p}.attn.qkv.weight"]),
+                           torch.tensor(sd[f"{p}.attn.qkv.bias"]))
+            n = t.shape[1]
+            qkv = qkv.reshape(b, n, 3, n_heads, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = ((q @ k.transpose(-2, -1)) * hd ** -0.5).softmax(dim=-1)
+            y = (attn @ v).transpose(1, 2).reshape(b, n, dim)
+            y = F.linear(y, torch.tensor(sd[f"{p}.attn.proj.weight"]),
+                         torch.tensor(sd[f"{p}.attn.proj.bias"]))
+            t = t + y
+            y = F.layer_norm(t, (dim,), torch.tensor(sd[f"{p}.norm2.weight"]),
+                             torch.tensor(sd[f"{p}.norm2.bias"]), eps=1e-5)
+            y = F.linear(y, torch.tensor(sd[f"{p}.mlp.fc1.weight"]), torch.tensor(sd[f"{p}.mlp.fc1.bias"]))
+            y = F.gelu(y)
+            y = F.linear(y, torch.tensor(sd[f"{p}.mlp.fc2.weight"]), torch.tensor(sd[f"{p}.mlp.fc2.bias"]))
+            t = t + y
+        t = F.layer_norm(t, (dim,), torch.tensor(sd["norm.weight"]), torch.tensor(sd["norm.bias"]), eps=1e-5)
+        t = t.reshape(b, -1)
+        t = F.linear(t, torch.tensor(sd["feature.0.weight"]))
+        t = F.batch_norm(t, torch.tensor(sd["feature.1.running_mean"]),
+                         torch.tensor(sd["feature.1.running_var"]),
+                         torch.tensor(sd["feature.1.weight"]),
+                         torch.tensor(sd["feature.1.bias"]), eps=2e-5)
+        t = F.linear(t, torch.tensor(sd["feature.2.weight"]))
+        t = F.batch_norm(t, torch.tensor(sd["feature.3.running_mean"]),
+                         torch.tensor(sd["feature.3.running_var"]),
+                         torch.tensor(sd["feature.3.weight"]),
+                         torch.tensor(sd["feature.3.bias"]), eps=2e-5)
+        return t.numpy()
+
+
+class TestUnicomConversion:
+    def test_forward_matches_torch(self):
+        from nkbx.models.convert import convert_unicom_state_dict
+        from nkbx.models.vit import UnicomViT
+
+        dim, depth, n_heads, patch, emb = 64, 2, 4, 8, 32
+        rng = np.random.default_rng(11)
+        sd = _synthetic_unicom_sd(rng, dim, depth, n_heads, patch, n_tokens=16, emb=emb)
+        params, stats = convert_unicom_state_dict(sd, dim, depth, n_heads)
+
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        ref = _torch_unicom_forward(sd, x, dim, depth, n_heads, patch)
+
+        module = UnicomViT(patch_size=patch, dim=dim, depth=depth, n_heads=n_heads,
+                           embedding_size=emb, input_size=32, dtype=jnp.float32)
+        ours = module.apply({"params": params, "batch_stats": stats},
+                            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), train=False)
+        assert ours.shape == ref.shape == (2, emb)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=3e-4)
+
+    def test_all_tensors_consumed(self):
+        from nkbx.models.convert import convert_torch_state_dict
+
+        rng = np.random.default_rng(3)
+        sd = _synthetic_unicom_sd(rng, dim=768, depth=12, n_heads=12, patch=32,
+                                  n_tokens=49, emb=512)
+        out = convert_torch_state_dict("unicom ViT-B/32", sd)
+
+        import jax
+        n_flax = len(jax.tree_util.tree_leaves(out))
+        # fused qkv weight+bias (2 tensors/block) split into q/k/v kernel+bias
+        # (6 tensors/block): +4 per block, everything else 1:1
+        assert n_flax == len(sd) + 4 * 12
+
+    def test_convert_name_dispatch_shapes_match_model(self):
+        """Converted tree must load into a real UnicomViT init (names + shapes)."""
+        import jax
+
+        from nkbx.models.convert import convert_torch_state_dict
+        from nkbx.models.registry import create_backbone
+
+        rng = np.random.default_rng(5)
+        sd = _synthetic_unicom_sd(rng, dim=768, depth=12, n_heads=12, patch=32,
+                                  n_tokens=49, emb=512)
+        out = convert_torch_state_dict("unicom ViT-B/32", sd)
+        module = create_backbone("unicom ViT-B/32", dtype=jnp.float32)
+        variables = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False)
+        )
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): v.shape
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+        def norm(d):
+            return {k: tuple(v) for k, v in d.items()}
+
+        assert norm(paths(out["params"])) == norm(paths(variables["params"]))
+        assert norm(paths(out["batch_stats"])) == norm(paths(variables["batch_stats"]))
