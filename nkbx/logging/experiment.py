@@ -156,6 +156,23 @@ def log_metrics(experiment, target_names, classes, epoch, metrics, fold="train")
 
 def log_confusion_matrices(experiment, target_names, classes, epoch, results, fold="validation", show_all=False):
     default_max = 25
+    if "bounded_metrics" in results:
+        # bounded accumulation keeps no per-sample arrays; the folded
+        # confusion-matrix counts ARE the matrix — log them directly
+        counts = results["confusion_counts"]
+        items = [(None, counts)] if target_names is None else [(t, counts[t]) for t in target_names]
+        for t, m in items:
+            cls = classes if t is None else classes[t]
+            tag = f"{fold} {t} " if t else f"{fold} "
+            experiment.log_confusion_matrix(
+                matrix=np.asarray(m).tolist(),
+                labels=tuple(map(str, cls)),
+                max_categories=len(cls) if show_all else default_max,
+                title=f"{tag}confusion matrix".replace("  ", " "),
+                file_name=f"{tag.strip().replace(' ', '-')}-confusion-matrix.json",
+                epoch=epoch,
+            )
+        return
     if target_names is None:
         experiment.log_confusion_matrix(
             results["ground_truth"], results["predictions"],

@@ -67,19 +67,126 @@ def compute_targetwise_metrics(epoch_results, target_name=None):
 
 def compute_metrics(cfg, epoch_results: dict):
     """Single task -> one metric dict; multi -> per-target dicts + mean
-    balanced accuracy (reference metrics.py:54-70)."""
+    balanced accuracy (reference metrics.py:54-70). Consumes either the exact
+    per-sample epoch results or the bounded device-side accumulation (the
+    ``bounded_metrics`` key, see EpochCollector mode="bounded")."""
     task = cfg.task if hasattr(cfg, "task") else cfg["task"]
+    bounded = epoch_results.get("bounded_metrics")
 
     if task == "single":
-        out = compute_targetwise_metrics(epoch_results)
+        out = dict(bounded) if bounded is not None else compute_targetwise_metrics(epoch_results)
         out["loss"] = epoch_results["running_loss"]
         return out
 
     if task == "multi":
         targets = cfg.target_names if hasattr(cfg, "target_names") else cfg["target_names"]
-        out = {t: compute_targetwise_metrics(epoch_results, t) for t in targets}
+        if bounded is not None:
+            out = {t: dict(bounded[t]) for t in targets}
+        else:
+            out = {t: compute_targetwise_metrics(epoch_results, t) for t in targets}
         out["loss"] = epoch_results["running_loss"]["loss"]
         out["epoch_acc"] = np.mean([out[t]["epoch_acc"] for t in targets])
         return out
 
     raise ValueError(f"Unknown task type {task} for metric computation")
+
+
+# ---------------------------------------------------------------------------
+# Bounded device-side accumulation (SURVEY.md §5.5)
+# ---------------------------------------------------------------------------
+#
+# The exact path above retains per-sample arrays for the whole epoch — O(N*C)
+# host memory (at ImageNet scale: ~5 GB of confidences). The bounded mode folds
+# every batch into O(C^2 + C*N_BINS) device state inside the epoch:
+#
+# - confusion-matrix counts  -> balanced accuracy EXACTLY equal to sklearn's;
+# - per-class positive/negative score histograms over N_BINS uniform bins of
+#   [0, 1] -> tie-corrected ROC-AUC, exact for scores quantized to the bin
+#   grid, within ~1/N_BINS of sklearn otherwise (documented tolerance);
+# - loss sum/count.
+#
+# The fold is a jitted reduction: on a sharded multi-host batch the outputs are
+# replicated by XLA (psum over the data axis), so bounded metrics are global
+# by construction.
+
+N_BINS = 8192
+
+
+def make_bounded_state(n_classes: int):
+    import jax.numpy as jnp
+
+    return {
+        "counts": jnp.zeros((n_classes, n_classes), jnp.int32),  # [true, pred]
+        "pos_hist": jnp.zeros((n_classes, N_BINS), jnp.int32),
+        "neg_hist": jnp.zeros((n_classes, N_BINS), jnp.int32),
+        "loss_sum": jnp.zeros((), jnp.float32),
+        "n_batches": jnp.zeros((), jnp.int32),
+    }
+
+
+def bounded_update(state, confidences, predictions, ground_truth, mask, loss):
+    """One batch -> folded state (wrap in jax.jit; pure function)."""
+    import jax.numpy as jnp
+
+    n_classes = state["counts"].shape[0]
+    valid = mask.astype(jnp.int32)
+    gt = ground_truth.astype(jnp.int32)
+    pred = predictions.astype(jnp.int32)
+
+    counts = state["counts"].at[gt, pred].add(valid)
+
+    bins = jnp.clip((confidences * N_BINS).astype(jnp.int32), 0, N_BINS - 1)  # (B, C)
+    cls = jnp.broadcast_to(jnp.arange(n_classes)[None, :], bins.shape)
+    is_pos = (gt[:, None] == cls).astype(jnp.int32) * valid[:, None]
+    is_neg = (gt[:, None] != cls).astype(jnp.int32) * valid[:, None]
+    pos_hist = state["pos_hist"].at[cls, bins].add(is_pos)
+    neg_hist = state["neg_hist"].at[cls, bins].add(is_neg)
+
+    return {
+        "counts": counts,
+        "pos_hist": pos_hist,
+        "neg_hist": neg_hist,
+        "loss_sum": state["loss_sum"] + loss.astype(jnp.float32),
+        "n_batches": state["n_batches"] + 1,
+    }
+
+
+def _auc_from_hists(pos, neg):
+    """Tie-corrected ROC-AUC from score histograms (same formula sklearn's
+    trapezoidal ROC integration reduces to on quantized scores)."""
+    P, N = pos.sum(), neg.sum()
+    if P == 0 or N == 0:
+        return np.nan
+    neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    return float((pos * (neg_below + 0.5 * neg)).sum() / (P * N))
+
+
+def bounded_targetwise_metrics(state):
+    """Finalize one target's folded state -> the compute_targetwise_metrics
+    dict (epoch_acc / epoch_roc_auc / epoch_loss) with the same NaN and
+    class-absence semantics as the exact sklearn path."""
+    counts = np.asarray(state["counts"])
+    pos = np.asarray(state["pos_hist"])
+    neg = np.asarray(state["neg_hist"])
+    n_classes = counts.shape[0]
+
+    support = counts.sum(axis=1)
+    present = support > 0
+    with np.errstate(invalid="ignore"):
+        recall = np.diag(counts) / support
+    epoch_acc = float(np.mean(recall[present]))  # sklearn balanced_accuracy_score
+
+    if present.sum() < n_classes:
+        warnings.warn(_GT_WARNING)
+    if n_classes <= 2:
+        roc = np.nan if present.sum() < 2 else _auc_from_hists(pos[1], neg[1])
+    else:
+        roc = np.full(n_classes, np.nan)
+        if present.sum() > 1:
+            for c in np.nonzero(present)[0]:
+                roc[c] = _auc_from_hists(pos[c], neg[c])
+    return {
+        "epoch_acc": epoch_acc,
+        "epoch_roc_auc": roc,
+        "epoch_loss": float(state["loss_sum"] / np.maximum(state["n_batches"], 1)),
+    }

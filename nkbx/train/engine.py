@@ -197,28 +197,130 @@ def build_eval_step(model, criterion, augment_fn=None):
 class EpochCollector:
     """Accumulates per-iter device metrics; converts to host lists at epoch end.
 
-    ``get_epoch_results()`` returns the same dict shape as reference
-    BaseLogger.get_epoch_results (logging.py:287-294): running_loss (per-iter
-    floats), confidences, predictions, ground_truth — lists (single-task) or
-    per-target dicts (multi-task) — with padded rows removed.
+    ``mode="exact"`` (default) retains the per-sample device arrays and
+    returns the same dict shape as reference BaseLogger.get_epoch_results
+    (logging.py:287-294): running_loss (per-iter floats), confidences,
+    predictions, ground_truth — lists (single-task) or per-target dicts
+    (multi-task) — with padded rows removed. Memory is O(N*C) per epoch.
+
+    ``mode="bounded"`` folds every batch into O(C^2 + C*N_BINS) device state
+    (confusion counts + score histograms, nkbx.metrics bounded_* — SURVEY.md
+    §5.5): balanced accuracy is exactly sklearn's, ROC-AUC within ~1/N_BINS.
+    Use for ImageNet-scale epochs; config key ``metrics_accumulation``.
     """
 
-    def __init__(self, task: str = "single"):
+    def __init__(self, task: str = "single", mode: str = "exact"):
+        if mode not in ("exact", "bounded"):
+            raise ValueError(f"Unknown metrics accumulation mode {mode!r}")
         self.task = task
+        self.mode = mode
         self.init_iter_logs()
 
     def init_iter_logs(self):
         self._batches = []
+        self._bounded = {}
+        self._losses = defaultdict(list)
+        self._grad_norms = []
         self.epoch_images_example = None
 
     def log_iter(self, metrics):
-        self._batches.append(metrics)
+        if self.mode == "bounded":
+            self._fold(metrics)
+        else:
+            self._batches.append(metrics)
+
+    # -- bounded mode ------------------------------------------------------
+
+    _jit_update = None
+
+    @classmethod
+    def _update_fn(cls):
+        if cls._jit_update is None:
+            from nkbx.metrics import bounded_update
+
+            cls._jit_update = jax.jit(bounded_update)
+        return cls._jit_update
+
+    def _fold_one(self, key, m, mask):
+        from nkbx.metrics import make_bounded_state
+
+        if key not in self._bounded:
+            self._bounded[key] = make_bounded_state(m["confidences"].shape[1])
+        self._bounded[key] = self._update_fn()(
+            self._bounded[key], m["confidences"], m["predictions"],
+            m["ground_truth"], mask, m["loss"],
+        )
+        self._losses[key].append(m["loss"])
+
+    def _fold(self, metrics):
+        if "grad_norms" in metrics:
+            self._grad_norms.append(metrics["grad_norms"])
+        if self.task == "multi":
+            for t, tm in metrics.items():
+                if isinstance(tm, dict) and "confidences" in tm:
+                    self._fold_one(t, tm, metrics["mask"])
+            self._losses["loss"].append(metrics["loss"])
+        else:
+            self._fold_one(None, metrics, metrics["mask"])
 
     def log_images_if_needed(self, images):
         if self.epoch_images_example is None:
             self.epoch_images_example = np.asarray(images)
 
+    @staticmethod
+    def _gather_global(tree):
+        """Multi-host: all-gather global sharded leaves; pass local ones through."""
+        from jax.experimental import multihost_utils
+
+        def gather(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x, tiled=True)
+            return x
+
+        return jax.tree_util.tree_map(gather, tree)
+
+    @staticmethod
+    def _aggregate_grads(grad_logs):
+        grad_log = defaultdict(list)
+        for g in grad_logs:
+            t = 0.0
+            for k, v in g.items():
+                val = float(v)
+                grad_log[f"Gradients/{k}"].append(val)
+                t += val
+            grad_log["Gradients/Total"].append(t)
+        return dict(grad_log)
+
+    def _bounded_results(self):
+        from nkbx.metrics import bounded_targetwise_metrics
+
+        payload = {"states": self._bounded, "losses": dict(self._losses),
+                   "grads": self._grad_norms}
+        if jax.process_count() > 1:
+            # folded states are replicated jit outputs (already global);
+            # gather is an identity reshard that makes them host-fetchable
+            payload = self._gather_global(payload)
+        payload = jax.device_get(payload)
+        states, losses = payload["states"], payload["losses"]
+        results = {"images": self.epoch_images_example}
+        if self.task == "multi":
+            results["running_loss"] = {k: [float(x) for x in v] for k, v in losses.items()}
+            results["bounded_metrics"] = {t: bounded_targetwise_metrics(s)
+                                          for t, s in states.items()}
+            results["confusion_counts"] = {t: np.asarray(s["counts"])
+                                           for t, s in states.items()}
+        else:
+            results["running_loss"] = [float(x) for x in losses.get(None, [])]
+            state = states[None]
+            results["bounded_metrics"] = bounded_targetwise_metrics(state)
+            results["confusion_counts"] = np.asarray(state["counts"])
+        if payload["grads"]:
+            results["metrics_grad_log"] = self._aggregate_grads(payload["grads"])
+        return results
+
     def get_epoch_results(self):
+        if self.mode == "bounded":
+            return self._bounded_results()
         # ONE bulk D2H transfer for the whole epoch's accumulated metrics:
         # per-batch float()/np.asarray() fetches cost a full round trip each
         # (~120 ms on tunneled backends; see CLAUDE.md). On multi-host runs the
@@ -229,16 +331,7 @@ class EpochCollector:
         # Every host must reach this point in lockstep (the loader's sentinel
         # padding guarantees the same step count per host).
         if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            def gather(x):
-                # global sharded arrays (step outputs) -> full value on every
-                # host; host-local leaves (already per-host) pass through
-                if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                    return multihost_utils.process_allgather(x, tiled=True)
-                return x
-
-            self._batches = jax.tree_util.tree_map(gather, self._batches)
+            self._batches = self._gather_global(self._batches)
         self._batches = jax.device_get(self._batches)
         if self.task == "multi":
             running_loss = defaultdict(list)
@@ -272,16 +365,7 @@ class EpochCollector:
         }
         grad_logs = [m["grad_norms"] for m in self._batches if "grad_norms" in m]
         if grad_logs:
-            grad_log = defaultdict(list)
-            total = defaultdict(float)
-            for g in grad_logs:
-                t = 0.0
-                for k, v in g.items():
-                    val = float(v)
-                    grad_log[f"Gradients/{k}"].append(val)
-                    t += val
-                grad_log["Gradients/Total"].append(t)
-            results["metrics_grad_log"] = dict(grad_log)
+            results["metrics_grad_log"] = self._aggregate_grads(grad_logs)
         return results
 
 

@@ -79,14 +79,17 @@ def train(
         freeze_scale = backbone_state_factor(policy, epoch, prev=freeze_scale)
         lr_factor = schedule(epoch)
 
+        # metrics_accumulation: "exact" (per-sample, reference-bit-compatible)
+        # or "bounded" (O(C^2) device-side folding for ImageNet-scale epochs)
+        metrics_mode = getattr(cfg, "metrics_accumulation", "exact")
         state, train_results = train_epoch(
             state, train_loader, train_step, epoch, key,
             lr_factor, freeze_scale,
-            epoch_logger=EpochCollector(task), mesh=mesh, cfg=cfg,
+            epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh, cfg=cfg,
         )
         val_results = val_epoch(
             state, val_loader, eval_step, epoch,
-            epoch_logger=EpochCollector(task), mesh=mesh,
+            epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh,
         )
 
         train_results["metrics"] = compute_metrics(cfg, train_results)
