@@ -29,7 +29,9 @@ def parse_args():
     parser.add_argument("--to", type=str, required=True, help="serving or stablehlo")
     parser.add_argument("-w", "--weights", type=str, required=True,
                         help="nkbx checkpoint (orbax dir or .msgpack)")
-    parser.add_argument("--dynamic", type=str, default="batch", help="batch or none")
+    parser.add_argument("--dynamic", type=str, default="batch",
+                        help="none | batch | all (all = symbolic H/W too, CNN "
+                             "backbones only — reference export.py --dynamic)")
     parser.add_argument("--input-shape", nargs="+", type=int, default=[32, 224, 224, 3],
                         help="B H W C (NHWC; B = max batch for dynamic export)")
     parser.add_argument("--save_path", type=str, default=".", help="Save dir")
@@ -37,7 +39,7 @@ def parse_args():
                         help="bf16 inference I/O (TPU-native half precision)")
     args = parser.parse_args()
     assert args.to in ("serving", "stablehlo")
-    assert args.dynamic in ("batch", "none")
+    assert args.dynamic in ("batch", "none", "all")
     assert len(args.input_shape) == 4
     return args
 
@@ -77,7 +79,7 @@ def main(args):
         out = save_dir / f"{stem}.nkbx"
         path, meta = export_model(
             model, args.input_shape, out, metadata=metadata,
-            dynamic_batch=(args.dynamic == "batch"), dtype=dtype,
+            dynamic=args.dynamic, dtype=dtype,
         )
         print(f"serving export success, saved as {path}")
     else:

@@ -33,7 +33,8 @@ def default_buckets(max_batch: int) -> list:
 class TPUServingModule:
     """Load a .nkbx bundle and serve batched inference with bucket padding."""
 
-    def __init__(self, weight, device=None, buckets: Optional[Sequence[int]] = None):
+    def __init__(self, weight, device=None, buckets: Optional[Sequence[int]] = None,
+                 warm_up_on_load: bool = True):
         self.metadata, self._exported = load_exported(weight)
         self.classes = self.metadata.get("classes")
         self.task = self.metadata.get("task", "single")
@@ -47,6 +48,11 @@ class TPUServingModule:
             self.buckets = sorted(buckets) if buckets else default_buckets(max_batch)
         self.device = device or jax.devices()[0]
         self._call = jax.jit(self._exported.call)
+        if warm_up_on_load:
+            # compile every bucket NOW: a cold bucket mid-serving is a multi-
+            # minute stall on tunneled TPUs (pass warm_up_on_load=False to
+            # defer, e.g. when only benchmarking one batch size)
+            self.warm_up()
 
     # -- core ---------------------------------------------------------------
 
@@ -155,8 +161,8 @@ def main():  # pragma: no cover - thin CLI
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--iters", type=int, default=100)
     args = parser.parse_args()
-    module = TPUServingModule(args.weights)
-    module.warm_up([args.batch_size])
+    module = TPUServingModule(args.weights, warm_up_on_load=False)
+    module.warm_up([args.batch_size])  # only the benchmarked bucket
     print(json.dumps(module.benchmark(args.batch_size, args.iters)))
 
 

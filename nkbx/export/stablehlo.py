@@ -40,15 +40,22 @@ def make_metadata(classes, input_shape, task="single", description=""):
 
 
 def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, dynamic="batch", spatial_multiple=32):
     """Export a ClassificationModel's inference fn to a .nkbx bundle.
 
     Args:
         model: nkbx ClassificationModel (variables are baked into the program).
         input_shape: (B, H, W, C) — B is the max/typical batch; with
-            ``dynamic_batch`` the exported program is batch-polymorphic.
+            ``dynamic != 'none'`` the exported program is batch-polymorphic.
         save_path: output file path (``.nkbx``).
         metadata: optional metadata dict (defaults via :func:`make_metadata`).
+        dynamic: 'none' | 'batch' | 'all' — the reference ``--dynamic`` surface
+            (export.py:80-88,257-269). 'all' additionally makes H and W
+            symbolic (constrained to multiples of ``spatial_multiple``, the
+            backbone's total stride — CNN backbones only; ViT positional
+            embeddings pin the spatial size, as they do for the reference's
+            ONNX dynamic axes).
+        dynamic_batch: legacy bool form of ``dynamic`` ('batch' when True).
     """
     from jax import export as jexp
 
@@ -58,8 +65,14 @@ def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=Tru
     def infer(x):
         return module.apply(variables, x, train=False)
 
+    if dynamic == "batch" and not dynamic_batch:
+        dynamic = "none"
     b, h, w, c = input_shape
-    if dynamic_batch:
+    if dynamic == "all":
+        m = spatial_multiple
+        bdim, hdim, wdim = jexp.symbolic_shape(f"b, {m}*h, {m}*w")
+        arg = jax.ShapeDtypeStruct((bdim, hdim, wdim, c), dtype)
+    elif dynamic == "batch":
         (bdim,) = jexp.symbolic_shape("b")
         arg = jax.ShapeDtypeStruct((bdim, h, w, c), dtype)
     else:

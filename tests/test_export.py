@@ -97,3 +97,59 @@ class TestFixedBatchExport:
         x10 = np.random.default_rng(1).normal(size=(10, 32, 32, 3)).astype(np.float32)
         assert np.asarray(serving(x10)).shape == (10, 3)  # chunked
         serving.warm_up()  # must not crash on bucket sizes the program rejects
+
+
+class TestDynamicAll:
+    """--dynamic all analog (reference export.py:80-88,257-269): symbolic H/W
+    constrained to multiples of the backbone stride."""
+
+    @pytest.fixture(scope="class")
+    def all_bundle(self, tiny_model, tmp_path_factory):
+        from nkbx.export import export_model
+
+        out = tmp_path_factory.mktemp("export_all") / "model_all.nkbx"
+        path, meta = export_model(tiny_model, (8, 32, 32, 3), out, dynamic="all",
+                                  spatial_multiple=8)
+        return path, meta
+
+    def test_serves_multiple_spatial_sizes(self, tiny_model, all_bundle):
+        import jax.numpy as jnp
+
+        from nkbx.export import TPUServingModule
+
+        mod = TPUServingModule(all_bundle[0], warm_up_on_load=False)
+        r = np.random.default_rng(0)
+        for hw in (32, 48):
+            x = r.random((4, hw, hw, 3)).astype(np.float32)
+            got = np.asarray(mod.forward(x))
+            want = np.asarray(tiny_model.module.apply(
+                tiny_model.variables, jnp.asarray(x), train=False))
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_batch_still_dynamic(self, all_bundle):
+        from nkbx.export import TPUServingModule
+
+        mod = TPUServingModule(all_bundle[0], warm_up_on_load=False)
+        x = np.zeros((3, 32, 32, 3), np.float32)
+        assert np.asarray(mod.forward(x)).shape == (3, 3)
+
+
+class TestWarmUpOnLoad:
+    def test_default_warms_all_buckets(self, bundle, monkeypatch):
+        from nkbx.export import TPUServingModule
+        from nkbx.export import serving as serving_mod
+
+        warmed = []
+        monkeypatch.setattr(TPUServingModule, "warm_up",
+                            lambda self, batches=None: warmed.append(batches))
+        TPUServingModule(bundle[0])
+        assert warmed == [None]  # None -> every bucket
+
+    def test_opt_out(self, bundle, monkeypatch):
+        from nkbx.export import TPUServingModule
+
+        warmed = []
+        monkeypatch.setattr(TPUServingModule, "warm_up",
+                            lambda self, batches=None: warmed.append(batches))
+        TPUServingModule(bundle[0], warm_up_on_load=False)
+        assert warmed == []

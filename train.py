@@ -59,6 +59,15 @@ def main():
     comet_experiment = get_comet_experiment(cfg.experiment.get("comet"))
     if comet_experiment is not None:
         comet_experiment.log_code(args.config)
+        # model source alongside the config (reference train.py:104-107 logs
+        # nkb_classification/model.py; nkbx logs the classifier + the backbone)
+        import nkbx.models.classifier as _classifier_mod
+
+        comet_experiment.log_code(_classifier_mod.__file__)
+        backbone_mod = type(model.module.backbone).__module__
+        import importlib
+
+        comet_experiment.log_code(importlib.import_module(backbone_mod).__file__)
     local_experiment = get_local_experiment(cfg.experiment["local"])
     print(f"Run dir: {local_experiment.path}")
 
