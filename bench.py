@@ -25,7 +25,10 @@ def main():
     from nkbx.models import get_model
     from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
 
-    batch_size = 256
+    # bs=128 aligns the batch with the 128-lane tiling XLA picks for the
+    # batch-minor stem/stage-1 layouts: measured 2626 img/s vs 2548 at bs=256
+    # and 2272 at bs=144 (r2 sweep, PERF.md)
+    batch_size = 128
     model = get_model(
         {"task": "single", "model": "resnet50", "pretrained": False},
         classes=[f"c{i}" for i in range(1000)],

@@ -15,7 +15,9 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -45,6 +47,62 @@ INIT_STRATEGIES: dict[str, Callable] = {
     "xavier_normal_": torch_xavier_normal,
     "xavier_uniform_": torch_xavier_uniform,
 }
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-stats semantics.
+
+    flax ``nn.BatchNorm`` folds the BIASED batch variance into the running
+    variance; torch stores the UNBIASED one (``var * n/(n-1)``,
+    torch.nn.BatchNorm docs) while normalizing with the biased one. Fine-tunes
+    from converted torch weights would otherwise drift in eval mode (the
+    running stats feed inference). Normalization math and the param/stat tree
+    names (scale/bias, batch_stats mean/var) are identical to flax's, so
+    converters and checkpoints are unaffected.
+
+    ``mask`` (broadcastable to x) weights padded batch rows out of the
+    statistics; ``n`` is then the number of unmasked elements.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9  # torch momentum 0.1 == flax/nkbx momentum 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, self.param_dtype))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, self.param_dtype))
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            where = None if mask is None else jnp.broadcast_to(
+                jnp.asarray(mask, bool), x.shape)
+            mean = jnp.mean(xf, axes, where=where)
+            mean2 = jnp.mean(xf * xf, axes, where=where)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                if where is None:
+                    n = jnp.asarray(float(np.prod([x.shape[a] for a in axes])))
+                else:
+                    n = jnp.sum(where, dtype=jnp.float32) / c
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+
+        dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return ((x.astype(jnp.float32) - mean) * inv + bias).astype(dtype)
 
 
 class ConvBN(nn.Module):
@@ -84,11 +142,11 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
+            name="BatchNorm_0",  # keep the flax-BatchNorm tree path (converters)
         )(x, mask=mask if train else None)
         if self.act is not None:
             x = self.act(x)

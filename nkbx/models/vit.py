@@ -17,6 +17,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from nkbx.models.common import TorchBatchNorm
+
 
 class TransformerBlock(nn.Module):
     dim: int
@@ -152,14 +154,14 @@ class UnicomViT(nn.Module):
         bn_mask = mask.reshape(b, 1) if mask is not None else None
         x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="feature_fc1")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=2e-5, momentum=0.9,
-                         dtype=jnp.float32, param_dtype=jnp.float32,
-                         name="feature_bn1")(x, mask=bn_mask if train else None)
+        x = TorchBatchNorm(use_running_average=not train, epsilon=2e-5, momentum=0.9,
+                           dtype=jnp.float32,
+                           name="feature_bn1")(x, mask=bn_mask if train else None)
         x = nn.Dense(self.embedding_size, use_bias=False, dtype=self.dtype,
                      param_dtype=jnp.float32, name="feature_fc2")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=2e-5, momentum=0.9,
-                         dtype=jnp.float32, param_dtype=jnp.float32,
-                         name="feature_bn2")(x, mask=bn_mask if train else None)
+        x = TorchBatchNorm(use_running_average=not train, epsilon=2e-5, momentum=0.9,
+                           dtype=jnp.float32,
+                           name="feature_bn2")(x, mask=bn_mask if train else None)
         return x
 
 

@@ -1,0 +1,210 @@
+"""Training parity vs torch (BASELINE 'top-1 within 0.1%' evidence, VERDICT #6).
+
+Real timm weights / real datasets are unreachable in this environment (no
+network), so parity is established at the algorithm level: an nkbx model and a
+torch re-implementation of the same architecture start from IDENTICAL weights,
+train on IDENTICAL batches with the same optimizer/loss, and must produce the
+same losses, the same running BN statistics, and the same held-out top-1.
+Combined with the per-family converter forward-parity tests (test_convert.py)
+and optimizer step-parity tests (test_optim.py), this covers the full
+fine-tune pipeline the reference runs (train.py:19-77).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# TorchBatchNorm unit parity
+# ---------------------------------------------------------------------------
+
+
+class TestTorchBatchNormSemantics:
+    def test_matches_torch_batchnorm2d_over_steps(self):
+        import torch
+
+        from nkbx.models.common import TorchBatchNorm
+
+        rng = np.random.default_rng(0)
+        mod = TorchBatchNorm(use_running_average=False, momentum=0.9)
+        x0 = rng.normal(size=(4, 5, 5, 3)).astype(np.float32)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+
+        tbn = torch.nn.BatchNorm2d(3, momentum=0.1)  # torch 0.1 == nkbx 0.9
+        tbn.train()
+
+        stats = variables["batch_stats"]
+        for i in range(3):
+            x = rng.normal(size=(4, 5, 5, 3)).astype(np.float32) * (i + 1)
+            y, mut = mod.apply({"params": variables["params"], "batch_stats": stats},
+                               jnp.asarray(x), mutable=["batch_stats"])
+            stats = mut["batch_stats"]
+            with torch.no_grad():
+                ty = tbn(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+            np.testing.assert_allclose(
+                np.asarray(y), np.transpose(ty.numpy(), (0, 2, 3, 1)), atol=1e-5)
+
+        np.testing.assert_allclose(np.asarray(stats["mean"]),
+                                   tbn.running_mean.numpy(), atol=1e-6)
+        # the point of TorchBatchNorm: running var is the UNBIASED one
+        np.testing.assert_allclose(np.asarray(stats["var"]),
+                                   tbn.running_var.numpy(), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# torch replica of nkbx resnet_tiny_test + head
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_replica(n_classes):
+    import torch
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        def __init__(self, inc, c, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inc, c, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(c)
+            self.conv2 = nn.Conv2d(c, c, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(c)
+            self.down = nn.Sequential(
+                nn.Conv2d(inc, c, 1, stride, 0, bias=False), nn.BatchNorm2d(c))
+
+        def forward(self, x):
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + self.down(x))
+
+    class TinyResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 16, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(16)
+            self.pool = nn.MaxPool2d(3, 2, 1)
+            self.block1 = BasicBlock(16, 64, 1)
+            self.block2 = BasicBlock(64, 128, 2)
+            self.head = nn.Linear(128, n_classes)
+
+        def forward(self, x):
+            x = self.pool(torch.relu(self.bn1(self.conv1(x))))
+            x = self.block2(self.block1(x))
+            x = x.mean(dim=(2, 3))
+            return self.head(x)
+
+    return TinyResNet()
+
+
+def _copy_nkbx_params_into_torch(model, tmodel):
+    """nkbx resnet_tiny_test variables -> the torch replica (exact copy)."""
+    import torch
+
+    p = model.params["backbone"]
+    s = model.batch_stats["backbone"]
+    head = model.params["head"]
+
+    def conv_w(tree):
+        return torch.tensor(np.transpose(np.asarray(tree["kernel"]), (3, 2, 0, 1)))
+
+    def load_bn(tbn, params, stats):
+        tbn.weight.data = torch.tensor(np.asarray(params["scale"]))
+        tbn.bias.data = torch.tensor(np.asarray(params["bias"]))
+        tbn.running_mean.data = torch.tensor(np.asarray(stats["mean"]))
+        tbn.running_var.data = torch.tensor(np.asarray(stats["var"]))
+
+    tmodel.conv1.weight.data = conv_w(p["ConvBN_0"]["Conv_0"])
+    load_bn(tmodel.bn1, p["ConvBN_0"]["BatchNorm_0"], s["ConvBN_0"]["BatchNorm_0"])
+    for bi, tb in ((0, tmodel.block1), (1, tmodel.block2)):
+        f = f"BasicBlock_{bi}"
+        tb.conv1.weight.data = conv_w(p[f]["ConvBN_0"]["Conv_0"])
+        load_bn(tb.bn1, p[f]["ConvBN_0"]["BatchNorm_0"], s[f]["ConvBN_0"]["BatchNorm_0"])
+        tb.conv2.weight.data = conv_w(p[f]["ConvBN_1"]["Conv_0"])
+        load_bn(tb.bn2, p[f]["ConvBN_1"]["BatchNorm_0"], s[f]["ConvBN_1"]["BatchNorm_0"])
+        tb.down[0].weight.data = conv_w(p[f]["downsample"]["Conv_0"])
+        load_bn(tb.down[1], p[f]["downsample"]["BatchNorm_0"], s[f]["downsample"]["BatchNorm_0"])
+    tmodel.head.weight.data = torch.tensor(np.transpose(np.asarray(head["kernel"]), (1, 0)))
+    tmodel.head.bias.data = torch.tensor(np.asarray(head["bias"]))
+
+
+@pytest.fixture(scope="module")
+def parity_run():
+    """Train both frameworks on identical data; return their trajectories."""
+    import torch
+
+    from nkbx.models import get_model
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+    n_classes, bsz, steps, lr = 3, 8, 10, 0.05
+    rng = np.random.default_rng(0)
+
+    # class-separable synthetic data (float inputs used directly, no augment)
+    def make_split(n):
+        labels = rng.integers(0, n_classes, n).astype(np.int64)
+        x = rng.normal(size=(n, 32, 32, 3)).astype(np.float32) * 0.4
+        for c in range(n_classes):
+            x[labels == c, :, :, c % 3] += 0.6 * (c + 1)
+        return x, labels
+
+    train_x, train_y = make_split(bsz * 4)
+    val_x, val_y = make_split(64)
+
+    model = get_model(
+        {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+        classes=[f"c{i}" for i in range(n_classes)], input_size=(32, 32),
+        seed=0, dtype=jnp.float32,
+    )
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+    bundle = get_optimizer(model.params, {"type": "sgd", "lr": lr})
+    step = build_train_step(model, criterion, bundle)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+
+    tmodel = _build_torch_replica(n_classes)
+    _copy_nkbx_params_into_torch(model, tmodel)
+    topt = torch.optim.SGD(tmodel.parameters(), lr=lr)
+    tloss_fn = torch.nn.CrossEntropyLoss()
+
+    key = jax.random.PRNGKey(0)
+    one = jnp.asarray(1.0)
+    nkbx_losses, torch_losses = [], []
+    tmodel.train()
+    for i in range(steps):
+        s = slice((i % 4) * bsz, (i % 4 + 1) * bsz)
+        xb, yb = train_x[s], train_y[s]
+        state, metrics = step(state, jnp.asarray(xb), jnp.asarray(yb),
+                              jnp.ones(bsz, bool), key, one, one)
+        nkbx_losses.append(float(metrics["loss"]))
+
+        topt.zero_grad()
+        out = tmodel(torch.tensor(np.transpose(xb, (0, 3, 1, 2))))
+        loss = tloss_fn(out, torch.tensor(yb))
+        loss.backward()
+        topt.step()
+        torch_losses.append(loss.item())
+
+    # eval with running statistics (the reference's val path)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    nkbx_logits = np.asarray(model.module.apply(variables, jnp.asarray(val_x), train=False))
+    tmodel.eval()
+    with torch.no_grad():
+        torch_logits = tmodel(torch.tensor(np.transpose(val_x, (0, 3, 1, 2)))).numpy()
+    return {
+        "nkbx_losses": nkbx_losses, "torch_losses": torch_losses,
+        "nkbx_logits": nkbx_logits, "torch_logits": torch_logits, "val_y": val_y,
+    }
+
+
+class TestTrainingParity:
+    def test_loss_trajectories_match(self, parity_run):
+        np.testing.assert_allclose(parity_run["nkbx_losses"],
+                                   parity_run["torch_losses"], rtol=2e-3, atol=2e-4)
+
+    def test_heldout_logits_match(self, parity_run):
+        np.testing.assert_allclose(parity_run["nkbx_logits"],
+                                   parity_run["torch_logits"], atol=5e-3)
+
+    def test_top1_identical(self, parity_run):
+        nkbx_top1 = (parity_run["nkbx_logits"].argmax(1) == parity_run["val_y"]).mean()
+        torch_top1 = (parity_run["torch_logits"].argmax(1) == parity_run["val_y"]).mean()
+        # BASELINE target row 2: top-1 within 0.1% — here exactly equal
+        assert nkbx_top1 == torch_top1
