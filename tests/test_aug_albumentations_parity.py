@@ -1,0 +1,186 @@
+"""Albumentations-parity tests for the heavy device augs (VERDICT r1 #7).
+
+albumentations is not installed in this environment, so parity is pinned three
+ways, strongest first:
+
+1. **Deterministic point-limits**: with degenerate parameter ranges (lo == hi)
+   the albumentations op reduces to a closed-form formula
+   (albumentations.augmentations.functional brightness_contrast_adjust /
+   add_fog); the nkbx kernel must reproduce it exactly (float vs the
+   reference's uint8 round-trip -> atol ~1).
+2. **Independent cv2 reference** for HSV: albumentations implements
+   HueSaturationValue via cv2 color conversion + channel shifts; cv2 IS
+   installed, so the nkbx kernel is compared against a cv2-computed reference
+   (tolerances cover the uint8 quantization the reference applies per-op).
+3. **Distribution moments** for randomized parameters at p=1, vs numpy
+   sampling of the same documented parameter distributions.
+
+A fourth tier runs the REAL albumentations comparison when the package is
+importable (skipped here, active in environments that have it).
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nkbx.transforms as T
+
+
+def _apply(pipeline_ops, batch_u8, seed=0):
+    pipe = T.Compose(list(pipeline_ops))
+    out = pipe.device_apply(jnp.asarray(batch_u8), jax.random.PRNGKey(seed), True)
+    return np.asarray(out)
+
+
+def _batch(rng, n=8, h=24, w=24):
+    return rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+
+
+class TestBrightnessContrastPointParity:
+    def test_by_max_formula_exact(self, rng):
+        """albumentations brightness_contrast_adjust(beta_by_max=True):
+        img' = clip(img * alpha + beta * max_value)."""
+        x = _batch(rng)
+        alpha, beta = 1.3, 0.1
+        got = _apply([T.RandomBrightnessContrast(
+            brightness_limit=(beta, beta), contrast_limit=(alpha - 1, alpha - 1),
+            brightness_by_max=True, p=1.0)], x)
+        want = np.clip(x.astype(np.float32) * alpha + beta * 255.0, 0, 255)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_by_mean_formula_exact(self, rng):
+        """beta_by_max=False: beta scales the per-image mean."""
+        x = _batch(rng)
+        alpha, beta = 0.8, -0.15
+        got = _apply([T.RandomBrightnessContrast(
+            brightness_limit=(beta, beta), contrast_limit=(alpha - 1, alpha - 1),
+            brightness_by_max=False, p=1.0)], x)
+        mean = x.astype(np.float32).mean(axis=(1, 2, 3), keepdims=True)
+        want = np.clip(x.astype(np.float32) * alpha + beta * mean, 0, 255)
+        np.testing.assert_allclose(got, want, atol=1e-2)
+
+    def test_distribution_moments(self, rng):
+        """Random alpha/beta at p=1 on a constant image: per-sample outputs are
+        clip(v*alpha + beta*255); compare mean/std against numpy sampling of
+        the same U(1-c,1+c) x U(-b,b) parameter law."""
+        v = 100.0
+        x = np.full((512, 8, 8, 3), v, np.uint8)
+        got = _apply([T.RandomBrightnessContrast(0.2, 0.2, p=1.0)], x, seed=3)
+        per_sample = got.mean(axis=(1, 2, 3))
+
+        r = np.random.default_rng(0)
+        alpha = 1 + r.uniform(-0.2, 0.2, 200000)
+        beta = r.uniform(-0.2, 0.2, 200000)
+        ref = np.clip(v * alpha + beta * 255, 0, 255)
+        assert abs(per_sample.mean() - ref.mean()) < 1.5
+        assert abs(per_sample.std() - ref.std()) < 1.5
+
+
+class TestHSVvsCv2:
+    def _cv2_hsv_shift(self, x, dh, ds, dv):
+        """Reference implementation via cv2 (the backend albumentations uses),
+        in float to avoid double-quantization."""
+        out = np.empty_like(x, np.float32)
+        for i in range(x.shape[0]):
+            hsv = cv2.cvtColor(x[i].astype(np.float32) / 255.0, cv2.COLOR_RGB2HSV)
+            # cv2 float HSV: H in [0,360), S/V in [0,1]; uint8 convention is
+            # H/2 in [0,180), S/V*255 — apply the uint8-scale shifts
+            hsv[..., 0] = np.mod(hsv[..., 0] + 2 * dh, 360.0)
+            hsv[..., 1] = np.clip(hsv[..., 1] + ds / 255.0, 0, 1)
+            hsv[..., 2] = np.clip(hsv[..., 2] + dv / 255.0, 0, 1)
+            out[i] = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB) * 255.0
+        return np.clip(out, 0, 255)
+
+    def test_point_shift_matches_cv2(self, rng):
+        x = _batch(rng, n=4)
+        dh, ds, dv = 12.0, 25.0, -18.0
+        got = _apply([T.HueSaturationValue(
+            hue_shift_limit=(dh, dh), sat_shift_limit=(ds, ds),
+            val_shift_limit=(dv, dv), p=1.0)], x)
+        want = self._cv2_hsv_shift(x, dh, ds, dv)
+        # V shifts change the hexcone scale; both sides are float math on the
+        # same cv2 convention — tolerance covers order-of-ops differences
+        np.testing.assert_allclose(got, want, atol=1.5)
+
+    def test_zero_shift_is_identity(self, rng):
+        x = _batch(rng, n=4)
+        got = _apply([T.HueSaturationValue((0, 0), (0, 0), (0, 0), p=1.0)], x)
+        np.testing.assert_allclose(got, x.astype(np.float32), atol=0.51)
+
+
+class TestCoarseDropoutDistribution:
+    def test_hole_geometry_and_fill(self, rng):
+        x = np.full((16, 32, 32, 3), 200, np.uint8)
+        hole = 8
+        got = _apply([T.CoarseDropout(
+            max_holes=1, min_holes=1, max_height=hole, min_height=hole,
+            max_width=hole, min_width=hole, fill_value=0, p=1.0)], x)
+        dropped = (got == 0).all(axis=-1)  # (B, H, W)
+        per_img = dropped.sum(axis=(1, 2))
+        assert (per_img == hole * hole).all()  # exactly one full hole inside
+        # the hole is an axis-aligned rectangle
+        for i in range(len(got)):
+            ys, xs = np.nonzero(dropped[i])
+            assert ys.max() - ys.min() + 1 == hole and xs.max() - xs.min() + 1 == hole
+
+    def test_expected_area_fraction(self, rng):
+        """Over many samples, mean dropped fraction ~ n_holes*h*w/(H*W) (hole
+        placement uniform, as albumentations draws y1~U(0,H-h))."""
+        x = np.full((256, 32, 32, 3), 200, np.uint8)
+        got = _apply([T.CoarseDropout(
+            max_holes=3, min_holes=3, max_height=6, min_height=6,
+            max_width=6, min_width=6, fill_value=0, p=1.0)], x, seed=5)
+        frac = (got == 0).all(axis=-1).mean()
+        # 3 holes x 36px over 1024px, minus expected overlap of independent holes
+        per_hole = 36 / 1024
+        expect = 1 - (1 - per_hole) ** 3
+        assert abs(frac - expect) < 0.02
+
+
+class TestMotionBlurProperties:
+    """MotionBlur is a self-declared approximation of albumentations' cv2.line
+    rasterization (transforms/spec.py): the invariants that matter for
+    training are pinned — normalized kernel (mean preservation), directional
+    smoothing, identity at ksize=1-equivalent."""
+
+    def test_mean_preserved_and_variance_reduced(self, rng):
+        x = _batch(rng, n=16, h=32, w=32)
+        got = _apply([T.MotionBlur(blur_limit=(7, 7), p=1.0)], x, seed=2)
+        for i in range(len(got)):
+            # reflect padding keeps the global mean ~invariant under a
+            # normalized kernel
+            assert abs(got[i].mean() - x[i].astype(np.float32).mean()) < 2.0
+            assert got[i].std() < x[i].astype(np.float32).std()
+
+    def test_blur_is_a_straight_line_kernel(self, rng):
+        """A single bright pixel smears into a straight segment of ~ksize
+        total mass along one direction."""
+        x = np.zeros((32, 33, 33, 3), np.uint8)
+        x[:, 16, 16, :] = 255
+        got = _apply([T.MotionBlur(blur_limit=(9, 9), p=1.0)], x, seed=7)
+        for i in range(len(got)):
+            nz = np.argwhere(got[i, :, :, 0] > 1)
+            assert 2 <= len(nz) <= 9  # a centered segment, not a blob
+            # collinearity: all lit pixels within ~1px of the best-fit line
+            pts = nz - nz.mean(axis=0)
+            if len(pts) > 2:
+                _, sv, _ = np.linalg.svd(pts, full_matrices=False)
+                assert sv[1] < 1.2  # second singular value ~ perpendicular spread
+            np.testing.assert_allclose(got[i].sum(), x[i].sum(), rtol=0.05)
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("albumentations") is None,
+    reason="albumentations not installed (tier-4 direct comparison)")
+class TestDirectAlbumentations:
+    def test_brightness_contrast_matches(self, rng):
+        import albumentations as A
+
+        x = _batch(rng, n=1)[0]
+        ref = A.Compose([A.RandomBrightnessContrast(
+            brightness_limit=(0.1, 0.1), contrast_limit=(0.3, 0.3), p=1.0)])(image=x)["image"]
+        got = _apply([T.RandomBrightnessContrast(
+            brightness_limit=(0.1, 0.1), contrast_limit=(0.3, 0.3), p=1.0)], x[None])[0]
+        np.testing.assert_allclose(got, ref.astype(np.float32), atol=1.0)
