@@ -104,21 +104,42 @@ class TPUServingModule:
 
     def benchmark(self, batch_size: int = 32, iters: int = 100):
         """p50/p99 latency + throughput for one bucket (trtmodule.py:117-124,
-        but actually measuring)."""
+        but actually measuring).
+
+        Reports two tiers: ``p50_ms``/``p99_ms`` time the full ``forward``
+        (host input -> H2D -> compute -> D2H sync), while ``compute_p50_ms``
+        stages the input on device once and times only the compiled program.
+        On tunneled dev TPUs the end-to-end numbers are dominated by the
+        tunnel's host<->device link; production hosts move batches over PCIe.
+        """
         h, w = self.metadata["imgsz"]
         x = np.random.default_rng(0).random((batch_size, h, w, 3), dtype=np.float32)
         self._sync(self.forward(x))  # compile
+
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             self._sync(self.forward(x))
             times.append(time.perf_counter() - t0)
         times = np.asarray(times)
+
+        xd = jnp.asarray(x, dtype=self._exported.in_avals[0].dtype)
+        self._sync(self._call(xd))
+        ctimes = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = self._call(xd)
+            self._sync(out)
+            ctimes.append(time.perf_counter() - t0)
+        ctimes = np.asarray(ctimes)
+
         return {
             "batch_size": batch_size,
             "p50_ms": float(np.percentile(times, 50) * 1e3),
             "p99_ms": float(np.percentile(times, 99) * 1e3),
             "images_per_sec": float(batch_size / np.median(times)),
+            "compute_p50_ms": float(np.percentile(ctimes, 50) * 1e3),
+            "compute_images_per_sec": float(batch_size / np.median(ctimes)),
         }
 
 
