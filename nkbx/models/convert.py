@@ -70,13 +70,39 @@ def _set(tree, path, value):
     node[path[-1]] = np.asarray(value)
 
 
-def convert_resnet_state_dict(state_dict, stage_sizes, tiered_stem=False):
+def s2d_conv1_weight(w_hwio):
+    """Regroup a (7,7,C,O) stem kernel for the space-to-depth stem: zero-pad to
+    8x8 at offset (1,1), split each spatial dim into (tap, parity) and fold the
+    2x2 parity into channels -> (4,4,4C,O). Exactly reproduces conv7x7/s2 pad 3
+    as conv4x4/s1 pad (2,1) over the space_to_depth(2) input (nkbx ResNet
+    ``s2d_stem``)."""
+    w = np.asarray(w_hwio)
+    kh, kw, c, o = w.shape
+    assert kh == 7 and kw == 7, f"s2d stem expects a 7x7 kernel, got {w.shape}"
+    wp = np.zeros((8, 8, c, o), w.dtype)
+    wp[1:8, 1:8] = w
+    return wp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, o)
+
+
+def s2d_conv1_weight_inverse(w2):
+    """(4,4,4C,O) s2d stem kernel -> the equivalent (7,7,C,O) conv kernel
+    (drops the masked dead row/column; inverse of :func:`s2d_conv1_weight`)."""
+    w2 = np.asarray(w2)
+    _, _, cc, o = w2.shape
+    c = cc // 4
+    wp = w2.reshape(4, 4, 2, 2, c, o).transpose(0, 2, 1, 3, 4, 5).reshape(8, 8, c, o)
+    return wp[1:8, 1:8]
+
+
+def convert_resnet_state_dict(state_dict, stage_sizes, tiered_stem=False,
+                              s2d_stem=True):
     """timm ResNet state_dict -> (params, batch_stats) for nkbx ResNet.
 
-    Handles the default 7x7 stem and the tiered 3x conv stem (timm *t models:
-    conv1 is a Sequential of conv/bn/act x3 with the last bn named ``bn1``).
-    Blocks are flat-numbered in nkbx (BasicBlock_k / Bottleneck_k across
-    stages) matching timm's layer{L}.{B} in order.
+    Handles the default 7x7 stem (regrouped for the space-to-depth stem unless
+    ``s2d_stem=False``) and the tiered 3x conv stem (timm *t models: conv1 is a
+    Sequential of conv/bn/act x3 with the last bn named ``bn1``). Blocks are
+    flat-numbered in nkbx (BasicBlock_k / Bottleneck_k across stages) matching
+    timm's layer{L}.{B} in order.
     """
     params: dict = {}
     stats: dict = {}
@@ -100,7 +126,10 @@ def convert_resnet_state_dict(state_dict, stage_sizes, tiered_stem=False):
         _set(params, ("ConvBN_2", "Conv_0", "kernel"), _conv_w(sd["conv1.6.weight"]))
         put_bn("bn1", ("ConvBN_2", "BatchNorm_0"))
     else:
-        _set(params, ("ConvBN_0", "Conv_0", "kernel"), _conv_w(sd["conv1.weight"]))
+        w = _conv_w(sd["conv1.weight"])
+        if s2d_stem:
+            w = s2d_conv1_weight(w)
+        _set(params, ("ConvBN_0", "Conv_0", "kernel"), w)
         put_bn("bn1", ("ConvBN_0", "BatchNorm_0"))
 
     # blocks: layer{L}.{B} -> {block_name}_{k} flat across stages

@@ -12,9 +12,76 @@ from functools import partial
 from typing import Any, Sequence, Type
 
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from nkbx.models.common import ConvBN, global_avg_pool
+
+
+def space_to_depth(x, block: int = 2):
+    """(B, H, W, C) -> (B, H/b, W/b, b*b*C); channel order (row, col, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def _s2d_tap_mask(c: int) -> np.ndarray:
+    """(4, 4, 4c, 1) 0/1 mask of the LIVE taps of the s2d stem kernel.
+
+    The 4x4-over-blocks kernel covers an 8x8 input window; the original 7x7
+    window occupies offsets 1..7, so taps at absolute offset 0 (u==0,r==0 /
+    v==0,s==0) do not exist in the 7x7 conv. Masking them in the FORWARD keeps
+    training exactly equivalent to the 7x7 stem: their gradient is zeroed, so
+    the effective kernel never grows the extra row/column."""
+    m = np.zeros((4, 4, 2, 2, c), np.float32)
+    for u in range(4):
+        for v in range(4):
+            for r in range(2):
+                for s in range(2):
+                    if 2 * u + r > 0 and 2 * v + s > 0:
+                        m[u, v, r, s] = 1.0
+    return m.reshape(4, 4, 4 * c)[..., None]
+
+
+class _MaskedS2DConv(nn.Module):
+    """4x4/s1 conv over the space-to-depth input with dead taps masked out
+    (param tree path kept identical to nn.Conv: <name>/kernel)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4, 4, c, self.features), jnp.float32)
+        mask = jnp.asarray(_s2d_tap_mask(c // 4))
+        k = (kernel * mask).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class S2DStemConvBN(nn.Module):
+    """Space-to-depth stem ConvBN (same tree paths as ConvBN: Conv_0 +
+    BatchNorm_0, so converted checkpoints slot in unchanged)."""
+
+    features: int
+    dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        from nkbx.models.common import TorchBatchNorm
+
+        x = _MaskedS2DConv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        x = TorchBatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                           dtype=self.dtype, name="BatchNorm_0")(
+            x, mask=mask if train else None)
+        return nn.relu(x)
 
 
 class BasicBlock(nn.Module):
@@ -58,6 +125,12 @@ class ResNet(nn.Module):
     stem_width: int = 64
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
+    # EXACT space-to-depth reparametrization of the default 7x7/s2 stem conv
+    # (the MLPerf ResNet TPU trick): input -> (H/2, W/2, 12), kernel zero-padded
+    # to 8x8 and regrouped to 4x4x12, stride 1 — same linear map, measured 35%
+    # faster fwd+dW on the dev chip (PERF.md). Requires even H and W. Converted
+    # torch conv1 weights are regrouped by nkbx.models.convert.s2d_conv1_weight.
+    s2d_stem: bool = True
 
     @property
     def num_features(self):
@@ -71,6 +144,18 @@ class ResNet(nn.Module):
             x = ConvBN(3 * w // 4, 3, 2, dtype=self.dtype)(x, train, mask)
             x = ConvBN(w, 3, 1, dtype=self.dtype)(x, train, mask)
             x = ConvBN(2 * w, 3, 1, dtype=self.dtype)(x, train, mask)
+        elif self.s2d_stem:
+            if x.shape[1] % 2 or x.shape[2] % 2:
+                raise ValueError(
+                    f"s2d_stem requires even input H/W, got {x.shape[1:3]}; "
+                    "construct ResNet(s2d_stem=False) for odd sizes"
+                )
+            x = space_to_depth(x, 2)
+            # pad (2,1): 8x8 zero-padded kernel at offset (1,1) over 2x2 blocks
+            # reproduces conv7x7/s2 pad 3 exactly (see s2d_conv1_weight); dead
+            # taps masked so training stays 7x7-equivalent
+            x = S2DStemConvBN(self.stem_width, dtype=self.dtype,
+                              name="ConvBN_0")(x, train, mask)
         else:
             x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -86,9 +86,11 @@ class TestPretrainedEndToEnd:
             {"task": "single", "model": "resnet_tiny_test", "pretrained": True},
             classes=["a", "b"], input_size=(32, 32), dtype=jnp.float32,
         )
+        from nkbx.models.convert import s2d_conv1_weight
+
         sd = _synthetic_tiny_resnet_sd(np.random.default_rng(42))
         got = np.asarray(model.params["backbone"]["ConvBN_0"]["Conv_0"]["kernel"])
-        want = np.transpose(sd["conv1.weight"], (2, 3, 1, 0))
+        want = s2d_conv1_weight(np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
         np.testing.assert_array_equal(got, want)
         got_var = np.asarray(
             model.batch_stats["backbone"]["BasicBlock_1"]["ConvBN_1"]["BatchNorm_0"]["var"]

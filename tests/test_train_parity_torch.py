@@ -113,7 +113,13 @@ def _copy_nkbx_params_into_torch(model, tmodel):
         tbn.running_mean.data = torch.tensor(np.asarray(stats["mean"]))
         tbn.running_var.data = torch.tensor(np.asarray(stats["var"]))
 
-    tmodel.conv1.weight.data = conv_w(p["ConvBN_0"]["Conv_0"])
+    from nkbx.models.convert import s2d_conv1_weight_inverse
+
+    # the nkbx stem is the space-to-depth reparametrization (dead taps masked,
+    # so training IS 7x7-equivalent): invert it for the torch replica
+    tmodel.conv1.weight.data = torch.tensor(np.transpose(
+        s2d_conv1_weight_inverse(np.asarray(p["ConvBN_0"]["Conv_0"]["kernel"])),
+        (3, 2, 0, 1)))
     load_bn(tmodel.bn1, p["ConvBN_0"]["BatchNorm_0"], s["ConvBN_0"]["BatchNorm_0"])
     for bi, tb in ((0, tmodel.block1), (1, tmodel.block2)):
         f = f"BasicBlock_{bi}"
