@@ -189,6 +189,22 @@ state, results = train_epoch(state, loader, step, 0, jax.random.PRNGKey(0),
                              mesh=mesh, progress=False)
 metrics = compute_metrics({"task": "single"}, results)
 
+# multi-host checkpoint: orbax save with cross-process barriers, then a
+# restore that must reproduce the trained params exactly
+from nkbx.train.checkpoint import restore_train_state, save_checkpoint
+
+ckpt_dir = os.path.join(out_dir, "ckpt")
+save_checkpoint(ckpt_dir, state, epoch=0, best_val_acc=0.5)
+template = TrainState.create(model.params, model.batch_stats, bundle.tx)
+template = jax.device_put(template, replicated_sharding(mesh))
+restored, r_epoch, r_best = restore_train_state(ckpt_dir, template)
+assert r_epoch == 0 and abs(r_best - 0.5) < 1e-9
+for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                jax.tree_util.tree_leaves(state.params)):
+    import numpy as _np
+    _np.testing.assert_array_equal(_np.asarray(a.addressable_data(0)),
+                                   _np.asarray(b.addressable_data(0)))
+
 from jax.experimental import multihost_utils
 params = multihost_utils.process_allgather(state.params, tiled=True)
 flat = {jax.tree_util.keystr(p): np.asarray(v).ravel()[:5].round(6).tolist()
@@ -199,6 +215,7 @@ with open(os.path.join(out_dir, f"train{pid}.json"), "w") as f:
     json.dump({"params_head": flat, "checksum": round(checksum, 4),
                "running_loss": [round(float(x), 5) for x in results["running_loss"]],
                "epoch_acc": metrics["epoch_acc"],
+               "checkpoint_ok": os.path.isdir(ckpt_dir),
                "ground_truth": results["ground_truth"]}, f)
 """
 
@@ -288,6 +305,11 @@ class TestFullTrainingLockstep:
         assert a["params_head"] == b["params_head"]
         assert a["running_loss"] == b["running_loss"]
         assert a["epoch_acc"] == b["epoch_acc"]
+
+    def test_multi_host_checkpoint_roundtrip(self, lockstep_runs):
+        # the worker saved an orbax checkpoint across both processes and
+        # restored it to bit-equal params (barriers + atomic swap exercised)
+        assert all(r["checkpoint_ok"] for r in lockstep_runs)
 
     def test_matches_single_process(self, lockstep_dataset, lockstep_runs):
         results, metrics, checksum = _single_process_run(lockstep_dataset)
