@@ -17,8 +17,9 @@ def evaluate(model, val_loader, criterion, cfg, mesh=None):
                        opt_state=(), step=0)
     augment = val_loader.pipeline.device_apply if val_loader.pipeline else None
     eval_step = build_eval_step(model, criterion, augment_fn=augment)
+    mode = getattr(cfg, "metrics_accumulation", "exact")
     results = val_epoch(state, val_loader, eval_step,
-                        epoch_logger=EpochCollector(cfg.task), mesh=mesh)
+                        epoch_logger=EpochCollector(cfg.task, mode), mesh=mesh)
     return compute_metrics(cfg, results)
 
 

@@ -20,8 +20,6 @@ import os
 import pickle as pkl
 import zipfile
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
 from nkbx.utils import get_classes_configs, load_classes

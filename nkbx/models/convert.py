@@ -15,7 +15,6 @@ Tensor layout rules:
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 

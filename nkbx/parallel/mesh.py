@@ -21,7 +21,6 @@ mesh then spans all processes and per-host data loading shards by
 
 from __future__ import annotations
 
-import math
 
 import jax
 import numpy as np

@@ -16,7 +16,7 @@ end, preserving the exact per-sample values sklearn metrics need.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

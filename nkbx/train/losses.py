@@ -16,8 +16,6 @@ shapes static); masked-out rows contribute nothing.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,6 @@ import math
 from typing import Callable, NamedTuple
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from nkbx.models.classifier import param_labels
