@@ -162,3 +162,65 @@ class TestMaskedBN:
         diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
                  for a, b in zip(*outs)]
         assert max(diffs) > 1e-3
+
+
+class TestMaskedBNUnicom:
+    """The unicom feature head carries BatchNorm1d (2-D activations): the
+    sample mask must weight padded rows out of those stats too."""
+
+    def test_padded_matches_valid_only(self):
+        import jax
+
+        from nkbx.models.classifier import SingletaskClassifier
+        from nkbx.models.vit import UnicomViT
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+        def build():
+            backbone = UnicomViT(patch_size=8, dim=32, depth=1, n_heads=2,
+                                 embedding_size=16, input_size=16, dtype=jnp.float32)
+            module = SingletaskClassifier(backbone=backbone, n_classes=3)
+            dummy = jnp.zeros((1, 16, 16, 3), jnp.float32)
+            variables = module.init({"params": jax.random.PRNGKey(0)}, dummy, train=False)
+
+            class M:
+                pass
+
+            m = M()
+            m.module = module
+            m.params = variables["params"]
+            m.batch_stats = variables.get("batch_stats", {})
+            return m
+
+        r = np.random.default_rng(0)
+        n_valid, bsz = 5, 8
+        img = r.normal(size=(bsz, 16, 16, 3)).astype(np.float32)
+        img[n_valid:] = 0.0
+        lab = np.zeros(bsz, np.int64)
+        lab[:n_valid] = r.integers(0, 3, n_valid)
+        mask = np.zeros(bsz, bool)
+        mask[:n_valid] = True
+        one = jnp.asarray(1.0)
+        key = jax.random.PRNGKey(0)
+
+        outs = []
+        for masked, (im, lb, mk) in (
+            (True, (img, lab, mask)),
+            (False, (img[:n_valid], lab[:n_valid], np.ones(n_valid, bool))),
+        ):
+            model = build()
+            criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+            bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.1})
+            step = build_train_step(model, criterion, bundle, masked_bn=masked)
+            state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+            state, metrics = step(state, jnp.asarray(im), jnp.asarray(lb),
+                                  jnp.asarray(mk), key, one, one)
+            outs.append((float(metrics["loss"]), state.batch_stats))
+
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+        a = {jax.tree_util.keystr(p): np.asarray(v)
+             for p, v in jax.tree_util.tree_leaves_with_path(outs[0][1])}
+        b = {jax.tree_util.keystr(p): np.asarray(v)
+             for p, v in jax.tree_util.tree_leaves_with_path(outs[1][1])}
+        assert a.keys() == b.keys() and any("feature_bn" in k for k in a)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=1e-5, err_msg=k)
