@@ -4,9 +4,11 @@
     python export.py -cfg config.py --to stablehlo -w ... --input-shape 1 224 224 3
 
 Formats:
-    serving    .nkbx bundle (JSON metadata + StableHLO, dynamic-batch) for
-               nkbx.export.TPUServingModule — replaces ONNX+TensorRT engines
-    stablehlo  human-readable StableHLO MLIR text — replaces raw ONNX export
+    serving     .nkbx bundle (JSON metadata + StableHLO, dynamic-batch) for
+                nkbx.export.TPUServingModule — replaces ONNX+TensorRT engines
+    stablehlo   human-readable StableHLO MLIR text — replaces raw ONNX export
+    savedmodel  TF SavedModel via jax2tf — the portable-artifact analog of the
+                reference's ONNX export (TF Serving / TFLite / tf2onnx)
 """
 
 import argparse
@@ -26,7 +28,8 @@ def str2bool(v):
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("-cfg", "--config", type=str, required=True, help="Config file path")
-    parser.add_argument("--to", type=str, required=True, help="serving or stablehlo")
+    parser.add_argument("--to", type=str, required=True,
+                        help="serving | stablehlo | savedmodel (TF, via jax2tf)")
     parser.add_argument("-w", "--weights", type=str, required=True,
                         help="nkbx checkpoint (orbax dir or .msgpack)")
     parser.add_argument("--dynamic", type=str, default="batch",
@@ -38,7 +41,7 @@ def parse_args():
     parser.add_argument("--half", type=str2bool, nargs="?", const=True, default=False,
                         help="bf16 inference I/O (TPU-native half precision)")
     args = parser.parse_args()
-    assert args.to in ("serving", "stablehlo")
+    assert args.to in ("serving", "stablehlo", "savedmodel")
     assert args.dynamic in ("batch", "none", "all")
     assert len(args.input_shape) == 4
     return args
@@ -75,7 +78,14 @@ def main(args):
     metadata = make_metadata(classes, args.input_shape, cfg.task,
                              description=f"nkbx classification model ({exp_name})")
 
-    if args.to == "serving":
+    if args.to == "savedmodel":
+        from nkbx.export import export_savedmodel
+
+        out = save_dir / f"{stem}_savedmodel"
+        export_savedmodel(model, args.input_shape, out, metadata=metadata,
+                          dynamic_batch=(args.dynamic != "none"), dtype=dtype)
+        print(f"savedmodel export success, saved as {out}")
+    elif args.to == "serving":
         out = save_dir / f"{stem}.nkbx"
         path, meta = export_model(
             model, args.input_shape, out, metadata=metadata,

@@ -6,8 +6,17 @@ from nkbx.export.stablehlo import (
 )
 from nkbx.export.serving import ExportedModel, TPUServingModule, default_buckets
 
+
+def export_savedmodel(*args, **kwargs):
+    """Lazy wrapper: tensorflow imports are heavy, load only when used."""
+    from nkbx.export.savedmodel import export_savedmodel as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "export_model",
+    "export_savedmodel",
     "load_exported",
     "make_metadata",
     "save_stablehlo_text",

@@ -153,3 +153,24 @@ class TestWarmUpOnLoad:
                             lambda self, batches=None: warmed.append(batches))
         TPUServingModule(bundle[0], warm_up_on_load=False)
         assert warmed == []
+
+
+class TestSavedModelExport:
+    def test_roundtrip_logits_match(self, tiny_model, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+
+        from nkbx.export import export_savedmodel
+
+        out, meta = export_savedmodel(tiny_model, (4, 32, 32, 3), tmp_path / "sm")
+        assert (out / "metadata.json").exists() and (out / "classes.json").exists()
+
+        loaded = tf.saved_model.load(str(out))
+        x = np.random.default_rng(0).random((3, 32, 32, 3)).astype(np.float32)
+        got = np.asarray(loaded.f(tf.constant(x)))
+
+        import jax.numpy as jnp
+
+        want = np.asarray(tiny_model.module.apply(
+            tiny_model.variables, jnp.asarray(x), train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
