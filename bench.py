@@ -41,39 +41,46 @@ def main():
     ])
     criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
     bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.1})
+    # steps_per_dispatch: lax.scan K train steps per device dispatch — the
+    # per-dispatch host round trip through the tunnel costs ~1 ms/step
+    # otherwise (nkbx.train.build_train_step scan_steps / cfg
+    # steps_per_dispatch; per-step semantics identical, tests/test_engine.py)
+    K = 10
     train_step = build_train_step(model, criterion, bundle,
-                                  augment_fn=pipeline.device_apply)
+                                  augment_fn=pipeline.device_apply, scan_steps=K)
     state = TrainState.create(model.params, model.batch_stats, bundle.tx)
 
     r = np.random.default_rng(0)
-    image = jnp.asarray(r.integers(0, 255, (batch_size, 224, 224, 3)).astype(np.uint8))
-    label = jnp.asarray(r.integers(0, 1000, (batch_size,)).astype(np.int64))
-    mask = jnp.ones((batch_size,), bool)
+    image = jnp.asarray(np.broadcast_to(
+        r.integers(0, 255, (batch_size, 224, 224, 3)).astype(np.uint8),
+        (K, batch_size, 224, 224, 3)).copy())
+    label = jnp.asarray(np.broadcast_to(
+        r.integers(0, 1000, (batch_size,)).astype(np.int64), (K, batch_size)).copy())
+    mask = jnp.ones((K, batch_size), bool)
     key = jax.random.PRNGKey(0)
     one = jnp.asarray(1.0)
 
+    def sync(metrics):
+        # never block_until_ready on donated outputs (returns early on this
+        # backend); a dependent scalar fetch is the reliable sync
+        return float(metrics["loss"][-1])
+
     # Compile, then SYNC IMMEDIATELY (fetch the loss) before dispatching more
     # work: queueing executions behind an in-flight compilation degrades the
-    # tunneled-TPU session ~200x. Also never block_until_ready on donated
-    # outputs (returns early on this backend); a dependent scalar fetch is the
-    # reliable sync.
+    # tunneled-TPU session ~200x.
     state, metrics = train_step(state, image, label, mask, key, one, one)
-    float(metrics["loss"])
-    for _ in range(2):
-        state, metrics = train_step(state, image, label, mask, key, one, one)
-    float(metrics["loss"])
+    sync(metrics)
+    state, metrics = train_step(state, image, label, mask, key, one, one)
+    sync(metrics)
 
-    # Timing: dispatch all steps async, then force ONE D2H on the final loss.
-    # The loss of step N depends on the state chain through steps 0..N-1, so
-    # this waits for the whole pipeline without serializing per-step D2H
-    # round-trips (through the remote-TPU tunnel those cost ~0.5s each, and
-    # block_until_ready on donation-aliased outputs can return early).
-    iters = 20
+    # Timing: dispatch chunks async, then force ONE D2H on the final loss
+    # (it depends on the whole state chain through every step).
+    chunks = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(chunks):
         state, metrics = train_step(state, image, label, mask, key, one, one)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
+    sync(metrics)
+    dt = (time.perf_counter() - t0) / (chunks * K)
 
     ips = batch_size / dt
     print(json.dumps({

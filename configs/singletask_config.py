@@ -30,6 +30,12 @@ show_all_classes_in_confusion_matrix = True
 # accuracy stays exact, ROC-AUC within ~1/8192.
 metrics_accumulation = "exact"
 
+# lax.scan K train steps per device dispatch (1 = off). Amortizes the
+# per-dispatch host round trip on remote-hosted TPUs; per-step semantics are
+# unchanged. The loader feeds K batches per dispatch, so host prefetch must
+# keep up with K-step bursts.
+steps_per_dispatch = 1
+
 task = "single"
 
 # optional multi-chip mesh: {"data": 8} => 8-way data parallel

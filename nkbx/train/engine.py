@@ -79,7 +79,8 @@ def _bind_augment(module, augment_fn, train: bool):
 
 
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
-                     log_gradients: bool = False, masked_bn: bool = False):
+                     log_gradients: bool = False, masked_bn: bool = False,
+                     scan_steps: int = 1):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
     -> (state, metrics).
 
@@ -87,6 +88,13 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
     statistics (use when the loader may pad, i.e. ``drop_last=False``): the
     per-channel mean/var then equal the stats over only the valid rows, so a
     partial final batch trains exactly like a smaller batch would.
+
+    ``scan_steps > 1`` returns a MULTI-STEP program: image/label/mask carry a
+    leading (K,) dim and ``lax.scan`` runs K identical train steps in ONE
+    device dispatch (metrics come back stacked (K, ...)). Per-step semantics
+    are unchanged — the PRNG folds in ``state.step`` inside the body — but the
+    per-dispatch host round trip is paid once per K steps, which matters on
+    remote-hosted/tunneled TPUs (~1 ms/step on the dev chip, PERF.md).
     """
     module = model.module
     augment = _bind_augment(module, augment_fn, train=True)
@@ -131,9 +139,21 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
             }
         return new_state, metrics
 
-    jitted = jax.jit(train_step, donate_argnums=(0,))
+    if scan_steps > 1:
+        def multi_step(state: TrainState, images, labels, masks, key, lr_factor,
+                       freeze_scale):
+            def body(st, xs):
+                im, lb, mk = xs
+                return train_step(st, im, lb, mk, key, lr_factor, freeze_scale)
+
+            return jax.lax.scan(body, state, (images, labels, masks))
+
+        jitted = jax.jit(multi_step, donate_argnums=(0,))
+    else:
+        jitted = jax.jit(train_step, donate_argnums=(0,))
     try:
         jitted.masked_bn = masked_bn  # introspected by train_epoch's padding check
+        jitted.scan_steps = scan_steps
     except AttributeError:
         pass
     return jitted
@@ -283,12 +303,12 @@ class EpochCollector:
     def _aggregate_grads(grad_logs):
         grad_log = defaultdict(list)
         for g in grad_logs:
-            t = 0.0
+            totals = None
             for k, v in g.items():
-                val = float(v)
-                grad_log[f"Gradients/{k}"].append(val)
-                t += val
-            grad_log["Gradients/Total"].append(t)
+                vals = np.ravel(np.asarray(v)).tolist()  # scalar or (K,) stacked
+                grad_log[f"Gradients/{k}"].extend(vals)
+                totals = vals if totals is None else [a + b for a, b in zip(totals, vals)]
+            grad_log["Gradients/Total"].extend(totals or [])
         return dict(grad_log)
 
     def _bounded_results(self):
@@ -302,15 +322,19 @@ class EpochCollector:
             payload = self._gather_global(payload)
         payload = jax.device_get(payload)
         states, losses = payload["states"], payload["losses"]
+
+        def flat_losses(v):
+            return [float(f) for x in v for f in np.ravel(np.asarray(x))]
+
         results = {"images": self.epoch_images_example}
         if self.task == "multi":
-            results["running_loss"] = {k: [float(x) for x in v] for k, v in losses.items()}
+            results["running_loss"] = {k: flat_losses(v) for k, v in losses.items()}
             results["bounded_metrics"] = {t: bounded_targetwise_metrics(s)
                                           for t, s in states.items()}
             results["confusion_counts"] = {t: np.asarray(s["counts"])
                                            for t, s in states.items()}
         else:
-            results["running_loss"] = [float(x) for x in losses.get(None, [])]
+            results["running_loss"] = flat_losses(losses.get(None, []))
             state = states[None]
             results["bounded_metrics"] = bounded_targetwise_metrics(state)
             results["confusion_counts"] = np.asarray(state["counts"])
@@ -343,16 +367,18 @@ class EpochCollector:
                 for t, tm in m.items():
                     if t in ("mask", "loss", "grad_norms"):
                         continue
-                    running_loss[t].append(float(tm["loss"]))
+                    running_loss[t].extend(np.ravel(np.asarray(tm["loss"])).tolist())
                     confidences[t].extend(np.asarray(tm["confidences"])[valid].tolist())
                     predictions[t].extend(np.asarray(tm["predictions"])[valid].tolist())
                     ground_truth[t].extend(np.asarray(tm["ground_truth"])[valid].tolist())
-                running_loss["loss"].append(float(m["loss"]))
+                running_loss["loss"].extend(np.ravel(np.asarray(m["loss"])).tolist())
         else:
             running_loss, confidences, predictions, ground_truth = [], [], [], []
             for m in self._batches:
+                # boolean masking handles both (B, ...) and scan-stacked
+                # (K, B, ...) metric shapes; losses are flattened per step
                 valid = np.asarray(m["mask"])
-                running_loss.append(float(m["loss"]))
+                running_loss.extend(np.ravel(np.asarray(m["loss"])).tolist())
                 confidences.extend(np.asarray(m["confidences"])[valid].tolist())
                 predictions.extend(np.asarray(m["predictions"])[valid].tolist())
                 ground_truth.extend(np.asarray(m["ground_truth"])[valid].tolist())
@@ -374,14 +400,34 @@ class EpochCollector:
 # ---------------------------------------------------------------------------
 
 
-def _put_batch(batch, mesh=None):
-    """Host batch -> device, batch-dim sharded over the mesh's data axis."""
+def _put_batch(batch, mesh=None, stacked=False):
+    """Host batch -> device, batch-dim sharded over the mesh's data axis.
+
+    ``stacked=True``: arrays carry a leading scan-steps dim (K, B, ...) — the
+    data axis is then dim 1."""
     arrays = {k: v for k, v in batch.items() if isinstance(v, (np.ndarray, dict))}
     if mesh is not None:
-        from nkbx.parallel import shard_batch
+        if not stacked:
+            from nkbx.parallel import shard_batch
 
-        return shard_batch(mesh, arrays)
+            return shard_batch(mesh, arrays)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+                arrays,
+            )
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), arrays)
     return jax.tree_util.tree_map(jnp.asarray, arrays)
+
+
+def _stack_batches(batches):
+    """Stack K loader batches into (K, B, ...) arrays for a scan-steps chunk."""
+    subset = [{k: b[k] for k in ("image", "label", "mask")} for b in batches]
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *subset)
 
 
 def train_epoch(
@@ -417,16 +463,15 @@ def train_epoch(
         it = tqdm(it, leave=False, desc="Training", total=len(train_loader))
     show_full = bool(getattr(cfg, "show_full_current_loss_in_terminal", False)) if cfg else False
     task_multi = task == "multi"
+    spd = getattr(train_step, "scan_steps", 1)
     first = True
     step_i = 0
     prev_metrics = None
-    for batch in it:
-        dev = _put_batch(batch, mesh)
-        state, metrics = train_step(state, dev["image"], dev["label"], dev["mask"], key, lr_f, fz)
-        logger.log_iter(metrics)
-        tp.step(int(batch["mask"].sum()))
+    buf = []
+
+    def warn_if_unmasked_partial(all_valid):
         if (
-            not bool(batch["mask"].all())
+            not all_valid
             and not getattr(train_step, "masked_bn", False)
             and not getattr(train_epoch, "_warned_partial", False)
         ):
@@ -439,7 +484,39 @@ def train_epoch(
                 "automatically when drop_last=False) or use drop_last=True."
             )
             train_epoch._warned_partial = True
-        if progress and prev_metrics is not None and step_i % 10 == 0:
+
+    def dispatch(batches):
+        nonlocal state, prev_metrics, step_i, first
+        if spd > 1:
+            # K loader batches -> ONE lax.scan dispatch (K steps on device);
+            # the final short chunk retraces once for its smaller K (cached)
+            dev = _put_batch(_stack_batches(batches), mesh, stacked=True)
+        else:
+            dev = _put_batch(batches[0], mesh)
+        state, metrics = train_step(state, dev["image"], dev["label"], dev["mask"],
+                                    key, lr_f, fz)
+        logger.log_iter(metrics)
+        tp.step(int(sum(b["mask"].sum() for b in batches)))
+        warn_if_unmasked_partial(all(bool(b["mask"].all()) for b in batches))
+        if first:
+            logger.log_images_if_needed(batches[0]["image"])
+            # sync once after the compiling step: queueing dispatches behind an
+            # in-flight compilation degrades tunneled-TPU sessions badly
+            _last_loss(metrics)
+            first = False
+        prev_metrics = metrics
+        step_i += len(batches)
+
+    def _last_loss(metrics):
+        return float(np.ravel(np.asarray(metrics["loss"]))[-1])
+
+    for batch in it:
+        buf.append(batch)
+        if len(buf) < spd:
+            continue
+        dispatch(buf)
+        buf = []
+        if progress and spd == 1 and prev_metrics is not None and step_i % 10 == 1:
             # show the PREVIOUS step's loss (already materialized) and only
             # every 10 steps: each float() is a ~120 ms D2H round trip on
             # tunneled backends (the reference syncs EVERY iteration,
@@ -451,20 +528,14 @@ def train_epoch(
                 ))
             else:
                 it.set_postfix_str(f"Loss: {float(prev_metrics['loss']):.4f}")
-        prev_metrics = metrics
-        step_i += 1
-        if first:
-            logger.log_images_if_needed(batch["image"])
-            # sync once after the compiling step: queueing dispatches behind an
-            # in-flight compilation degrades tunneled-TPU sessions badly
-            float(metrics["loss"])
-            first = False
+    if buf:
+        dispatch(buf)
     if prev_metrics is not None:
         # Sync on the final loss (depends on the whole step chain) so the
         # throughput number is honest. Do NOT block_until_ready on the donated
         # state: on tunneled-TPU backends that returns early and degrades the
         # session (see bench.py).
-        float(prev_metrics["loss"])
+        _last_loss(prev_metrics)
     results = logger.get_epoch_results()
     results["throughput"] = tp.snapshot()
     return state, results

@@ -67,6 +67,9 @@ def train(
         log_gradients=getattr(cfg, "log_gradients", False),
         # padded final batches must not contaminate BN batch statistics
         masked_bn=(not train_loader.drop_last) and bool(model.batch_stats),
+        # steps_per_dispatch > 1: lax.scan K train steps per device dispatch
+        # (amortizes the per-dispatch host round trip on remote-hosted TPUs)
+        scan_steps=int(getattr(cfg, "steps_per_dispatch", 1) or 1),
     )
     eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
 

@@ -224,3 +224,128 @@ class TestMaskedBNUnicom:
         assert a.keys() == b.keys() and any("feature_bn" in k for k in a)
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=1e-5, err_msg=k)
+
+
+class TestScanSteps:
+    """steps_per_dispatch: lax.scan of K train steps in one dispatch must be
+    step-for-step identical to K sequential single-step dispatches."""
+
+    def _setup(self, scan_steps):
+        import jax
+
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b", "c"], input_size=(16, 16), seed=0, dtype=jnp.float32,
+        )
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        step = build_train_step(model, criterion, bundle, masked_bn=True,
+                                scan_steps=scan_steps)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        return step, state
+
+    def _data(self, k=4, bsz=4):
+        r = np.random.default_rng(0)
+        imgs = r.integers(0, 255, (k, bsz, 16, 16, 3)).astype(np.uint8)
+        labs = r.integers(0, 3, (k, bsz)).astype(np.int64)
+        masks = np.ones((k, bsz), bool)
+        masks[-1, -1] = False  # a padded row inside the chunk
+        return imgs, labs, masks
+
+    def test_matches_sequential(self):
+        import jax
+
+        imgs, labs, masks = self._data()
+        key = jax.random.PRNGKey(0)
+        one = jnp.asarray(1.0)
+
+        step1, state1 = self._setup(1)
+        losses_seq = []
+        for i in range(len(imgs)):
+            state1, m = step1(state1, jnp.asarray(imgs[i]), jnp.asarray(labs[i]),
+                              jnp.asarray(masks[i]), key, one, one)
+            losses_seq.append(float(m["loss"]))
+
+        stepK, stateK = self._setup(4)
+        stateK, mK = stepK(stateK, jnp.asarray(imgs), jnp.asarray(labs),
+                           jnp.asarray(masks), key, one, one)
+
+        np.testing.assert_allclose(np.asarray(mK["loss"]), losses_seq, rtol=1e-6)
+        a = {jax.tree_util.keystr(p): np.asarray(v)
+             for p, v in jax.tree_util.tree_leaves_with_path(state1.params)}
+        b = {jax.tree_util.keystr(p): np.asarray(v)
+             for p, v in jax.tree_util.tree_leaves_with_path(stateK.params)}
+        for k_ in a:
+            np.testing.assert_allclose(a[k_], b[k_], rtol=1e-5, atol=1e-6, err_msg=k_)
+        # stacked metrics flatten identically through the collector
+        col = EpochCollector("single")
+        col.log_iter(mK)
+        res = col.get_epoch_results()
+        assert len(res["ground_truth"]) == int(masks.sum())
+        np.testing.assert_allclose(res["running_loss"], losses_seq, rtol=1e-6)
+
+    def test_train_epoch_chunks_with_remainder(self):
+        import jax
+
+        from nkbx.train.engine import train_epoch
+
+        class FakeLoader:
+            def __init__(self, n):
+                imgs, labs, masks = TestScanSteps()._data(k=n)
+                self.batches = [{"image": imgs[i], "label": labs[i], "mask": masks[i]}
+                                for i in range(n)]
+
+            def epoch(self, e):
+                return iter(self.batches)
+
+            def __len__(self):
+                return len(self.batches)
+
+        # 5 batches, spd=2 -> chunks of 2,2,1 (remainder retrace)
+        stepK, stateK = self._setup(2)
+        loader = FakeLoader(5)
+        stateK, results = train_epoch(stateK, loader, stepK, 0, jax.random.PRNGKey(0),
+                                      1.0, 1.0, progress=False)
+
+        step1, state1 = self._setup(1)
+        loader1 = FakeLoader(5)
+        state1, results1 = train_epoch(state1, loader1, step1, 0, jax.random.PRNGKey(0),
+                                       1.0, 1.0, progress=False)
+
+        np.testing.assert_allclose(results["running_loss"], results1["running_loss"],
+                                   rtol=1e-6)
+        assert results["ground_truth"] == results1["ground_truth"]
+        a = jax.tree_util.tree_leaves(stateK.params)
+        b = jax.tree_util.tree_leaves(state1.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+
+    def test_sharded_scan_matches_single_device(self):
+        import jax
+
+        from nkbx.parallel import make_mesh, replicated_sharding
+        from nkbx.train.engine import _put_batch, _stack_batches
+
+        imgs, labs, masks = self._data(k=2, bsz=8)
+        batches = [{"image": imgs[i], "label": labs[i], "mask": masks[i]} for i in range(2)]
+        key = jax.random.PRNGKey(0)
+        one = jnp.asarray(1.0)
+
+        stepK, state = self._setup(2)
+        state, m_single = stepK(state, jnp.asarray(imgs), jnp.asarray(labs),
+                                jnp.asarray(masks), key, one, one)
+
+        mesh = make_mesh(n_data=8)
+        stepK8, state8 = self._setup(2)
+        state8 = jax.device_put(state8, replicated_sharding(mesh))
+        dev = _put_batch(_stack_batches(batches), mesh, stacked=True)
+        state8, m8 = stepK8(state8, dev["image"], dev["label"], dev["mask"], key, one, one)
+
+        np.testing.assert_allclose(np.asarray(m8["loss"]), np.asarray(m_single["loss"]),
+                                   rtol=1e-5)
+        for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(state8.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
