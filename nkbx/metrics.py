@@ -125,13 +125,20 @@ def make_bounded_state(n_classes: int):
 
 
 def bounded_update(state, confidences, predictions, ground_truth, mask, loss):
-    """One batch -> folded state (wrap in jax.jit; pure function)."""
+    """One batch -> folded state (wrap in jax.jit; pure function).
+
+    Accepts per-batch (B, ...) arrays or scan-stacked (K, B, ...) chunks
+    (steps_per_dispatch > 1): everything is flattened to samples; the loss is
+    a scalar or a (K,) per-step vector folded into loss_sum / n_batches.
+    """
     import jax.numpy as jnp
 
     n_classes = state["counts"].shape[0]
-    valid = mask.astype(jnp.int32)
-    gt = ground_truth.astype(jnp.int32)
-    pred = predictions.astype(jnp.int32)
+    confidences = confidences.reshape(-1, n_classes)
+    valid = mask.reshape(-1).astype(jnp.int32)
+    gt = ground_truth.reshape(-1).astype(jnp.int32)
+    pred = predictions.reshape(-1).astype(jnp.int32)
+    loss = jnp.asarray(loss, jnp.float32)
 
     counts = state["counts"].at[gt, pred].add(valid)
 
@@ -146,8 +153,8 @@ def bounded_update(state, confidences, predictions, ground_truth, mask, loss):
         "counts": counts,
         "pos_hist": pos_hist,
         "neg_hist": neg_hist,
-        "loss_sum": state["loss_sum"] + loss.astype(jnp.float32),
-        "n_batches": state["n_batches"] + 1,
+        "loss_sum": state["loss_sum"] + loss.sum(),
+        "n_batches": state["n_batches"] + loss.size,
     }
 
 

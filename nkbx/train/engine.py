@@ -265,7 +265,8 @@ class EpochCollector:
         from nkbx.metrics import make_bounded_state
 
         if key not in self._bounded:
-            self._bounded[key] = make_bounded_state(m["confidences"].shape[1])
+            # last dim is n_classes for both (B, C) and scan-stacked (K, B, C)
+            self._bounded[key] = make_bounded_state(m["confidences"].shape[-1])
         self._bounded[key] = self._update_fn()(
             self._bounded[key], m["confidences"], m["predictions"],
             m["ground_truth"], mask, m["loss"],

@@ -172,3 +172,46 @@ class TestBoundedCollector:
         assert res["confusion_counts"]["a"].sum() == 12
         np.testing.assert_allclose(res["running_loss"]["loss"], [0.5] * 3, rtol=1e-6)
         assert 0.0 <= out["epoch_acc"] <= 1.0
+
+
+class TestBoundedWithScanChunks:
+    def test_stacked_chunk_equals_per_batch(self):
+        rng = np.random.default_rng(8)
+        k, bsz, c = 3, 8, 4
+        conf = rng.random((k, bsz, c)).astype(np.float32)
+        conf /= conf.sum(-1, keepdims=True)
+        gt = rng.integers(0, c, (k, bsz)).astype(np.int64)
+        pred = conf.argmax(-1).astype(np.int64)
+        mask = np.ones((k, bsz), bool)
+        mask[-1, -2:] = False
+        losses = np.array([0.1, 0.2, 0.3], np.float32)
+
+        stacked = bounded_update(make_bounded_state(c), jnp.asarray(conf),
+                                 jnp.asarray(pred), jnp.asarray(gt),
+                                 jnp.asarray(mask), jnp.asarray(losses))
+        per = make_bounded_state(c)
+        for i in range(k):
+            per = bounded_update(per, jnp.asarray(conf[i]), jnp.asarray(pred[i]),
+                                 jnp.asarray(gt[i]), jnp.asarray(mask[i]),
+                                 jnp.asarray(losses[i]))
+        for key in stacked:
+            np.testing.assert_allclose(np.asarray(stacked[key]), np.asarray(per[key]),
+                                       err_msg=key)
+
+    def test_collector_bounded_scan_mode(self):
+        from nkbx.train.engine import _iter_metrics
+
+        rng = np.random.default_rng(9)
+        k, bsz, c = 2, 4, 3
+        preds = jnp.asarray(rng.normal(size=(k, bsz, c)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, c, (k, bsz)).astype(np.int64))
+        mask = jnp.ones((k, bsz), bool)
+        losses = jnp.asarray(np.array([0.4, 0.6], np.float32))
+        m = _iter_metrics(preds, labels, mask, losses)
+
+        col_b = EpochCollector("single", "bounded")
+        col_b.log_iter(m)
+        res = col_b.get_epoch_results()
+        np.testing.assert_allclose(res["running_loss"], [0.4, 0.6], rtol=1e-6)
+        np.testing.assert_allclose(res["bounded_metrics"]["epoch_loss"], 0.5, rtol=1e-6)
+        assert res["confusion_counts"].sum() == k * bsz
