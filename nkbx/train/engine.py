@@ -66,16 +66,17 @@ def _bind_augment(module, augment_fn, train: bool):
     if augment_fn is None:
         return lambda image, key: image
     out_dtype = getattr(getattr(module, "backbone", None), "dtype", None)
-    if out_dtype is None:
-        return lambda image, key: augment_fn(image, key, train)
+    takes_dtype = False
+    if out_dtype is not None:
+        import inspect
 
-    def augment(image, key):
         try:
-            return augment_fn(image, key, train, out_dtype=out_dtype)
-        except TypeError:
-            return augment_fn(image, key, train)
-
-    return augment
+            takes_dtype = "out_dtype" in inspect.signature(augment_fn).parameters
+        except (TypeError, ValueError):  # builtins / odd callables
+            takes_dtype = False
+    if takes_dtype:
+        return lambda image, key: augment_fn(image, key, train, out_dtype=out_dtype)
+    return lambda image, key: augment_fn(image, key, train)
 
 
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,

@@ -178,8 +178,10 @@ model = get_model({"task": "single", "model": "resnet_tiny_test", "pretrained": 
                   dtype=jnp.float32)
 criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
 bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.01})
+# scan_steps=2 also exercises the stacked (K, B, ...) multi-host batch
+# sharding (P(None, 'data') + make_array_from_process_local_data)
 step = build_train_step(model, criterion, bundle, augment_fn=pipe.device_apply,
-                        masked_bn=True)
+                        masked_bn=True, scan_steps=2)
 state = TrainState.create(model.params, model.batch_stats, bundle.tx)
 mesh = make_mesh(n_data=4)
 state = jax.device_put(state, replicated_sharding(mesh))
