@@ -141,6 +141,11 @@ def convert_resnet_state_dict(state_dict, stage_sizes, tiered_stem=False,
             for ci in range(1, n_convs + 1):
                 _set(params, (f, f"ConvBN_{ci-1}", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv{ci}.weight"]))
                 put_bn(f"{t}.bn{ci}", (f, f"ConvBN_{ci-1}", "BatchNorm_0"))
+            if f"{t}.se.fc1.weight" in sd:
+                # timm SEModule (seresnet*): fc1/fc2 are 1x1 Conv2d with bias
+                for fc in ("fc1", "fc2"):
+                    _set(params, (f, "se", fc, "kernel"), _conv_w(sd[f"{t}.se.{fc}.weight"]))
+                    _set(params, (f, "se", fc, "bias"), sd[f"{t}.se.{fc}.bias"])
             if f"{t}.downsample.0.weight" in sd:
                 _set(params, (f, "downsample", "Conv_0", "kernel"), _conv_w(sd[f"{t}.downsample.0.weight"]))
                 put_bn(f"{t}.downsample.1", (f, "downsample", "BatchNorm_0"))
@@ -157,6 +162,14 @@ _RESNET_SPECS = {
     "resnet34": ((3, 4, 6, 3), False),
     "resnet50": ((3, 4, 6, 3), False),
     "resnet101": ((3, 4, 23, 3), False),
+    "resnet152": ((3, 8, 36, 3), False),
+    # grouped-conv torch weights are (O, I/groups, H, W) -> HWIO unchanged;
+    # SE fc weights handled inside convert_resnet_state_dict
+    "resnext50_32x4d": ((3, 4, 6, 3), False),
+    "resnext101_32x8d": ((3, 4, 23, 3), False),
+    "wide_resnet50_2": ((3, 4, 6, 3), False),
+    "seresnet50": ((3, 4, 6, 3), False),
+    "seresnext50_32x4d": ((3, 4, 6, 3), False),
 }
 
 
@@ -190,9 +203,12 @@ def convert_torch_state_dict(name: str, state_dict):
         dim, depth, n_heads = _UNICOM_SPECS[name]
         params, stats = convert_unicom_state_dict(state_dict, dim, depth, n_heads)
         return {"params": params, "batch_stats": stats}
+    if name in _DENSENET_CONFIGS:
+        params, stats = convert_densenet_state_dict(state_dict, _DENSENET_CONFIGS[name])
+        return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
-        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS)})"
+        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS)})"
     )
 
 
@@ -278,9 +294,12 @@ def convert_mobilenetv3_state_dict(state_dict, stage_blocks):
 
 _VIT_SPECS = {
     # name: (dim, depth, n_heads)
+    "vit_tiny_patch16_224": (192, 12, 3),
     "vit_small_patch16_224": (384, 12, 6),
+    "vit_small_patch32_224": (384, 12, 6),
     "vit_base_patch16_224": (768, 12, 12),
     "vit_base_patch32_224": (768, 12, 12),
+    "vit_large_patch16_224": (1024, 24, 16),
 }
 
 _UNICOM_SPECS = {
@@ -391,6 +410,7 @@ _EFFNET_STAGES = {
     "efficientnet_b1": [2, 3, 3, 4, 4, 5, 2],
     "efficientnet_b2": [2, 3, 3, 4, 4, 5, 2],
     "efficientnet_b3": [2, 3, 3, 5, 5, 6, 2],
+    "efficientnet_b4": [2, 4, 4, 6, 6, 8, 2],
 }
 
 
@@ -450,6 +470,7 @@ _CONVNEXT_SPECS = {
     "convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
     "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
     "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
 }
 
 
@@ -585,6 +606,50 @@ def main(argv=None):
     n = len(jax_tree_leaves(converted))
     print(f"wrote {out} ({n} tensors)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# torchvision/timm densenet -> nkbx DenseNet
+# ---------------------------------------------------------------------------
+
+_DENSENET_CONFIGS = {
+    "densenet121": (6, 12, 24, 16),
+    "densenet169": (6, 12, 32, 32),
+    "densenet201": (6, 12, 48, 32),
+}
+
+
+def convert_densenet_state_dict(state_dict, block_config):
+    """torchvision/timm DenseNet state_dict -> (params, batch_stats) for nkbx
+    DenseNet. Key layout (both libraries share it): features.conv0/norm0,
+    features.denseblock{b}.denselayer{l}.{norm1,conv1,norm2,conv2},
+    features.transition{t}.{norm,conv}, features.norm5."""
+    params: dict = {}
+    stats: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def put_bn(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+        _set(stats, path + ("mean",), sd[f"{t}.running_mean"])
+        _set(stats, path + ("var",), sd[f"{t}.running_var"])
+
+    _set(params, ("stem_conv", "kernel"), _conv_w(sd["features.conv0.weight"]))
+    put_bn("features.norm0", ("stem_norm",))
+    for b, n_layers in enumerate(block_config, start=1):
+        for li in range(1, n_layers + 1):
+            t = f"features.denseblock{b}.denselayer{li}"
+            f = f"block{b-1}_layer{li-1}"
+            put_bn(f"{t}.norm1", (f, "bottleneck", "BatchNorm_0"))
+            _set(params, (f, "bottleneck", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv1.weight"]))
+            put_bn(f"{t}.norm2", (f, "conv", "BatchNorm_0"))
+            _set(params, (f, "conv", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv2.weight"]))
+        if b != len(block_config):
+            t = f"features.transition{b}"
+            put_bn(f"{t}.norm", (f"transition{b-1}", "BatchNorm_0"))
+            _set(params, (f"transition{b-1}", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv.weight"]))
+    put_bn("features.norm5", ("final_norm",))
+    return params, stats
 
 
 def jax_tree_leaves(tree):

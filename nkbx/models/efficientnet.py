@@ -86,3 +86,4 @@ efficientnet_b0 = partial(EfficientNet, width_mult=1.0, depth_mult=1.0)
 efficientnet_b1 = partial(EfficientNet, width_mult=1.0, depth_mult=1.1)
 efficientnet_b2 = partial(EfficientNet, width_mult=1.1, depth_mult=1.2)
 efficientnet_b3 = partial(EfficientNet, width_mult=1.2, depth_mult=1.4)
+efficientnet_b4 = partial(EfficientNet, width_mult=1.4, depth_mult=1.8)

@@ -15,7 +15,7 @@ from typing import Any
 
 import jax.numpy as jnp
 
-from nkbx.models import convnext, efficientnet, mobilenetv3, resnet, vit
+from nkbx.models import convnext, densenet, efficientnet, mobilenetv3, resnet, vit
 
 _REGISTRY = {
     "resnet_tiny_test": resnet.resnet_tiny_test,  # for tests on 1-core CPU hosts
@@ -25,18 +25,32 @@ _REGISTRY = {
     "resnet34": resnet.resnet34,
     "resnet50": resnet.resnet50,
     "resnet101": resnet.resnet101,
+    "resnet152": resnet.resnet152,
+    "resnext50_32x4d": resnet.resnext50_32x4d,
+    "resnext101_32x8d": resnet.resnext101_32x8d,
+    "wide_resnet50_2": resnet.wide_resnet50_2,
+    "seresnet50": resnet.seresnet50,
+    "seresnext50_32x4d": resnet.seresnext50_32x4d,
     "mobilenetv3_large_100": mobilenetv3.mobilenetv3_large_100,
     "mobilenetv3_small_100": mobilenetv3.mobilenetv3_small_100,
     "efficientnet_b0": efficientnet.efficientnet_b0,
     "efficientnet_b1": efficientnet.efficientnet_b1,
     "efficientnet_b2": efficientnet.efficientnet_b2,
     "efficientnet_b3": efficientnet.efficientnet_b3,
+    "efficientnet_b4": efficientnet.efficientnet_b4,
+    "densenet121": densenet.densenet121,
+    "densenet169": densenet.densenet169,
+    "densenet201": densenet.densenet201,
     "convnext_tiny": convnext.convnext_tiny,
     "convnext_small": convnext.convnext_small,
     "convnext_base": convnext.convnext_base,
+    "convnext_large": convnext.convnext_large,
+    "vit_tiny_patch16_224": vit.vit_tiny_patch16_224,
     "vit_small_patch16_224": vit.vit_small_patch16_224,
+    "vit_small_patch32_224": vit.vit_small_patch32_224,
     "vit_base_patch16_224": vit.vit_base_patch16_224,
     "vit_base_patch32_224": vit.vit_base_patch32_224,
+    "vit_large_patch16_224": vit.vit_large_patch16_224,
 }
 
 _UNICOM = {

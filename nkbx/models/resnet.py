@@ -100,9 +100,34 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class SEModule(nn.Module):
+    """timm SEModule: global-pool -> fc1 1x1 conv -> relu -> fc2 -> sigmoid gate
+    (timm/layers/squeeze_excite.py semantics; used by seresnet* variants)."""
+
+    rd_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(self.dtype)
+        s = nn.Conv(self.rd_channels, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32, name="fc2")(s)
+        return x * nn.sigmoid(s)
+
+
 class Bottleneck(nn.Module):
+    """timm Bottleneck: width = floor(planes * base_width/64) * cardinality,
+    3x3 conv grouped by cardinality, optional SE after bn3 before the residual
+    add (timm resnet.py Bottleneck.forward order)."""
+
     features: int
     strides: int = 1
+    cardinality: int = 1
+    base_width: int = 64
+    se_ratio: float = 0.0
     dtype: Any = jnp.float32
     expansion = 4
 
@@ -110,9 +135,12 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False, mask=None):
         residual = x
         out = self.features * self.expansion
-        y = ConvBN(self.features, 1, 1, dtype=self.dtype)(x, train, mask)
-        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype)(y, train, mask)
+        width = int(self.features * (self.base_width / 64.0)) * self.cardinality
+        y = ConvBN(width, 1, 1, dtype=self.dtype)(x, train, mask)
+        y = ConvBN(width, 3, self.strides, groups=self.cardinality, dtype=self.dtype)(y, train, mask)
         y = ConvBN(out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
+        if self.se_ratio > 0:
+            y = SEModule(int(out * self.se_ratio), dtype=self.dtype, name="se")(y)
         if residual.shape != y.shape:
             residual = ConvBN(out, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train, mask)
         return nn.relu(y + residual)
@@ -123,6 +151,9 @@ class ResNet(nn.Module):
     block_cls: Type[nn.Module]
     stem: str = "default"  # "default" 7x7/s2 | "tiered" 3x 3x3 (timm *t variants)
     stem_width: int = 64
+    cardinality: int = 1  # ResNeXt groups (Bottleneck only)
+    base_width: int = 64  # per-group width factor (wide_resnet*_2 -> 128)
+    se_ratio: float = 0.0  # seresnet*: SE reduction on out channels (1/16)
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
     # EXACT space-to-depth reparametrization of the default 7x7/s2 stem conv
@@ -159,11 +190,16 @@ class ResNet(nn.Module):
         else:
             x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        block_kwargs = {}
+        if self.block_cls is Bottleneck:
+            block_kwargs = dict(cardinality=self.cardinality,
+                                base_width=self.base_width, se_ratio=self.se_ratio)
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = 64 * (2**stage)
             for block in range(n_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = self.block_cls(features, strides, dtype=self.dtype)(x, train, mask)
+                x = self.block_cls(features, strides, dtype=self.dtype,
+                                   **block_kwargs)(x, train, mask)
         x = global_avg_pool(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
@@ -180,3 +216,9 @@ resnet26 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block_cls=Bottleneck)
 resnet34 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock)
 resnet50 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck)
 resnet101 = partial(ResNet, stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck)
+resnet152 = partial(ResNet, stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck)
+resnext50_32x4d = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, cardinality=32, base_width=4)
+resnext101_32x8d = partial(ResNet, stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck, cardinality=32, base_width=8)
+wide_resnet50_2 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, base_width=128)
+seresnet50 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, se_ratio=1 / 16)
+seresnext50_32x4d = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, cardinality=32, base_width=4, se_ratio=1 / 16)

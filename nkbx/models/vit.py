@@ -165,9 +165,12 @@ class UnicomViT(nn.Module):
         return x
 
 
+vit_tiny_patch16_224 = partial(ViT, patch_size=16, dim=192, depth=12, n_heads=3)
 vit_small_patch16_224 = partial(ViT, patch_size=16, dim=384, depth=12, n_heads=6)
+vit_small_patch32_224 = partial(ViT, patch_size=32, dim=384, depth=12, n_heads=6)
 vit_base_patch16_224 = partial(ViT, patch_size=16, dim=768, depth=12, n_heads=12)
 vit_base_patch32_224 = partial(ViT, patch_size=32, dim=768, depth=12, n_heads=12)
+vit_large_patch16_224 = partial(ViT, patch_size=16, dim=1024, depth=24, n_heads=16)
 
 # unicom naming: "unicom ViT-B/32" etc. (reference model.py:77-79)
 unicom_vit_b32 = partial(UnicomViT, patch_size=32, dim=768, depth=12, n_heads=12, embedding_size=512)

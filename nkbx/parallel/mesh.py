@@ -86,23 +86,51 @@ def _dense_kernel_spec(path: tuple, leaf) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
+def _fsdp_dim(shape, n_data: int, taken: int | None = None):
+    """Largest dim divisible by the data-axis size (excluding ``taken``)."""
+    best = None
+    for i, d in enumerate(shape):
+        if i == taken or d % n_data:
+            continue
+        if best is None or d > shape[best]:
+            best = i
+    return best
+
+
+def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False,
+                    fsdp: bool = False, fsdp_min_size: int = 2**14):
     """NamedShardings for a parameter pytree.
 
-    With ``tensor_parallel=False`` (default, the right call for CNN/ViT classifiers
-    at this scale — SURVEY.md §2.2) everything is replicated. With
-    ``tensor_parallel=True``, eligible kernels shard their output features over the
-    ``model`` axis.
+    With the defaults (the right call for CNN/ViT classifiers at this scale —
+    SURVEY.md §2.2) everything is replicated. ``tensor_parallel=True`` shards
+    eligible kernels' output features over the ``model`` axis.
+
+    ``fsdp=True`` additionally shards each large leaf over the ``data`` axis
+    (ZeRO-3 style): parameters and optimizer moments live scattered across
+    data-parallel devices; under ``jit`` XLA inserts the all-gather before
+    each use and a reduce-scatter for the gradients — the scaling-book FSDP
+    recipe, no hand-written collectives. Leaves smaller than
+    ``fsdp_min_size`` elements stay replicated (the all-gather latency
+    outweighs the memory win). Overkill for classifier-sized models; provided
+    so large ViT backbones fit on small-HBM meshes without code changes.
     """
-    if not tensor_parallel or mesh.shape["model"] == 1:
+    n_model = mesh.shape["model"]
+    n_data = mesh.shape["data"]
+    if not (tensor_parallel and n_model > 1) and not fsdp:
         rep = replicated_sharding(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)
 
     def spec_for(path, leaf):
-        s = _dense_kernel_spec(path, leaf)
-        # only shard if the sharded dim divides by the model axis
-        if s != P() and leaf.shape[-1] % mesh.shape["model"] != 0:
-            s = P()
-        return NamedSharding(mesh, s)
+        dims = [None] * leaf.ndim
+        if (tensor_parallel and n_model > 1
+                and _dense_kernel_spec(path, leaf) != P()
+                and leaf.shape[-1] % n_model == 0):
+            dims[-1] = "model"
+        if fsdp and n_data > 1 and leaf.size >= fsdp_min_size:
+            taken = leaf.ndim - 1 if dims and dims[-1] == "model" else None
+            i = _fsdp_dim(leaf.shape, n_data, taken)
+            if i is not None:
+                dims[i] = "data"
+        return NamedSharding(mesh, P(*dims))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

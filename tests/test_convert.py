@@ -643,3 +643,238 @@ class TestS2DStemEquivalence:
         module = resnet_tiny_test(dtype=jnp.float32)
         with pytest.raises(ValueError, match="even input"):
             module.init(jax.random.PRNGKey(0), jnp.zeros((1, 33, 33, 3)), train=False)
+
+
+def _synthetic_bottleneck_sd(rng, stage_sizes, cardinality=1, base_width=64,
+                             se_ratio=0.0):
+    """timm Bottleneck-ResNet state_dict layout (resnet50/resnext/seresnet):
+    width = floor(planes*base_width/64)*cardinality, grouped conv2, optional
+    SEModule fc1/fc2 1x1 convs with bias."""
+    sd = {}
+
+    def conv(name, o, i, k, groups=1):
+        sd[f"{name}.weight"] = (
+            rng.normal(size=(o, i // groups, k, k)).astype(np.float32) * 0.1)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_var"] = rng.uniform(0.5, 2.0, size=c).astype(np.float32)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    inc = 64
+    for stage, n in enumerate(stage_sizes, start=1):
+        planes = 64 * 2 ** (stage - 1)
+        out = planes * 4
+        width = int(planes * base_width / 64) * cardinality
+        for b in range(n):
+            p = f"layer{stage}.{b}"
+            conv(f"{p}.conv1", width, inc, 1)
+            bn(f"{p}.bn1", width)
+            conv(f"{p}.conv2", width, width, 3, groups=cardinality)
+            bn(f"{p}.bn2", width)
+            conv(f"{p}.conv3", out, width, 1)
+            bn(f"{p}.bn3", out)
+            if se_ratio > 0:
+                rd = int(out * se_ratio)
+                sd[f"{p}.se.fc1.weight"] = rng.normal(size=(rd, out, 1, 1)).astype(np.float32)
+                sd[f"{p}.se.fc1.bias"] = rng.normal(size=rd).astype(np.float32)
+                sd[f"{p}.se.fc2.weight"] = rng.normal(size=(out, rd, 1, 1)).astype(np.float32)
+                sd[f"{p}.se.fc2.bias"] = rng.normal(size=out).astype(np.float32)
+            if b == 0 and inc != out:
+                conv(f"{p}.downsample.0", out, inc, 1)
+                bn(f"{p}.downsample.1", out)
+            inc = out
+    return sd
+
+
+def _torch_bottleneck_forward(sd, x, stage_sizes, cardinality, se_ratio):
+    """timm Bottleneck-ResNet eval forward (timm resnet.py Bottleneck.forward
+    order: conv1/bn1/relu, grouped conv2/bn2/relu, conv3/bn3, SE, add, relu)."""
+    import torch
+    import torch.nn.functional as F
+
+    def bn(t, p):
+        return F.batch_norm(
+            t, torch.tensor(sd[f"{p}.running_mean"]), torch.tensor(sd[f"{p}.running_var"]),
+            torch.tensor(sd[f"{p}.weight"]), torch.tensor(sd[f"{p}.bias"]),
+            training=False, eps=1e-5)
+
+    with torch.no_grad():
+        t = F.conv2d(torch.tensor(x), torch.tensor(sd["conv1.weight"]), stride=2, padding=3)
+        t = F.relu(bn(t, "bn1"))
+        t = F.max_pool2d(t, 3, 2, 1)
+        for stage, n in enumerate(stage_sizes, start=1):
+            for b in range(n):
+                p = f"layer{stage}.{b}"
+                stride = 2 if stage > 1 and b == 0 else 1
+                r = t
+                y = F.relu(bn(F.conv2d(t, torch.tensor(sd[f"{p}.conv1.weight"])), f"{p}.bn1"))
+                y = F.relu(bn(F.conv2d(y, torch.tensor(sd[f"{p}.conv2.weight"]),
+                                       stride=stride, padding=1, groups=cardinality), f"{p}.bn2"))
+                y = bn(F.conv2d(y, torch.tensor(sd[f"{p}.conv3.weight"])), f"{p}.bn3")
+                if se_ratio > 0:
+                    s = y.mean((2, 3), keepdim=True)
+                    s = F.relu(F.conv2d(s, torch.tensor(sd[f"{p}.se.fc1.weight"]),
+                                        torch.tensor(sd[f"{p}.se.fc1.bias"])))
+                    s = torch.sigmoid(F.conv2d(s, torch.tensor(sd[f"{p}.se.fc2.weight"]),
+                                               torch.tensor(sd[f"{p}.se.fc2.bias"])))
+                    y = y * s
+                if f"{p}.downsample.0.weight" in sd:
+                    r = bn(F.conv2d(t, torch.tensor(sd[f"{p}.downsample.0.weight"]),
+                                    stride=stride), f"{p}.downsample.1")
+                t = F.relu(y + r)
+        return t.mean((2, 3)).numpy()
+
+
+class TestResNextSEConversion:
+    """ResNeXt / SE-ResNet / wide variants: grouped convs + SEModule parity."""
+
+    def test_full_forward_matches_torch(self):
+        from nkbx.models.convert import convert_resnet_state_dict
+        from nkbx.models.resnet import Bottleneck, ResNet
+
+        rng = np.random.default_rng(11)
+        stage_sizes, card, bw, se = (1, 1), 4, 8, 1 / 16
+        sd = _synthetic_bottleneck_sd(rng, stage_sizes, card, bw, se)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        ref = _torch_bottleneck_forward(sd, x, stage_sizes, card, se)
+
+        params, stats = convert_resnet_state_dict(sd, stage_sizes)
+        module = ResNet(stage_sizes=stage_sizes, block_cls=Bottleneck,
+                        cardinality=card, base_width=bw, se_ratio=se,
+                        dtype=jnp.float32)
+        ours = module.apply({"params": params, "batch_stats": stats},
+                            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), train=False)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5 * scale)
+
+    @pytest.mark.parametrize("name,card,bw,se", [
+        ("resnext50_32x4d", 32, 4, 0.0),
+        ("wide_resnet50_2", 1, 128, 0.0),
+        ("seresnext50_32x4d", 32, 4, 1 / 16),
+    ])
+    def test_convert_dispatch_shapes_match_model(self, name, card, bw, se):
+        """Converted full-size tree loads into a real init (names + shapes)."""
+        from nkbx.models.registry import create_backbone
+
+        rng = np.random.default_rng(12)
+        sd = _synthetic_bottleneck_sd(rng, (3, 4, 6, 3), card, bw, se)
+        out = convert_torch_state_dict(name, sd)
+        module = create_backbone(name, dtype=jnp.float32)
+        variables = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False))
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): tuple(v.shape)
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+        assert paths(out["params"]) == paths(variables["params"])
+        assert paths(out["batch_stats"]) == paths(variables["batch_stats"])
+
+
+def _synthetic_densenet_sd(rng, block_config, growth=8, init_features=16, bn_size=4):
+    """torchvision/timm DenseNet state_dict layout, random values."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i, k, k)).astype(np.float32) * 0.2
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[f"{name}.running_var"] = rng.uniform(0.5, 2.0, size=c).astype(np.float32)
+
+    conv("features.conv0", init_features, 3, 7)
+    bn("features.norm0", init_features)
+    c = init_features
+    for b, n_layers in enumerate(block_config, start=1):
+        for li in range(1, n_layers + 1):
+            t = f"features.denseblock{b}.denselayer{li}"
+            bn(f"{t}.norm1", c)
+            conv(f"{t}.conv1", bn_size * growth, c, 1)
+            bn(f"{t}.norm2", bn_size * growth)
+            conv(f"{t}.conv2", growth, bn_size * growth, 3)
+            c += growth
+        if b != len(block_config):
+            bn(f"features.transition{b}.norm", c)
+            conv(f"features.transition{b}.conv", c // 2, c, 1)
+            c //= 2
+    bn("features.norm5", c)
+    return sd
+
+
+def _torch_densenet_forward(sd, x, block_config, growth=8, bn_size=4):
+    """torchvision densenet.py eval forward (pre-activation dense layers)."""
+    import torch
+    import torch.nn.functional as F
+
+    def bn(t, p):
+        return F.batch_norm(
+            t, torch.tensor(sd[f"{p}.running_mean"]), torch.tensor(sd[f"{p}.running_var"]),
+            torch.tensor(sd[f"{p}.weight"]), torch.tensor(sd[f"{p}.bias"]),
+            training=False, eps=1e-5)
+
+    with torch.no_grad():
+        t = F.conv2d(torch.tensor(x), torch.tensor(sd["features.conv0.weight"]),
+                     stride=2, padding=3)
+        t = F.relu(bn(t, "features.norm0"))
+        t = F.max_pool2d(t, 3, 2, 1)
+        for b, n_layers in enumerate(block_config, start=1):
+            for li in range(1, n_layers + 1):
+                p = f"features.denseblock{b}.denselayer{li}"
+                y = F.conv2d(F.relu(bn(t, f"{p}.norm1")), torch.tensor(sd[f"{p}.conv1.weight"]))
+                y = F.conv2d(F.relu(bn(y, f"{p}.norm2")), torch.tensor(sd[f"{p}.conv2.weight"]),
+                             padding=1)
+                t = torch.cat([t, y], dim=1)
+            if b != len(block_config):
+                p = f"features.transition{b}"
+                t = F.conv2d(F.relu(bn(t, f"{p}.norm")), torch.tensor(sd[f"{p}.conv.weight"]))
+                t = F.avg_pool2d(t, 2, 2)
+        t = F.relu(bn(t, "features.norm5"))
+        return t.mean((2, 3)).numpy()
+
+
+class TestDenseNetConversion:
+    def test_full_forward_matches_torch(self):
+        from nkbx.models.convert import convert_densenet_state_dict
+        from nkbx.models.densenet import DenseNet
+
+        rng = np.random.default_rng(13)
+        block_config = (2, 2)
+        sd = _synthetic_densenet_sd(rng, block_config)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        ref = _torch_densenet_forward(sd, x, block_config)
+
+        params, stats = convert_densenet_state_dict(sd, block_config)
+        module = DenseNet(block_config=block_config, growth_rate=8,
+                          init_features=16, dtype=jnp.float32)
+        ours = module.apply({"params": params, "batch_stats": stats},
+                            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), train=False)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5 * scale)
+
+    def test_convert_dispatch_shapes_match_model(self):
+        from nkbx.models.registry import create_backbone
+
+        rng = np.random.default_rng(14)
+        sd = _synthetic_densenet_sd(rng, (6, 12, 24, 16), growth=32, init_features=64)
+        out = convert_torch_state_dict("densenet121", sd)
+        module = create_backbone("densenet121", dtype=jnp.float32)
+        assert module.num_features == 1024
+        variables = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False))
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): tuple(v.shape)
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+        assert paths(out["params"]) == paths(variables["params"])
+        assert paths(out["batch_stats"]) == paths(variables["batch_stats"])
+        # every torch tensor consumed (no classifier keys in the synthetic sd)
+        n_flax = len(jax.tree_util.tree_leaves(out["params"])) + len(
+            jax.tree_util.tree_leaves(out["batch_stats"]))
+        assert n_flax == len(sd)

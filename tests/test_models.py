@@ -50,6 +50,24 @@ class TestRegistry:
         assert create_backbone("convnext_tiny").num_features == 768
         assert create_backbone("vit_base_patch32_224").num_features == 768
         assert create_backbone("unicom ViT-B/32").num_features == 512
+        assert create_backbone("resnext50_32x4d").num_features == 2048
+        assert create_backbone("wide_resnet50_2").num_features == 2048
+        assert create_backbone("seresnet50").num_features == 2048
+        assert create_backbone("efficientnet_b4").num_features == 1792
+        assert create_backbone("convnext_large").num_features == 1536
+        assert create_backbone("vit_large_patch16_224").num_features == 1024
+
+    def test_every_registry_name_initializes(self):
+        """Abstract init (eval_shape: no FLOPs) of EVERY registry backbone:
+        constructor args are coherent and the embedding dim is positive."""
+        for name in list_backbones():
+            module = create_backbone(name)
+            size = 32 if "vit" not in name.lower() else 224
+            variables = jax.eval_shape(
+                lambda m=module, s=size: m.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)), train=False))
+            assert "params" in variables, name
+            assert module.num_features > 0, name
 
 
 class TestClassifier:

@@ -79,3 +79,47 @@ class TestDataParallelEquivalence:
         sh = param_shardings(mesh, model.params, tensor_parallel=True)
         leaves = jax.tree_util.tree_leaves(sh, is_leaf=lambda x: hasattr(x, "spec"))
         assert len(leaves) > 0  # spec tree built without error
+
+    def test_fsdp_sharded_step_matches_single_device(self, setup):
+        """ZeRO-3-style param sharding over the data axis: XLA's inserted
+        all-gather/reduce-scatter must leave the update numerically equal to
+        the single-device step."""
+        from nkbx.parallel import param_shardings
+
+        model, bundle, step, image, label, mask = setup
+
+        state1 = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        new1, m1 = _run_step(state1, step, image, label, mask)
+
+        mesh = make_mesh(n_data=8)
+        sh = param_shardings(mesh, model.params, fsdp=True, fsdp_min_size=64)
+        # at least one leaf must actually be scattered for this test to bite
+        assert any(s.spec != jax.sharding.PartitionSpec()
+                   for s in jax.tree_util.tree_leaves(
+                       sh, is_leaf=lambda x: hasattr(x, "spec")))
+        state8 = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        state8 = state8.replace(
+            params=jax.device_put(state8.params, sh),
+            batch_stats=jax.device_put(state8.batch_stats, replicated_sharding(mesh)),
+        )
+        batch = shard_batch(mesh, {"image": image, "label": label, "mask": mask})
+        new8, m8 = step(state8, batch["image"], batch["label"], batch["mask"],
+                        jax.random.PRNGKey(0), jnp.asarray(1.0), jnp.asarray(1.0))
+
+        for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                        jax.tree_util.tree_leaves(new8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+
+    def test_fsdp_spec_picks_divisible_dim(self, setup):
+        from nkbx.parallel import param_shardings
+
+        model, *_ = setup
+        mesh = make_mesh(n_data=8)
+        sh = param_shardings(mesh, model.params, fsdp=True, fsdp_min_size=1)
+        for leaf, s in zip(jax.tree_util.tree_leaves(model.params),
+                           jax.tree_util.tree_leaves(
+                               sh, is_leaf=lambda x: hasattr(x, "spec"))):
+            for dim, name in enumerate(s.spec):
+                if name == "data":
+                    assert leaf.shape[dim] % 8 == 0
