@@ -81,6 +81,9 @@ def main(args):
     if args.to == "savedmodel":
         from nkbx.export import export_savedmodel
 
+        if args.dynamic == "all":
+            print("WARNING: --to savedmodel supports dynamic BATCH only; "
+                  "H/W stay static (use --to serving for --dynamic all)")
         out = save_dir / f"{stem}_savedmodel"
         export_savedmodel(model, args.input_shape, out, metadata=metadata,
                           dynamic_batch=(args.dynamic != "none"), dtype=dtype)

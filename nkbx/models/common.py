@@ -174,14 +174,18 @@ def hard_swish(x):
 
 
 class SqueezeExcite(nn.Module):
+    """``act`` is the reduce-conv activation: ReLU for MobileNetV3, the block
+    act (swish) for EfficientNet — both per the torch/timm originals."""
+
     reduced: int
     gate: Callable = hard_sigmoid
+    act: Callable = nn.relu
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
         s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
-        s = nn.relu(s)
+        s = self.act(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
         return x * self.gate(s)

@@ -206,6 +206,9 @@ def convert_torch_state_dict(name: str, state_dict):
     if name in _DENSENET_CONFIGS:
         params, stats = convert_densenet_state_dict(state_dict, _DENSENET_CONFIGS[name])
         return {"params": params, "batch_stats": stats}
+    if name in _EFFNETV2_SPECS:
+        params, stats = convert_efficientnetv2_state_dict(state_dict, _EFFNETV2_SPECS[name]())
+        return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
         f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS)})"
@@ -526,8 +529,8 @@ def convert_convnext_state_dict(state_dict, depths):
 
 
 def default_filename(name: str) -> str:
-    """Checkpoint filename for a backbone name (same rule as
-    nkbx.models.registry.pretrained_params_path)."""
+    """Checkpoint filename for a backbone name (the single source of truth —
+    nkbx.models.registry.pretrained_params_path calls this)."""
     return name.replace("/", "_").replace(" ", "_") + ".msgpack"
 
 
@@ -603,9 +606,77 @@ def main(argv=None):
         os.makedirs(d, exist_ok=True)
         out = os.path.join(d, default_filename(args.model))
     save_params_msgpack(converted, out)
-    n = len(jax_tree_leaves(converted))
+    import jax
+
+    n = len(jax.tree_util.tree_leaves(converted))
     print(f"wrote {out} ({n} tensors)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# timm efficientnetv2 -> nkbx EfficientNetV2
+# ---------------------------------------------------------------------------
+
+# lazy spec import (single source of truth: nkbx.models.efficientnet)
+_EFFNETV2_SPECS = {
+    "efficientnetv2_s": lambda: __import__(
+        "nkbx.models.efficientnet", fromlist=["V2_S_SPEC"]).V2_S_SPEC,
+    "efficientnetv2_m": lambda: __import__(
+        "nkbx.models.efficientnet", fromlist=["V2_M_SPEC"]).V2_M_SPEC,
+}
+
+
+def convert_efficientnetv2_state_dict(state_dict, spec):
+    """timm EfficientNetV2 state_dict -> (params, batch_stats) for nkbx
+    EfficientNetV2. timm efficientnet-builder layout, blocks.{s}.{b}:
+    ConvBnAct (fused e1: conv/bn1), EdgeResidual (fused e>1:
+    conv_exp/bn1 + conv_pwl/bn2), InvertedResidual (mb: conv_pw/bn1,
+    conv_dw/bn2, se.conv_reduce/se.conv_expand, conv_pwl/bn3)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+        _set(stats, path + ("mean",), sd[f"{t}.running_mean"])
+        _set(stats, path + ("var",), sd[f"{t}.running_var"])
+
+    _set(params, ("ConvBN_0", "Conv_0", "kernel"), _conv_w(sd["conv_stem.weight"]))
+    put_bn("bn1", ("ConvBN_0", "BatchNorm_0"))
+
+    kf = km = 0
+    for s, (block, expand, _k, _stride, repeats, _out, _se) in enumerate(spec):
+        for b in range(repeats):
+            t = f"blocks.{s}.{b}"
+            if block == "fused":
+                f = f"FusedMBConv_{kf}"
+                kf += 1
+                if expand == 1:  # timm ConvBnAct
+                    _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv.weight"]))
+                    put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                else:  # timm EdgeResidual
+                    _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_exp.weight"]))
+                    put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                    _set(params, (f, "ConvBN_1", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_pwl.weight"]))
+                    put_bn(f"{t}.bn2", (f, "ConvBN_1", "BatchNorm_0"))
+            else:  # timm InvertedResidual (v2 mb blocks always expand > 1)
+                f = f"MBConv_{km}"
+                km += 1
+                _set(params, (f, "ConvBN_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_pw.weight"]))
+                put_bn(f"{t}.bn1", (f, "ConvBN_0", "BatchNorm_0"))
+                _set(params, (f, "ConvBN_1", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_dw.weight"]))
+                put_bn(f"{t}.bn2", (f, "ConvBN_1", "BatchNorm_0"))
+                _set(params, (f, "SqueezeExcite_0", "Conv_0", "kernel"), _conv_w(sd[f"{t}.se.conv_reduce.weight"]))
+                _set(params, (f, "SqueezeExcite_0", "Conv_0", "bias"), sd[f"{t}.se.conv_reduce.bias"])
+                _set(params, (f, "SqueezeExcite_0", "Conv_1", "kernel"), _conv_w(sd[f"{t}.se.conv_expand.weight"]))
+                _set(params, (f, "SqueezeExcite_0", "Conv_1", "bias"), sd[f"{t}.se.conv_expand.bias"])
+                _set(params, (f, "ConvBN_2", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv_pwl.weight"]))
+                put_bn(f"{t}.bn3", (f, "ConvBN_2", "BatchNorm_0"))
+
+    _set(params, ("ConvBN_1", "Conv_0", "kernel"), _conv_w(sd["conv_head.weight"]))
+    put_bn("bn2", ("ConvBN_1", "BatchNorm_0"))
+    return params, stats
 
 
 # ---------------------------------------------------------------------------
@@ -650,20 +721,6 @@ def convert_densenet_state_dict(state_dict, block_config):
             _set(params, (f"transition{b-1}", "Conv_0", "kernel"), _conv_w(sd[f"{t}.conv.weight"]))
     put_bn("features.norm5", ("final_norm",))
     return params, stats
-
-
-def jax_tree_leaves(tree):
-    leaves = []
-
-    def rec(node):
-        if isinstance(node, dict):
-            for v in node.values():
-                rec(v)
-        else:
-            leaves.append(node)
-
-    rec(tree)
-    return leaves
 
 
 if __name__ == "__main__":

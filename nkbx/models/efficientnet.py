@@ -51,7 +51,8 @@ class MBConv(nn.Module):
         if self.expand_ratio != 1:
             y = ConvBN(mid, 1, 1, act=nn.swish, dtype=self.dtype)(y, train, mask)
         y = ConvBN(mid, self.kernel, self.strides, groups=mid, act=nn.swish, dtype=self.dtype)(y, train, mask)
-        y = SqueezeExcite(max(1, int(inp * self.se_ratio)), gate=nn.sigmoid, dtype=self.dtype)(y)
+        y = SqueezeExcite(max(1, int(inp * self.se_ratio)), gate=nn.sigmoid,
+                          act=nn.swish, dtype=self.dtype)(y)
         y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
         if self.strides == 1 and inp == self.out:
             y = y + x
@@ -87,3 +88,84 @@ efficientnet_b1 = partial(EfficientNet, width_mult=1.0, depth_mult=1.1)
 efficientnet_b2 = partial(EfficientNet, width_mult=1.1, depth_mult=1.2)
 efficientnet_b3 = partial(EfficientNet, width_mult=1.2, depth_mult=1.4)
 efficientnet_b4 = partial(EfficientNet, width_mult=1.4, depth_mult=1.8)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNetV2 (Tan & Le 2021, table 4; timm's efficientnetv2_* follow it)
+# ---------------------------------------------------------------------------
+
+# (block, expand, kernel, stride, repeats, out_channels, se_ratio)
+V2_S_SPEC: Sequence = (
+    ("fused", 1, 3, 1, 2, 24, 0.0),
+    ("fused", 4, 3, 2, 4, 48, 0.0),
+    ("fused", 4, 3, 2, 4, 64, 0.0),
+    ("mb", 4, 3, 2, 6, 128, 0.25),
+    ("mb", 6, 3, 1, 9, 160, 0.25),
+    ("mb", 6, 3, 2, 15, 256, 0.25),
+)
+V2_M_SPEC: Sequence = (
+    ("fused", 1, 3, 1, 3, 24, 0.0),
+    ("fused", 4, 3, 2, 5, 48, 0.0),
+    ("fused", 4, 3, 2, 5, 80, 0.0),
+    ("mb", 4, 3, 2, 7, 160, 0.25),
+    ("mb", 6, 3, 1, 14, 176, 0.25),
+    ("mb", 6, 3, 2, 18, 304, 0.25),
+    ("mb", 6, 3, 1, 5, 512, 0.25),
+)
+
+
+class FusedMBConv(nn.Module):
+    """V2 fused block (timm EdgeResidual / ConvBnAct): the 1x1 expand + k×k
+    depthwise pair is replaced by ONE dense k×k conv — much better MXU
+    utilization at the high-resolution early stages (the reason V2 exists)."""
+
+    expand_ratio: int
+    kernel: int
+    strides: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        inp = x.shape[-1]
+        if self.expand_ratio != 1:
+            y = ConvBN(inp * self.expand_ratio, self.kernel, self.strides,
+                       act=nn.swish, dtype=self.dtype)(x, train, mask)
+            y = ConvBN(self.out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
+        else:
+            y = ConvBN(self.out, self.kernel, self.strides, act=nn.swish,
+                       dtype=self.dtype)(x, train, mask)
+        if self.strides == 1 and inp == self.out:
+            y = y + x
+        return y
+
+
+class EfficientNetV2(nn.Module):
+    spec: Sequence = V2_S_SPEC
+    stem_width: int = 24
+    drop_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @property
+    def num_features(self):
+        return 1280
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        x = ConvBN(self.stem_width, 3, 2, act=nn.swish, dtype=self.dtype)(x, train, mask)
+        for block, expand, kernel, stride, repeats, out, se in self.spec:
+            for i in range(repeats):
+                s = stride if i == 0 else 1
+                if block == "fused":
+                    x = FusedMBConv(expand, kernel, s, out, dtype=self.dtype)(x, train, mask)
+                else:
+                    x = MBConv(expand, kernel, s, out, se_ratio=se, dtype=self.dtype)(x, train, mask)
+        x = ConvBN(self.num_features, 1, 1, act=nn.swish, dtype=self.dtype)(x, train, mask)
+        x = global_avg_pool(x)
+        if self.drop_rate > 0:
+            x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
+        return x.astype(jnp.float32)
+
+
+efficientnetv2_s = partial(EfficientNetV2, spec=V2_S_SPEC)
+efficientnetv2_m = partial(EfficientNetV2, spec=V2_M_SPEC)

@@ -38,6 +38,8 @@ _REGISTRY = {
     "efficientnet_b2": efficientnet.efficientnet_b2,
     "efficientnet_b3": efficientnet.efficientnet_b3,
     "efficientnet_b4": efficientnet.efficientnet_b4,
+    "efficientnetv2_s": efficientnet.efficientnetv2_s,
+    "efficientnetv2_m": efficientnet.efficientnetv2_m,
     "densenet121": densenet.densenet121,
     "densenet169": densenet.densenet169,
     "densenet201": densenet.densenet201,
@@ -104,19 +106,21 @@ def _fetch_and_convert(name: str):
     d = os.environ.get("NKBX_PRETRAINED_DIR", "")
     if not d:
         return None
-    try:
-        from nkbx.models.convert import (
-            convert_torch_state_dict,
-            default_filename,
-            fetch_torch_state_dict,
-            save_params_msgpack,
-        )
+    from nkbx.models.convert import (
+        convert_torch_state_dict,
+        default_filename,
+        fetch_torch_state_dict,
+        save_params_msgpack,
+    )
 
+    try:
         sd = fetch_torch_state_dict(name)
-        converted = convert_torch_state_dict(name, sd)
-    except Exception as e:  # no timm/unicom, no network, unknown name...
+    except Exception as e:  # no timm/unicom installed, no network, unknown name
         warnings.warn(f"pretrained fetch for {name!r} failed: {e}")
         return None
+    # conversion errors propagate: a converter bug must NOT silently degrade
+    # pretrained=True to random initialization
+    converted = convert_torch_state_dict(name, sd)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, default_filename(name))
     save_params_msgpack(converted, path)
@@ -124,8 +128,10 @@ def _fetch_and_convert(name: str):
 
 
 def pretrained_params_path(name: str):
+    from nkbx.models.convert import default_filename
+
     d = os.environ.get("NKBX_PRETRAINED_DIR", "")
     if not d:
         return None
-    p = os.path.join(d, name.replace("/", "_").replace(" ", "_") + ".msgpack")
+    p = os.path.join(d, default_filename(name))
     return p if os.path.exists(p) else None

@@ -114,8 +114,10 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False,
     outweighs the memory win). Overkill for classifier-sized models; provided
     so large ViT backbones fit on small-HBM meshes without code changes.
     """
-    n_model = mesh.shape["model"]
-    n_data = mesh.shape["data"]
+    # .get: accept meshes without a 'model' (or custom 'data') axis, e.g. the
+    # 1-D Mesh(('data',)) multi-host tests build
+    n_model = mesh.shape.get("model", 1)
+    n_data = mesh.shape.get("data", 1)
     if not (tensor_parallel and n_model > 1) and not fsdp:
         rep = replicated_sharding(mesh)
         return jax.tree_util.tree_map(lambda _: rep, params)

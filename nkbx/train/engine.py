@@ -152,12 +152,26 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         jitted = jax.jit(multi_step, donate_argnums=(0,))
     else:
         jitted = jax.jit(train_step, donate_argnums=(0,))
-    try:
-        jitted.masked_bn = masked_bn  # introspected by train_epoch's padding check
-        jitted.scan_steps = scan_steps
-    except AttributeError:
-        pass
-    return jitted
+    return _StepFn(jitted, masked_bn=masked_bn, scan_steps=scan_steps)
+
+
+class _StepFn:
+    """Jitted step plus the step-shape config train_epoch must know
+    (``scan_steps``: feed K stacked batches per dispatch; ``masked_bn``:
+    padding already handled). A wrapper rather than attributes on the
+    PjitFunction so the config can never be silently dropped; other jit
+    attributes (``lower`` etc.) are forwarded."""
+
+    def __init__(self, fn, masked_bn: bool, scan_steps: int):
+        self._fn = fn
+        self.masked_bn = masked_bn
+        self.scan_steps = scan_steps
+
+    def __call__(self, *args, **kwargs):
+        return self._fn(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._fn, name)
 
 
 def build_predict_fn(model, augment_fn=None):
@@ -291,15 +305,26 @@ class EpochCollector:
 
     @staticmethod
     def _gather_global(tree):
-        """Multi-host: all-gather global sharded leaves; pass local ones through."""
+        """Multi-host: all-gather global sharded leaves; pass local ones through.
+
+        Leaves are grouped by (shape, dtype, sharding) and each group is
+        stacked on device and gathered in ONE collective — a per-leaf gather
+        would serialize thousands of dispatches at epoch end (one per step per
+        metric, ~120 ms each on tunneled backends).
+        """
         from jax.experimental import multihost_utils
 
-        def gather(x):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        groups: dict = defaultdict(list)
+        for i, x in enumerate(leaves):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                return multihost_utils.process_allgather(x, tiled=True)
-            return x
-
-        return jax.tree_util.tree_map(gather, tree)
+                groups[(x.shape, x.dtype, x.sharding)].append(i)
+        for idxs in groups.values():
+            stacked = jnp.stack([leaves[i] for i in idxs])
+            gathered = np.asarray(multihost_utils.process_allgather(stacked, tiled=True))
+            for j, i in enumerate(idxs):
+                leaves[i] = gathered[j]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     @staticmethod
     def _aggregate_grads(grad_logs):
@@ -497,14 +522,16 @@ def train_epoch(
             dev = _put_batch(batches[0], mesh)
         state, metrics = train_step(state, dev["image"], dev["label"], dev["mask"],
                                     key, lr_f, fz)
+        if first:
+            # sync once after the compiling step BEFORE any further dispatch
+            # (incl. the bounded-metrics fold below): queueing work behind an
+            # in-flight compilation degrades tunneled-TPU sessions badly
+            _last_loss(metrics)
         logger.log_iter(metrics)
         tp.step(int(sum(b["mask"].sum() for b in batches)))
         warn_if_unmasked_partial(all(bool(b["mask"].all()) for b in batches))
         if first:
             logger.log_images_if_needed(batches[0]["image"])
-            # sync once after the compiling step: queueing dispatches behind an
-            # in-flight compilation degrades tunneled-TPU sessions badly
-            _last_loss(metrics)
             first = False
         prev_metrics = metrics
         step_i += len(batches)
@@ -516,20 +543,24 @@ def train_epoch(
         buf.append(batch)
         if len(buf) < spd:
             continue
+        # capture the last ALREADY-dispatched step's metrics before this
+        # dispatch overwrites prev_metrics, so the postfix fetch below never
+        # blocks on the step still in flight
+        older = prev_metrics
         dispatch(buf)
         buf = []
-        if progress and spd == 1 and prev_metrics is not None and step_i % 10 == 1:
+        if progress and spd == 1 and older is not None and step_i % 10 == 1:
             # show the PREVIOUS step's loss (already materialized) and only
             # every 10 steps: each float() is a ~120 ms D2H round trip on
             # tunneled backends (the reference syncs EVERY iteration,
             # engine.py:53 + logging.py:261-281)
             if task_multi and show_full:
                 it.set_postfix_str(", ".join(
-                    f"loss {k}: {float(v['loss']):.4f}" for k, v in prev_metrics.items()
+                    f"loss {k}: {float(v['loss']):.4f}" for k, v in older.items()
                     if isinstance(v, dict) and "loss" in v
                 ))
             else:
-                it.set_postfix_str(f"Loss: {float(prev_metrics['loss']):.4f}")
+                it.set_postfix_str(f"Loss: {float(older['loss']):.4f}")
     if buf:
         dispatch(buf)
     if prev_metrics is not None:
@@ -564,9 +595,11 @@ def val_epoch(
     for batch in it:
         dev = _put_batch(batch, mesh)
         metrics = eval_step(state, dev["image"], dev["label"], dev["mask"])
+        if first:
+            # sync BEFORE the logger's fold dispatch (see train_epoch)
+            float(metrics["loss"])
         logger.log_iter(metrics)
         if first:
             logger.log_images_if_needed(batch["image"])
-            float(metrics["loss"])  # sync after the compiling step (see train_epoch)
             first = False
     return logger.get_epoch_results()

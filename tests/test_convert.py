@@ -878,3 +878,135 @@ class TestDenseNetConversion:
         n_flax = len(jax.tree_util.tree_leaves(out["params"])) + len(
             jax.tree_util.tree_leaves(out["batch_stats"]))
         assert n_flax == len(sd)
+
+
+class TestEfficientNetV2Conversion:
+    TINY = (("fused", 1, 3, 1, 1, 8, 0.0),
+            ("fused", 4, 3, 2, 1, 16, 0.0),
+            ("mb", 4, 3, 2, 1, 24, 0.25))
+
+    @staticmethod
+    def _synthetic_sd(rng, spec, stem=8):
+        sd = {}
+
+        def conv(name, o, i, k, groups=1, bias=False):
+            sd[f"{name}.weight"] = (
+                rng.normal(size=(o, i // groups, k, k)).astype(np.float32) * 0.2)
+            if bias:
+                sd[f"{name}.bias"] = rng.normal(size=o).astype(np.float32)
+
+        def bn(name, c):
+            sd[f"{name}.weight"] = rng.normal(size=c).astype(np.float32)
+            sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32)
+            sd[f"{name}.running_mean"] = rng.normal(size=c).astype(np.float32)
+            sd[f"{name}.running_var"] = rng.uniform(0.5, 2.0, size=c).astype(np.float32)
+
+        conv("conv_stem", stem, 3, 3)
+        bn("bn1", stem)
+        inc = stem
+        for s, (block, e, k, _stride, repeats, out, se) in enumerate(spec):
+            for b in range(repeats):
+                t = f"blocks.{s}.{b}"
+                mid = inc * e
+                if block == "fused" and e == 1:
+                    conv(f"{t}.conv", out, inc, k)
+                    bn(f"{t}.bn1", out)
+                elif block == "fused":
+                    conv(f"{t}.conv_exp", mid, inc, k)
+                    bn(f"{t}.bn1", mid)
+                    conv(f"{t}.conv_pwl", out, mid, 1)
+                    bn(f"{t}.bn2", out)
+                else:
+                    conv(f"{t}.conv_pw", mid, inc, 1)
+                    bn(f"{t}.bn1", mid)
+                    conv(f"{t}.conv_dw", mid, mid, 3, groups=mid)
+                    bn(f"{t}.bn2", mid)
+                    rd = max(1, int(inc * se))
+                    conv(f"{t}.se.conv_reduce", rd, mid, 1, bias=True)
+                    conv(f"{t}.se.conv_expand", mid, rd, 1, bias=True)
+                    conv(f"{t}.conv_pwl", out, mid, 1)
+                    bn(f"{t}.bn3", out)
+                inc = out
+        conv("conv_head", 1280, inc, 1)
+        bn("bn2", 1280)
+        return sd
+
+    @staticmethod
+    def _torch_forward(sd, x, spec):
+        """timm efficientnet-builder eval forward: silu everywhere, SE inner
+        act silu + sigmoid gate, projection BNs act-free, skip on s1 e-in==out."""
+        import torch
+        import torch.nn.functional as F
+
+        def bn(t, p):
+            return F.batch_norm(
+                t, torch.tensor(sd[f"{p}.running_mean"]), torch.tensor(sd[f"{p}.running_var"]),
+                torch.tensor(sd[f"{p}.weight"]), torch.tensor(sd[f"{p}.bias"]),
+                training=False, eps=1e-5)
+
+        def cv(t, p, stride=1, padding=0, groups=1, bias=False):
+            return F.conv2d(t, torch.tensor(sd[f"{p}.weight"]),
+                            torch.tensor(sd[f"{p}.bias"]) if bias else None,
+                            stride=stride, padding=padding, groups=groups)
+
+        with torch.no_grad():
+            t = F.silu(bn(cv(torch.tensor(x), "conv_stem", 2, 1), "bn1"))
+            for s, (block, e, k, stride, repeats, out, se) in enumerate(spec):
+                for b in range(repeats):
+                    p = f"blocks.{s}.{b}"
+                    st = stride if b == 0 else 1
+                    inc = t.shape[1]
+                    r = t
+                    if block == "fused" and e == 1:
+                        y = F.silu(bn(cv(t, f"{p}.conv", st, k // 2), f"{p}.bn1"))
+                    elif block == "fused":
+                        y = F.silu(bn(cv(t, f"{p}.conv_exp", st, k // 2), f"{p}.bn1"))
+                        y = bn(cv(y, f"{p}.conv_pwl"), f"{p}.bn2")
+                    else:
+                        y = F.silu(bn(cv(t, f"{p}.conv_pw"), f"{p}.bn1"))
+                        y = F.silu(bn(cv(y, f"{p}.conv_dw", st, 1, groups=y.shape[1]), f"{p}.bn2"))
+                        g = y.mean((2, 3), keepdim=True)
+                        g = F.silu(cv(g, f"{p}.se.conv_reduce", bias=True))
+                        g = torch.sigmoid(cv(g, f"{p}.se.conv_expand", bias=True))
+                        y = y * g
+                        y = bn(cv(y, f"{p}.conv_pwl"), f"{p}.bn3")
+                    t = (y + r) if (st == 1 and inc == out) else y
+            t = F.silu(bn(cv(t, "conv_head"), "bn2"))
+            return t.mean((2, 3)).numpy()
+
+    def test_full_forward_matches_torch(self):
+        from nkbx.models.convert import convert_efficientnetv2_state_dict
+        from nkbx.models.efficientnet import EfficientNetV2
+
+        rng = np.random.default_rng(15)
+        sd = self._synthetic_sd(rng, self.TINY)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        ref = self._torch_forward(sd, x, self.TINY)
+
+        params, stats = convert_efficientnetv2_state_dict(sd, self.TINY)
+        module = EfficientNetV2(spec=self.TINY, stem_width=8, dtype=jnp.float32)
+        ours = module.apply({"params": params, "batch_stats": stats},
+                            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), train=False)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5 * scale)
+
+    def test_convert_dispatch_shapes_match_model(self):
+        from nkbx.models.efficientnet import V2_S_SPEC
+        from nkbx.models.registry import create_backbone
+
+        rng = np.random.default_rng(16)
+        sd = self._synthetic_sd(rng, V2_S_SPEC, stem=24)
+        out = convert_torch_state_dict("efficientnetv2_s", sd)
+        module = create_backbone("efficientnetv2_s", dtype=jnp.float32)
+        variables = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False))
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): tuple(v.shape)
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+        assert paths(out["params"]) == paths(variables["params"])
+        assert paths(out["batch_stats"]) == paths(variables["batch_stats"])
+        n_flax = len(jax.tree_util.tree_leaves(out["params"])) + len(
+            jax.tree_util.tree_leaves(out["batch_stats"]))
+        assert n_flax == len(sd)
