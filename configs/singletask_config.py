@@ -41,6 +41,13 @@ task = "single"
 # optional multi-chip mesh: {"data": 8} => 8-way data parallel
 mesh = None
 
+# FSDP (ZeRO-3-style): scatter large parameters AND their optimizer moments
+# over the mesh's data axis instead of replicating them — XLA inserts the
+# all-gather before each use and a reduce-scatter for the gradients.
+# Numerically equal to replicated data parallelism; turn on when the model +
+# adam moments do not fit replicated in HBM. Requires `mesh`.
+fsdp = False
+
 """
 Datasets. type: AnnotatedSingletaskDataset, AnnotatedMultitaskDataset,
 GroupsDataset, AnnotatedYOLODataset, default - ImageFolder.

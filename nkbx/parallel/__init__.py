@@ -4,6 +4,7 @@ from nkbx.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     param_shardings,
+    state_shardings,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "param_shardings",
+    "state_shardings",
 ]

@@ -128,11 +128,23 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False,
                 and _dense_kernel_spec(path, leaf) != P()
                 and leaf.shape[-1] % n_model == 0):
             dims[-1] = "model"
-        if fsdp and n_data > 1 and leaf.size >= fsdp_min_size:
+        if fsdp and n_data > 1 and getattr(leaf, "size", 0) >= fsdp_min_size:
             taken = leaf.ndim - 1 if dims and dims[-1] == "model" else None
             i = _fsdp_dim(leaf.shape, n_data, taken)
             if i is not None:
                 dims[i] = "data"
+        if all(d is None for d in dims):
+            return NamedSharding(mesh, P())  # canonical replicated spec
         return NamedSharding(mesh, P(*dims))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def state_shardings(mesh: Mesh, state, fsdp: bool = True,
+                    fsdp_min_size: int = 2**14):
+    """Shardings for a FULL train state (params + optimizer moments +
+    batch_stats + counters), applying :func:`param_shardings`'s FSDP rule to
+    every leaf: adam moments share their parameter's shape and scatter the
+    same way; batch_stats vectors and scalars fall under ``fsdp_min_size``
+    and stay replicated. Use with ``jax.device_put(state, ...)``."""
+    return param_shardings(mesh, state, fsdp=fsdp, fsdp_min_size=fsdp_min_size)

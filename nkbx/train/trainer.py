@@ -54,11 +54,22 @@ def train(
         start_epoch = last_epoch + 1
 
     if mesh is not None:
-        # replicate the train state over the mesh; the batch is sharded along
-        # 'data', so XLA emits the gradient all-reduce over ICI automatically
-        from nkbx.parallel import replicated_sharding
+        if getattr(cfg, "fsdp", False):
+            # ZeRO-3-style: large params AND their optimizer moments scatter
+            # over the 'data' axis; XLA inserts the all-gather before each use
+            # and a reduce-scatter for the gradients. Numerically equal to the
+            # replicated path (tests/test_sharding.py); use when the model +
+            # adam moments do not fit replicated in HBM.
+            from nkbx.parallel import state_shardings
 
-        state = jax.device_put(state, replicated_sharding(mesh))
+            state = jax.device_put(state, state_shardings(mesh, state, fsdp=True))
+        else:
+            # replicate the train state over the mesh; the batch is sharded
+            # along 'data', so XLA emits the gradient all-reduce over ICI
+            # automatically
+            from nkbx.parallel import replicated_sharding
+
+            state = jax.device_put(state, replicated_sharding(mesh))
 
     augment_train = train_loader.pipeline.device_apply if train_loader.pipeline else None
     augment_val = val_loader.pipeline.device_apply if val_loader.pipeline else None

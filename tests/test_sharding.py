@@ -123,3 +123,46 @@ class TestDataParallelEquivalence:
             for dim, name in enumerate(s.spec):
                 if name == "data":
                     assert leaf.shape[dim] % 8 == 0
+
+    def test_state_shardings_full_state(self, setup):
+        """state_shardings: adam moments scatter exactly like their params;
+        tiny batch_stats vectors and the step counter stay replicated; a step
+        from the fully-put state matches the single-device step."""
+        from nkbx.parallel import state_shardings
+        from nkbx.train import get_optimizer
+
+        model, bundle, step, image, label, mask = setup
+        mesh = make_mesh(n_data=8)
+
+        adam = get_optimizer(model.params, {"type": "adam", "lr": 1e-3})
+        st = TrainState.create(model.params, model.batch_stats, adam.tx)
+        put = jax.device_put(st, state_shardings(mesh, st, fsdp_min_size=64))
+
+        param_specs = {}
+        for leaf in jax.tree_util.tree_leaves(put.params):
+            param_specs.setdefault(leaf.shape, leaf.sharding.spec)
+        scattered = [s for s in param_specs.values()
+                     if s != jax.sharding.PartitionSpec()]
+        assert scattered, "expected at least one scattered param"
+        for leaf in jax.tree_util.tree_leaves(put.opt_state):
+            if leaf.shape in param_specs:
+                assert leaf.sharding.spec == param_specs[leaf.shape], leaf.shape
+        assert put.step.sharding.spec == jax.sharding.PartitionSpec()
+        # at the DEFAULT threshold, (C,) batch-stats vectors stay replicated
+        put_default = jax.device_put(st, state_shardings(mesh, st))
+        for leaf in jax.tree_util.tree_leaves(put_default.batch_stats):
+            assert leaf.sharding.spec == jax.sharding.PartitionSpec()
+
+        # numerics: full-state FSDP put + sgd step == single-device step
+        state1 = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        new1, m1 = _run_step(state1, step, image, label, mask)
+        state8 = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        state8 = jax.device_put(
+            state8, state_shardings(mesh, state8, fsdp_min_size=64))
+        batch = shard_batch(mesh, {"image": image, "label": label, "mask": mask})
+        new8, m8 = step(state8, batch["image"], batch["label"], batch["mask"],
+                        jax.random.PRNGKey(0), jnp.asarray(1.0), jnp.asarray(1.0))
+        for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                        jax.tree_util.tree_leaves(new8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
