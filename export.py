@@ -9,6 +9,8 @@ Formats:
     stablehlo   human-readable StableHLO MLIR text — replaces raw ONNX export
     savedmodel  TF SavedModel via jax2tf — the portable-artifact analog of the
                 reference's ONNX export (TF Serving / TFLite / tf2onnx)
+    tflite      .tflite flatbuffer (static shapes) + JSON metadata sidecar —
+                the edge-deployment analog of the reference's ONNX path
 """
 
 import argparse
@@ -29,7 +31,8 @@ def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("-cfg", "--config", type=str, required=True, help="Config file path")
     parser.add_argument("--to", type=str, required=True,
-                        help="serving | stablehlo | savedmodel (TF, via jax2tf)")
+                        help="serving | stablehlo | savedmodel (TF, via jax2tf) "
+                             "| tflite (edge flatbuffer, static shapes)")
     parser.add_argument("-w", "--weights", type=str, required=True,
                         help="nkbx checkpoint (orbax dir or .msgpack)")
     parser.add_argument("--dynamic", type=str, default="batch",
@@ -41,7 +44,7 @@ def parse_args():
     parser.add_argument("--half", type=str2bool, nargs="?", const=True, default=False,
                         help="bf16 inference I/O (TPU-native half precision)")
     args = parser.parse_args()
-    assert args.to in ("serving", "stablehlo", "savedmodel")
+    assert args.to in ("serving", "stablehlo", "savedmodel", "tflite")
     assert args.dynamic in ("batch", "none", "all")
     assert len(args.input_shape) == 4
     return args
@@ -67,8 +70,16 @@ def main(args):
     model_cfg["checkpoint"] = args.weights
     b, h, w, c = args.input_shape
     dtype = jnp.bfloat16 if args.half else jnp.float32
-    model = get_model(model_cfg, classes, input_size=(h, w),
-                      dtype=jnp.bfloat16 if cfg.enable_mixed_precision else jnp.float32)
+    model_compute = jnp.bfloat16 if cfg.enable_mixed_precision else jnp.float32
+    if args.to == "tflite":
+        # TFLite flatbuffers have no bf16 kernels (a bf16 module fails to
+        # legalize, e.g. the s2d stem transpose); edge inference is f32/int8
+        model_compute = jnp.float32
+        if args.half or cfg.enable_mixed_precision:
+            print("NOTE: --to tflite builds the module in float32 "
+                  "(TFLite has no bf16)")
+        dtype = jnp.float32
+    model = get_model(model_cfg, classes, input_size=(h, w), dtype=model_compute)
 
     stem = Path(args.weights).stem or "model"
     save_dir = Path(args.save_path)
@@ -78,7 +89,16 @@ def main(args):
     metadata = make_metadata(classes, args.input_shape, cfg.task,
                              description=f"nkbx classification model ({exp_name})")
 
-    if args.to == "savedmodel":
+    if args.to == "tflite":
+        from nkbx.export import export_tflite
+
+        if args.dynamic != "none":
+            print("WARNING: --to tflite exports static shapes; --dynamic ignored")
+        out = save_dir / f"{stem}.tflite"
+        path, _ = export_tflite(model, args.input_shape, out, metadata=metadata,
+                                dtype=dtype)
+        print(f"tflite export success, saved as {path}")
+    elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel
 
         if args.dynamic == "all":

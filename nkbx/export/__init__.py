@@ -14,9 +14,17 @@ def export_savedmodel(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def export_tflite(*args, **kwargs):
+    """Lazy wrapper: tensorflow imports are heavy, load only when used."""
+    from nkbx.export.savedmodel import export_tflite as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "export_model",
     "export_savedmodel",
+    "export_tflite",
     "load_exported",
     "make_metadata",
     "save_stablehlo_text",

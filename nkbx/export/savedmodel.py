@@ -55,3 +55,50 @@ def export_savedmodel(model, input_shape, save_dir, metadata=None,
     (save_dir / "metadata.json").write_text(json.dumps(meta))
     (save_dir / "classes.json").write_text(json.dumps(model.classes))
     return save_dir, meta
+
+
+def export_tflite(model, input_shape, out_path, metadata=None, dtype=None):
+    """Export a ClassificationModel to a ``.tflite`` flatbuffer (static batch —
+    TFLite's preferred shape model; the edge-deployment analog of the
+    reference's ONNX path, reference export.py:146-206). A JSON metadata
+    sidecar is written next to the flatbuffer, mirroring the reference's
+    embedded metadata (export.py:126-135)."""
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    from nkbx.export.stablehlo import make_metadata
+
+    dtype = dtype or jnp.float32
+    variables = jax.device_get(model.variables)
+    module = model.module
+    if getattr(getattr(module, "backbone", None), "dtype", None) == jnp.bfloat16:
+        raise ValueError(
+            "TFLite has no bf16 kernels (bf16 modules fail to legalize); "
+            "rebuild the model with dtype=float32 — export.py does this "
+            "automatically for --to tflite"
+        )
+
+    def infer(x):
+        return module.apply(variables, x.astype(dtype), train=False)
+
+    b, h, w, c = input_shape
+    tf_fn = tf.function(
+        jax2tf.convert(infer),
+        autograph=False,
+        input_signature=[tf.TensorSpec([b, h, w, c], tf.float32, name="images")],
+    )
+    converter = tf.lite.TFLiteConverter.from_concrete_functions(
+        [tf_fn.get_concrete_function()])
+    # jax2tf emits some ops outside the builtin-TFLite set; allow TF fallback
+    # kernels (the standard jax2tf->TFLite recipe)
+    converter.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS,
+        tf.lite.OpsSet.SELECT_TF_OPS,
+    ]
+    flatbuffer = converter.convert()
+    out_path = Path(out_path)
+    out_path.write_bytes(flatbuffer)
+    meta = metadata or make_metadata(model.classes, input_shape, model.task)
+    out_path.with_suffix(out_path.suffix + ".json").write_text(json.dumps(meta))
+    return out_path, meta

@@ -174,3 +174,29 @@ class TestSavedModelExport:
             tiny_model.variables, jnp.asarray(x), train=False))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestTFLiteExport:
+    def test_roundtrip_logits_match(self, tiny_model, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+
+        from nkbx.export import export_tflite
+
+        out, meta = export_tflite(tiny_model, (2, 32, 32, 3), tmp_path / "m.tflite")
+        assert out.exists() and out.with_suffix(".tflite.json").exists()
+        assert meta["task"] == tiny_model.task
+
+        interp = tf.lite.Interpreter(model_path=str(out))
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        x = np.random.default_rng(1).random((2, 32, 32, 3)).astype(np.float32)
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+        got = interp.get_tensor(interp.get_output_details()[0]["index"])
+
+        import jax.numpy as jnp
+
+        want = np.asarray(tiny_model.module.apply(
+            tiny_model.variables, jnp.asarray(x), train=False))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3)
