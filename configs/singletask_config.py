@@ -36,6 +36,14 @@ metrics_accumulation = "exact"
 # keep up with K-step bursts.
 steps_per_dispatch = 1
 
+# gradient accumulation: split each batch into A sequential microbatches and
+# apply ONE optimizer update equal to the full-batch gradient (valid-count
+# weighted). Activation memory scales with batch/A — use when the target
+# batch does not fit in HBM. BatchNorm batch statistics are per-microbatch
+# (ghost-BN, as in torch accumulation). Mutually exclusive with
+# steps_per_dispatch.
+grad_accum_steps = 1
+
 task = "single"
 
 # optional multi-chip mesh: {"data": 8} => 8-way data parallel

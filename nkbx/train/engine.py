@@ -81,7 +81,7 @@ def _bind_augment(module, augment_fn, train: bool):
 
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                      log_gradients: bool = False, masked_bn: bool = False,
-                     scan_steps: int = 1):
+                     scan_steps: int = 1, grad_accum_steps: int = 1):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
     -> (state, metrics).
 
@@ -96,20 +96,28 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
     are unchanged — the PRNG folds in ``state.step`` inside the body — but the
     per-dispatch host round trip is paid once per K steps, which matters on
     remote-hosted/tunneled TPUs (~1 ms/step on the dev chip, PERF.md).
+
+    ``grad_accum_steps > 1`` splits each batch into A sequential microbatches
+    (``lax.scan``): gradients are accumulated (valid-count weighted, so the
+    update equals the full-batch gradient) and ONE optimizer update is applied.
+    Activation memory scales with B/A — the standard recipe when the target
+    batch does not fit in HBM. Caveat (inherent to accumulation, same as
+    torch): BatchNorm batch statistics are computed per MICROBATCH (ghost-BN
+    semantics), not over the full batch.
     """
+    if scan_steps > 1 and grad_accum_steps > 1:
+        raise ValueError("steps_per_dispatch and grad_accum_steps are mutually "
+                         "exclusive (unvalidated metric-stacking interaction)")
     module = model.module
     augment = _bind_augment(module, augment_fn, train=True)
 
-    def train_step(state: TrainState, image, label, mask, key, lr_factor, freeze_scale):
-        step_key = jax.random.fold_in(key, state.step)
-        aug_key, drop_key = jax.random.split(step_key)
-        x = augment(image, aug_key)
+    def _micro_grads(params, batch_stats, x, label, mask, drop_key):
         bn_mask = mask.reshape((-1,) + (1,) * (x.ndim - 1)) if masked_bn else None
 
         def loss_fn(params):
             variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
             preds, mutated = module.apply(
                 variables, x, train=True, mask=bn_mask,
                 rngs={"dropout": drop_key}, mutable=["batch_stats"],
@@ -118,9 +126,53 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
             scalar = loss_out["loss"] if isinstance(loss_out, dict) else loss_out
             return scalar, (preds, mutated.get("batch_stats", {}), loss_out)
 
-        (loss, (preds, new_bs, loss_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, image, label, mask, key, lr_factor, freeze_scale):
+        step_key = jax.random.fold_in(key, state.step)
+        aug_key, drop_key = jax.random.split(step_key)
+        x = augment(image, aug_key)
+
+        if grad_accum_steps > 1:
+            a = grad_accum_steps
+            b = x.shape[0]
+            if b % a:
+                raise ValueError(f"grad_accum_steps={a} must divide batch {b}")
+
+            def split(v):
+                return v.reshape((a, b // a) + v.shape[1:])
+
+            xs = split(x)
+            ls = jax.tree_util.tree_map(split, label)
+            ms = split(mask)
+
+            def micro(carry, inputs):
+                bs, gsum, nsum = carry
+                i, x_i, l_i, m_i = inputs
+                (_, (preds, new_bs, loss_out)), g = _micro_grads(
+                    state.params, bs, x_i, l_i, m_i, jax.random.fold_in(drop_key, i))
+                n = m_i.sum().astype(jnp.float32)
+                # criterion means over the microbatch's valid rows; weighting
+                # by n and normalizing by the total reproduces the full-batch
+                # mean gradient exactly
+                gsum = jax.tree_util.tree_map(lambda s, gi: s + gi * n, gsum, g)
+                return (new_bs if new_bs else bs, gsum, nsum + n), \
+                    _iter_metrics(preds, l_i, m_i, loss_out)
+
+            init = (state.batch_stats,
+                    jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                    jnp.asarray(0.0))
+            idx = jnp.arange(a)
+            (new_bs, gsum, nsum), metrics = jax.lax.scan(
+                micro, init, (idx, xs, ls, ms))
+            grads = jax.tree_util.tree_map(
+                lambda g: g / jnp.maximum(nsum, 1.0), gsum)
+            preds = loss_out = None  # metrics already stacked (A, ...)
+        else:
+            (_, (preds, new_bs, loss_out)), grads = _micro_grads(
+                state.params, state.batch_stats, x, label, mask, drop_key)
+            metrics = None
+
         grads = apply_coupled_wd(grads, state.params, bundle.coupled_wds)
         grads = mask_frozen_grads(grads, freeze_scale)
         updates, new_opt_state = bundle.tx.update(grads, state.opt_state, state.params)
@@ -132,7 +184,8 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        metrics = _iter_metrics(preds, label, mask, loss_out)
+        if metrics is None:
+            metrics = _iter_metrics(preds, label, mask, loss_out)
         if log_gradients:
             metrics["grad_norms"] = {
                 "/".join(str(getattr(p, "key", p)) for p in path): jnp.linalg.norm(g.astype(jnp.float32))

@@ -81,6 +81,9 @@ def train(
         # steps_per_dispatch > 1: lax.scan K train steps per device dispatch
         # (amortizes the per-dispatch host round trip on remote-hosted TPUs)
         scan_steps=int(getattr(cfg, "steps_per_dispatch", 1) or 1),
+        # grad_accum_steps > 1: split each batch into A sequential microbatches,
+        # ONE optimizer update (activation memory scales with B/A)
+        grad_accum_steps=int(getattr(cfg, "grad_accum_steps", 1) or 1),
     )
     eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
 

@@ -349,3 +349,109 @@ class TestScanSteps:
         for x, y in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(state8.params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+class TestGradAccum:
+    """grad_accum_steps: A sequential microbatches + ONE update must equal the
+    full-batch update exactly for BN-free models (valid-count weighting), and
+    run with documented ghost-BN semantics for BN models."""
+
+    def _setup(self, grad_accum, with_bn=False):
+        import types
+
+        import jax
+        from flax import linen as nn
+
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+        if with_bn:
+            model = get_model(
+                {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+                classes=["a", "b", "c"], input_size=(16, 16), seed=0, dtype=jnp.float32,
+            )
+        else:
+            class NoBN(nn.Module):
+                @nn.compact
+                def __call__(self, x, train=False, mask=None):
+                    x = nn.Conv(8, (3, 3), strides=(2, 2))(x.astype(jnp.float32))
+                    x = nn.relu(x)
+                    x = jnp.mean(x, axis=(1, 2))
+                    return nn.Dense(3)(x)
+
+            module = NoBN()
+            variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+            model = types.SimpleNamespace(module=module, params=variables["params"],
+                                          batch_stats={})
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        step = build_train_step(model, criterion, bundle, masked_bn=with_bn,
+                                grad_accum_steps=grad_accum)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        return step, state
+
+    def test_matches_full_batch_no_bn(self):
+        import jax
+
+        r = np.random.default_rng(1)
+        img = r.integers(0, 255, (8, 16, 16, 3)).astype(np.uint8)
+        lab = r.integers(0, 3, (8,)).astype(np.int64)
+        mask = np.ones(8, bool)
+        mask[5] = False  # a padded row: exercises valid-count weighting
+        key = jax.random.PRNGKey(0)
+        one = jnp.asarray(1.0)
+
+        step1, state1 = self._setup(1)
+        new1, m1 = step1(state1, jnp.asarray(img), jnp.asarray(lab),
+                         jnp.asarray(mask), key, one, one)
+
+        step4, state4 = self._setup(4)
+        new4, m4 = step4(state4, jnp.asarray(img), jnp.asarray(lab),
+                         jnp.asarray(mask), key, one, one)
+
+        for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                        jax.tree_util.tree_leaves(new4.params)):
+            # accumulation changes the float reduction order: ~1e-6 noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        # weighted mean of the (A,) microbatch losses == full-batch loss
+        n_valid = np.asarray([2, 2, 1, 2], np.float32)  # row 5 -> microbatch 2
+        weighted = float((np.asarray(m4["loss"]) * n_valid).sum() / n_valid.sum())
+        np.testing.assert_allclose(weighted, float(m1["loss"]), rtol=1e-5)
+
+    def test_runs_with_bn_and_updates_stats(self):
+        import jax
+
+        r = np.random.default_rng(2)
+        img = r.integers(0, 255, (8, 16, 16, 3)).astype(np.uint8)
+        lab = r.integers(0, 3, (8,)).astype(np.int64)
+        mask = np.ones(8, bool)
+        key = jax.random.PRNGKey(0)
+        one = jnp.asarray(1.0)
+
+        step, state = self._setup(2, with_bn=True)
+        before = jax.tree_util.tree_leaves(state.batch_stats)[0].copy()
+        new, m = step(state, jnp.asarray(img), jnp.asarray(lab),
+                      jnp.asarray(mask), key, one, one)
+        assert np.asarray(m["loss"]).shape == (2,)
+        assert np.isfinite(np.asarray(m["loss"])).all()
+        after = jax.tree_util.tree_leaves(new.batch_stats)[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_mutually_exclusive_with_scan(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="mutually"):
+            self._setup_both()
+
+    def _setup_both(self):
+        from nkbx.models import get_model
+        from nkbx.train import build_train_step, get_loss, get_optimizer
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b"], input_size=(16, 16), dtype=jnp.float32,
+        )
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        build_train_step(model, criterion, bundle, scan_steps=2, grad_accum_steps=2)
