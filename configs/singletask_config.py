@@ -44,6 +44,12 @@ steps_per_dispatch = 1
 # steps_per_dispatch.
 grad_accum_steps = 1
 
+# model EMA (0 = off): keep an exponential-moving-average shadow of the
+# params, updated in the train step (e <- d*e + (1-d)*p, the torch-timm
+# ModelEmaV2 recipe). When on, validation, the best-checkpoint decision and
+# the portable best/last msgpacks use the EMA weights.
+model_ema_decay = 0.0
+
 task = "single"
 
 # optional multi-chip mesh: {"data": 8} => 8-way data parallel

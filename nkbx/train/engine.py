@@ -81,7 +81,8 @@ def _bind_augment(module, augment_fn, train: bool):
 
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                      log_gradients: bool = False, masked_bn: bool = False,
-                     scan_steps: int = 1, grad_accum_steps: int = 1):
+                     scan_steps: int = 1, grad_accum_steps: int = 1,
+                     ema_decay: float = 0.0):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
     -> (state, metrics).
 
@@ -178,11 +179,18 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         updates, new_opt_state = bundle.tx.update(grads, state.opt_state, state.params)
         updates = scale_updates(updates, state.params, bundle.lrs, lr_factor, freeze_scale)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay > 0 and state.ema_params is not None:
+            # torch-timm ModelEmaV2 recursion: e <- d*e + (1-d)*p
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1 - ema_decay),
+                state.ema_params, new_params)
         new_state = state.replace(
             params=new_params,
             batch_stats=new_bs if new_bs else state.batch_stats,
             opt_state=new_opt_state,
             step=state.step + 1,
+            ema_params=new_ema,
         )
         if metrics is None:
             metrics = _iter_metrics(preds, label, mask, loss_out)

@@ -14,9 +14,10 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray  # int32 scalar
+    ema_params: Any = None  # EMA shadow of params (model_ema_decay > 0)
 
     @classmethod
-    def create(cls, params, batch_stats, tx):
+    def create(cls, params, batch_stats, tx, ema: bool = False):
         # Copy: the jitted train step DONATES the state, which would otherwise
         # invalidate the caller's (the model's) own param buffers after step 1.
         params = jax.tree_util.tree_map(jnp.array, params)
@@ -26,4 +27,6 @@ class TrainState(struct.PyTreeNode):
             batch_stats=batch_stats,
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
+            # the EMA shadow starts at the initial params (torch ModelEmaV2)
+            ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
         )

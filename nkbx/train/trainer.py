@@ -46,7 +46,12 @@ def train(
 
     bundle = get_optimizer(model.params, cfg.optimizer)
     schedule = get_scheduler(cfg.lr_policy)
-    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+    # model_ema_decay > 0: maintain an EMA shadow of the params in the train
+    # step; validation, best-checkpoint selection and the portable msgpacks
+    # then use the EMA weights (the torch-timm ModelEmaV2 recipe)
+    ema_decay = float(getattr(cfg, "model_ema_decay", 0.0) or 0.0)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx,
+                              ema=ema_decay > 0)
 
     start_epoch, best_val_acc = 0, 0.0
     if resume_from is not None:
@@ -84,6 +89,7 @@ def train(
         # grad_accum_steps > 1: split each batch into A sequential microbatches,
         # ONE optimizer update (activation memory scales with B/A)
         grad_accum_steps=int(getattr(cfg, "grad_accum_steps", 1) or 1),
+        ema_decay=ema_decay,
     )
     eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
 
@@ -104,8 +110,10 @@ def train(
             lr_factor, freeze_scale,
             epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh, cfg=cfg,
         )
+        eval_state = (state.replace(params=state.ema_params)
+                      if ema_decay > 0 else state)
         val_results = val_epoch(
-            state, val_loader, eval_step, epoch,
+            eval_state, val_loader, eval_step, epoch,
             epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh,
         )
 
@@ -131,7 +139,8 @@ def train(
                 train_results["throughput"]["images_per_sec_per_chip"], epoch=epoch,
             )
 
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        eval_params = state.ema_params if ema_decay > 0 else state.params
+        variables = {"params": eval_params, "batch_stats": state.batch_stats}
         is_proc0 = jax.process_index() == 0  # plain file writes are not multi-host-coordinated
         if epoch_val_acc is not None and epoch_val_acc > best_val_acc:
             best_val_acc = epoch_val_acc
@@ -142,7 +151,10 @@ def train(
         if is_proc0:
             save_model_msgpack(model_path / "last.msgpack", variables)
 
-    model.variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model.variables = {
+        "params": state.ema_params if ema_decay > 0 else state.params,
+        "batch_stats": state.batch_stats,
+    }
 
     if getattr(cfg, "export_serving", False) and jax.process_index() == 0:
         # reference train.py re-scripts TorchScript every epoch (train.py:66-73);

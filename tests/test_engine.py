@@ -455,3 +455,59 @@ class TestGradAccum:
         criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
         bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
         build_train_step(model, criterion, bundle, scan_steps=2, grad_accum_steps=2)
+
+
+class TestModelEMA:
+    def test_ema_recursion(self):
+        import jax
+
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b"], input_size=(16, 16), seed=0, dtype=jnp.float32,
+        )
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        d = 0.9
+        step = build_train_step(model, criterion, bundle, ema_decay=d)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx, ema=True)
+        p0 = jax.tree_util.tree_map(np.asarray, state.params)
+
+        r = np.random.default_rng(3)
+        img = jnp.asarray(r.integers(0, 255, (4, 16, 16, 3)).astype(np.uint8))
+        lab = jnp.asarray(r.integers(0, 2, (4,)).astype(np.int64))
+        mask = jnp.ones(4, bool)
+        key = jax.random.PRNGKey(0)
+        one = jnp.asarray(1.0)
+
+        s1, _ = step(state, img, lab, mask, key, one, one)
+        p1 = jax.tree_util.tree_map(np.asarray, s1.params)
+        e1 = jax.tree_util.tree_map(np.asarray, s1.ema_params)
+        s2, _ = step(s1, img, lab, mask, key, one, one)
+        p2 = jax.tree_util.tree_map(np.asarray, s2.params)
+        e2 = jax.tree_util.tree_map(np.asarray, s2.ema_params)
+
+        for a, b, c, e in zip(jax.tree_util.tree_leaves(p0),
+                              jax.tree_util.tree_leaves(p1),
+                              jax.tree_util.tree_leaves(p2),
+                              jax.tree_util.tree_leaves(e2)):
+            want = d * (d * a + (1 - d) * b) + (1 - d) * c
+            np.testing.assert_allclose(e, want, rtol=1e-5, atol=1e-7)
+        # EMA lags: after one step, ema != params (unless no update happened)
+        diffs = [np.abs(x - y).max() for x, y in
+                 zip(jax.tree_util.tree_leaves(e1), jax.tree_util.tree_leaves(p1))]
+        assert max(diffs) > 0
+
+    def test_ema_off_is_none(self):
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, get_optimizer
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b"], input_size=(16, 16), dtype=jnp.float32,
+        )
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        assert state.ema_params is None
