@@ -209,6 +209,10 @@ def convert_torch_state_dict(name: str, state_dict):
     if name in _EFFNETV2_SPECS:
         params, stats = convert_efficientnetv2_state_dict(state_dict, _EFFNETV2_SPECS[name]())
         return {"params": params, "batch_stats": stats}
+    if name in _SWIN_SPECS:
+        _dim, depths, _heads = _SWIN_SPECS[name]
+        params, stats = convert_swin_state_dict(state_dict, depths)
+        return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
         f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS)})"
@@ -611,6 +615,60 @@ def main(argv=None):
     n = len(jax.tree_util.tree_leaves(converted))
     print(f"wrote {out} ({n} tensors)")
     return out
+
+
+# ---------------------------------------------------------------------------
+# microsoft/timm Swin V1 -> nkbx SwinTransformer
+# ---------------------------------------------------------------------------
+
+_SWIN_SPECS = {
+    # name: (embed_dim, depths, n_heads)
+    "swin_tiny_patch4_window7_224": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+    "swin_small_patch4_window7_224": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
+    "swin_base_patch4_window7_224": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+}
+
+
+def convert_swin_state_dict(state_dict, depths):
+    """microsoft/original-timm Swin V1 state_dict -> (params, {}) for nkbx
+    SwinTransformer. Layout: patch_embed.{proj,norm},
+    layers.{i}.blocks.{j}.{norm1, attn.{relative_position_bias_table, qkv,
+    proj}, norm2, mlp.{fc1,fc2}}, layers.{i}.downsample.{norm, reduction},
+    final norm. Buffers (relative_position_index, attn_mask) are recomputed
+    and skipped; head.* is dropped (num_classes=0 semantics)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+
+    def put_ln(t, path):
+        _set(params, path + ("scale",), sd[f"{t}.weight"])
+        _set(params, path + ("bias",), sd[f"{t}.bias"])
+
+    def put_dense(t, path, bias=True):
+        _set(params, path + ("kernel",), np.asarray(sd[f"{t}.weight"]).T)
+        if bias:
+            _set(params, path + ("bias",), sd[f"{t}.bias"])
+
+    _set(params, ("patch_embed", "kernel"), _conv_w(sd["patch_embed.proj.weight"]))
+    _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+    put_ln("patch_embed.norm", ("patch_norm",))
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            t = f"layers.{i}.blocks.{j}"
+            f = f"stage{i}_block{j}"
+            put_ln(f"{t}.norm1", (f, "norm1"))
+            _set(params, (f, "attn", "relative_position_bias_table"),
+                 sd[f"{t}.attn.relative_position_bias_table"])
+            put_dense(f"{t}.attn.qkv", (f, "attn", "qkv"))
+            put_dense(f"{t}.attn.proj", (f, "attn", "proj"))
+            put_ln(f"{t}.norm2", (f, "norm2"))
+            put_dense(f"{t}.mlp.fc1", (f, "fc1"))
+            put_dense(f"{t}.mlp.fc2", (f, "fc2"))
+        if i != len(depths) - 1:
+            put_ln(f"layers.{i}.downsample.norm", (f"downsample{i}", "norm"))
+            put_dense(f"layers.{i}.downsample.reduction",
+                      (f"downsample{i}", "reduction"), bias=False)
+    put_ln("norm", ("norm",))
+    return params, {}
 
 
 # ---------------------------------------------------------------------------

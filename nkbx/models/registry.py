@@ -15,7 +15,7 @@ from typing import Any
 
 import jax.numpy as jnp
 
-from nkbx.models import convnext, densenet, efficientnet, mobilenetv3, resnet, vit
+from nkbx.models import convnext, densenet, efficientnet, mobilenetv3, resnet, swin, vit
 
 _REGISTRY = {
     "resnet_tiny_test": resnet.resnet_tiny_test,  # for tests on 1-core CPU hosts
@@ -47,6 +47,9 @@ _REGISTRY = {
     "convnext_small": convnext.convnext_small,
     "convnext_base": convnext.convnext_base,
     "convnext_large": convnext.convnext_large,
+    "swin_tiny_patch4_window7_224": swin.swin_tiny_patch4_window7_224,
+    "swin_small_patch4_window7_224": swin.swin_small_patch4_window7_224,
+    "swin_base_patch4_window7_224": swin.swin_base_patch4_window7_224,
     "vit_tiny_patch16_224": vit.vit_tiny_patch16_224,
     "vit_small_patch16_224": vit.vit_small_patch16_224,
     "vit_small_patch32_224": vit.vit_small_patch32_224,

@@ -1010,3 +1010,161 @@ class TestEfficientNetV2Conversion:
         n_flax = len(jax.tree_util.tree_leaves(out["params"])) + len(
             jax.tree_util.tree_leaves(out["batch_stats"]))
         assert n_flax == len(sd)
+
+
+def _synthetic_swin_sd(rng, embed, depths, heads, patch=2, window=4):
+    """microsoft/original-timm Swin V1 state_dict layout, random values."""
+    sd = {}
+
+    def ln(name, c):
+        sd[f"{name}.weight"] = rng.uniform(0.8, 1.2, c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(size=c).astype(np.float32) * 0.02
+
+    def dense(name, o, i, bias=True):
+        sd[f"{name}.weight"] = rng.normal(size=(o, i)).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = rng.normal(size=o).astype(np.float32) * 0.02
+
+    sd["patch_embed.proj.weight"] = rng.normal(
+        size=(embed, 3, patch, patch)).astype(np.float32) * 0.05
+    sd["patch_embed.proj.bias"] = rng.normal(size=embed).astype(np.float32) * 0.02
+    ln("patch_embed.norm", embed)
+    dim = embed
+    for i, depth in enumerate(depths):
+        h = heads[i]
+        for j in range(depth):
+            t = f"layers.{i}.blocks.{j}"
+            ln(f"{t}.norm1", dim)
+            sd[f"{t}.attn.relative_position_bias_table"] = rng.normal(
+                size=((2 * window - 1) ** 2, h)).astype(np.float32) * 0.05
+            dense(f"{t}.attn.qkv", 3 * dim, dim)
+            dense(f"{t}.attn.proj", dim, dim)
+            ln(f"{t}.norm2", dim)
+            dense(f"{t}.mlp.fc1", 4 * dim, dim)
+            dense(f"{t}.mlp.fc2", dim, 4 * dim)
+        if i != len(depths) - 1:
+            ln(f"layers.{i}.downsample.norm", 4 * dim)
+            dense(f"layers.{i}.downsample.reduction", 2 * dim, 4 * dim, bias=False)
+            dim *= 2
+    ln("norm", dim)
+    return sd
+
+
+def _torch_swin_forward(sd, x, embed, depths, heads, patch=2, window=4):
+    """Independent torch functional re-derivation of the Swin V1 forward
+    (microsoft Swin-Transformer models/swin_transformer.py semantics)."""
+    import torch
+    import torch.nn.functional as F
+
+    from nkbx.models.swin import _relative_position_index, _shift_attn_mask
+
+    def ln(t, p):
+        return F.layer_norm(t, (t.shape[-1],), torch.tensor(sd[f"{p}.weight"]),
+                            torch.tensor(sd[f"{p}.bias"]), eps=1e-5)
+
+    def lin(t, p, bias=True):
+        return F.linear(t, torch.tensor(sd[f"{p}.weight"]),
+                        torch.tensor(sd[f"{p}.bias"]) if bias else None)
+
+    with torch.no_grad():
+        t = F.conv2d(torch.tensor(x), torch.tensor(sd["patch_embed.proj.weight"]),
+                     torch.tensor(sd["patch_embed.proj.bias"]), stride=patch)
+        t = t.permute(0, 2, 3, 1)  # B,H,W,C
+        t = ln(t, "patch_embed.norm")
+        b = t.shape[0]
+        dim = embed
+        for i, depth in enumerate(depths):
+            h = heads[i]
+            for j in range(depth):
+                p = f"layers.{i}.blocks.{j}"
+                hc, wc = t.shape[1], t.shape[2]
+                win = min(window, hc, wc)
+                shift = (window // 2 if j % 2 else 0) if win < min(hc, wc) else 0
+                s = t
+                y = ln(t, f"{p}.norm1")
+                if shift:
+                    y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+                yw = y.reshape(b, hc // win, win, wc // win, win, dim)
+                yw = yw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, dim)
+                n, hd = win * win, dim // h
+                qkv = lin(yw, f"{p}.attn.qkv").reshape(-1, n, 3, h, hd).permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+                table = torch.tensor(sd[f"{p}.attn.relative_position_bias_table"])
+                idx = torch.tensor(_relative_position_index(win).reshape(-1))
+                bias = table[idx].reshape(n, n, h).permute(2, 0, 1)
+                attn = attn + bias[None]
+                if shift:
+                    m = torch.tensor(_shift_attn_mask(hc, wc, win, shift))
+                    nw = m.shape[0]
+                    attn = attn.view(-1, nw, h, n, n) + m[None, :, None]
+                    attn = attn.view(-1, h, n, n)
+                attn = attn.softmax(-1)
+                yw = (attn @ v).transpose(1, 2).reshape(-1, n, dim)
+                yw = lin(yw, f"{p}.attn.proj")
+                y = yw.reshape(b, hc // win, wc // win, win, win, dim)
+                y = y.permute(0, 1, 3, 2, 4, 5).reshape(b, hc, wc, dim)
+                if shift:
+                    y = torch.roll(y, (shift, shift), dims=(1, 2))
+                t = s + y
+                y2 = lin(F.gelu(lin(ln(t, f"{p}.norm2"), f"{p}.mlp.fc1")), f"{p}.mlp.fc2")
+                t = t + y2
+            if i != len(depths) - 1:
+                t = torch.cat([t[:, 0::2, 0::2], t[:, 1::2, 0::2],
+                               t[:, 0::2, 1::2], t[:, 1::2, 1::2]], -1)
+                t = ln(t, f"layers.{i}.downsample.norm")
+                t = lin(t, f"layers.{i}.downsample.reduction", bias=False)
+                dim *= 2
+        t = ln(t, "norm")
+        return t.mean((1, 2)).numpy()
+
+
+class TestSwinConversion:
+    def test_full_forward_matches_torch(self):
+        """Converted weights + nkbx Swin == independent torch functional
+        forward, including a SHIFTED block with its attention mask and a
+        PatchMerging stage."""
+        from nkbx.models.convert import convert_swin_state_dict
+        from nkbx.models.swin import SwinTransformer
+
+        embed, depths, heads, patch, window = 16, (2, 2), (2, 4), 2, 4
+        rng = np.random.default_rng(17)
+        sd = _synthetic_swin_sd(rng, embed, depths, heads, patch, window)
+        x = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+        ref = _torch_swin_forward(sd, x, embed, depths, heads, patch, window)
+
+        params, _ = convert_swin_state_dict(sd, depths)
+        module = SwinTransformer(embed_dim=embed, depths=depths, n_heads=heads,
+                                 patch_size=patch, window=window, dtype=jnp.float32)
+        ours = module.apply({"params": params},
+                            jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), train=False)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5 * scale)
+
+    def test_shifted_block_actually_shifts(self):
+        """The test grid (8x8, window 4) must exercise shift=2 in stage 0."""
+        from nkbx.models.swin import _shift_attn_mask
+
+        m = _shift_attn_mask(8, 8, 4, 2)
+        assert m.shape == (4, 16, 16)
+        assert (m < 0).any()
+
+    def test_convert_dispatch_shapes_match_model(self):
+        from nkbx.models.registry import create_backbone
+
+        rng = np.random.default_rng(18)
+        sd = _synthetic_swin_sd(rng, 96, (2, 2, 6, 2), (3, 6, 12, 24),
+                                patch=4, window=7)
+        out = convert_torch_state_dict("swin_tiny_patch4_window7_224", sd)
+        module = create_backbone("swin_tiny_patch4_window7_224", dtype=jnp.float32)
+        assert module.num_features == 768
+        variables = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False))
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p): tuple(v.shape)
+                    for p, v in jax.tree_util.tree_leaves_with_path(tree)}
+
+        assert paths(out["params"]) == paths(variables["params"])
+        n_flax = len(jax.tree_util.tree_leaves(out["params"]))
+        assert n_flax == len(sd)  # no buffers in the synthetic sd; all consumed
