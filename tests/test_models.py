@@ -62,7 +62,9 @@ class TestRegistry:
         constructor args are coherent and the embedding dim is positive."""
         for name in list_backbones():
             module = create_backbone(name)
-            size = 32 if "vit" not in name.lower() else 224
+            # ViT/Swin need the real input size (pos-embed grid / 7-wide
+            # window divisibility); CNNs init fine at 32
+            size = 224 if ("vit" in name.lower() or "swin" in name) else 32
             variables = jax.eval_shape(
                 lambda m=module, s=size: m.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)), train=False))
