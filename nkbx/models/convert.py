@@ -207,7 +207,7 @@ def convert_torch_state_dict(name: str, state_dict):
         params, stats = convert_densenet_state_dict(state_dict, _DENSENET_CONFIGS[name])
         return {"params": params, "batch_stats": stats}
     if name in _EFFNETV2_SPECS:
-        params, stats = convert_efficientnetv2_state_dict(state_dict, _EFFNETV2_SPECS[name]())
+        params, stats = convert_efficientnetv2_state_dict(state_dict, _effnetv2_spec(name))
         return {"params": params, "batch_stats": stats}
     if name in _SWIN_SPECS:
         _dim, depths, _heads = _SWIN_SPECS[name]
@@ -215,7 +215,7 @@ def convert_torch_state_dict(name: str, state_dict):
         return {"params": params, "batch_stats": stats}
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
-        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS)})"
+        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_EFFNETV2_SPECS) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS) + sorted(_SWIN_SPECS)})"
     )
 
 
@@ -664,9 +664,15 @@ def convert_swin_state_dict(state_dict, depths):
             put_dense(f"{t}.mlp.fc1", (f, "fc1"))
             put_dense(f"{t}.mlp.fc2", (f, "fc2"))
         if i != len(depths) - 1:
-            put_ln(f"layers.{i}.downsample.norm", (f"downsample{i}", "norm"))
-            put_dense(f"layers.{i}.downsample.reduction",
-                      (f"downsample{i}", "reduction"), bias=False)
+            # original/pre-0.9-timm: the merge after stage i lives at
+            # layers.{i}.downsample; timm >= 0.9 applies it at the INPUT of
+            # the next stage, layers.{i+1}.downsample (same tensors — timm's
+            # rewrite chose the permute that preserves the concat order)
+            ds = (f"layers.{i}.downsample"
+                  if f"layers.{i}.downsample.reduction.weight" in sd
+                  else f"layers.{i + 1}.downsample")
+            put_ln(f"{ds}.norm", (f"downsample{i}", "norm"))
+            put_dense(f"{ds}.reduction", (f"downsample{i}", "reduction"), bias=False)
     put_ln("norm", ("norm",))
     return params, {}
 
@@ -675,13 +681,14 @@ def convert_swin_state_dict(state_dict, depths):
 # timm efficientnetv2 -> nkbx EfficientNetV2
 # ---------------------------------------------------------------------------
 
-# lazy spec import (single source of truth: nkbx.models.efficientnet)
-_EFFNETV2_SPECS = {
-    "efficientnetv2_s": lambda: __import__(
-        "nkbx.models.efficientnet", fromlist=["V2_S_SPEC"]).V2_S_SPEC,
-    "efficientnetv2_m": lambda: __import__(
-        "nkbx.models.efficientnet", fromlist=["V2_M_SPEC"]).V2_M_SPEC,
-}
+def _effnetv2_spec(name: str):
+    """Spec lives in nkbx.models.efficientnet (single source of truth)."""
+    from nkbx.models.efficientnet import V2_M_SPEC, V2_S_SPEC
+
+    return {"efficientnetv2_s": V2_S_SPEC, "efficientnetv2_m": V2_M_SPEC}[name]
+
+
+_EFFNETV2_SPECS = ("efficientnetv2_s", "efficientnetv2_m")
 
 
 def convert_efficientnetv2_state_dict(state_dict, spec):

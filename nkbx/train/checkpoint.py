@@ -22,7 +22,7 @@ import orbax.checkpoint as ocp
 
 
 def _to_save(state, epoch: int, best_val_acc: float):
-    return {
+    payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
@@ -32,6 +32,13 @@ def _to_save(state, epoch: int, best_val_acc: float):
             "best_val_acc": np.asarray(best_val_acc, np.float64),
         },
     }
+    # the EMA shadow must survive --resume (its recursion has epochs of
+    # history); key present only when model_ema_decay > 0, so old checkpoints
+    # and non-EMA runs keep their layout
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
+        payload["ema_batch_stats"] = state.ema_batch_stats
+    return payload
 
 
 def _sync(tag: str):
@@ -67,13 +74,29 @@ def save_checkpoint(path, state, epoch: int, best_val_acc: float = 0.0):
 def restore_train_state(path, state_template, epoch: int = 0):
     """Full resume: returns (TrainState, epoch, best_val_acc)."""
     path = Path(path).resolve()
+    template = _to_save(state_template, epoch, 0.0)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, _to_save(state_template, epoch, 0.0))
+        try:
+            restored = ckptr.restore(path, template)
+        except Exception:
+            if "ema_params" not in template:
+                raise
+            # resuming a pre-EMA checkpoint into an EMA-enabled run: restore
+            # what exists; the EMA shadow restarts from the restored params
+            template.pop("ema_params")
+            template.pop("ema_batch_stats", None)
+            restored = ckptr.restore(path, template)
+            copy = lambda t: jax.tree_util.tree_map(
+                lambda x: x.copy() if hasattr(x, "copy") else x, t)
+            restored["ema_params"] = copy(restored["params"])
+            restored["ema_batch_stats"] = copy(restored["batch_stats"])
     new_state = state_template.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
         step=restored["step"],
+        ema_params=restored.get("ema_params", state_template.ema_params),
+        ema_batch_stats=restored.get("ema_batch_stats", state_template.ema_batch_stats),
     )
     return new_state, int(restored["meta"]["epoch"]), float(restored["meta"]["best_val_acc"])
 

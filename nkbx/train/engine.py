@@ -152,10 +152,15 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                 i, x_i, l_i, m_i = inputs
                 (_, (preds, new_bs, loss_out)), g = _micro_grads(
                     state.params, bs, x_i, l_i, m_i, jax.random.fold_in(drop_key, i))
-                n = m_i.sum().astype(jnp.float32)
-                # criterion means over the microbatch's valid rows; weighting
-                # by n and normalizing by the total reproduces the full-batch
-                # mean gradient exactly
+                # the criterion normalizes its mean by batch_mass (class-weight
+                # sum for weighted CE, unignored count for focal, valid count
+                # otherwise); weighting each microbatch gradient by ITS mass
+                # and normalizing by the total reproduces the full-batch mean
+                # gradient exactly
+                if hasattr(criterion, "batch_mass"):
+                    n = criterion.batch_mass(l_i, m_i)
+                else:
+                    n = m_i.sum().astype(jnp.float32)
                 gsum = jax.tree_util.tree_map(lambda s, gi: s + gi * n, gsum, g)
                 return (new_bs if new_bs else bs, gsum, nsum + n), \
                     _iter_metrics(preds, l_i, m_i, loss_out)
@@ -167,7 +172,7 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
             (new_bs, gsum, nsum), metrics = jax.lax.scan(
                 micro, init, (idx, xs, ls, ms))
             grads = jax.tree_util.tree_map(
-                lambda g: g / jnp.maximum(nsum, 1.0), gsum)
+                lambda g: g / jnp.maximum(nsum, 1e-12), gsum)
             preds = loss_out = None  # metrics already stacked (A, ...)
         else:
             (_, (preds, new_bs, loss_out)), grads = _micro_grads(
@@ -180,17 +185,25 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         updates = scale_updates(updates, state.params, bundle.lrs, lr_factor, freeze_scale)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params
+        new_ema_bs = state.ema_batch_stats
         if ema_decay > 0 and state.ema_params is not None:
-            # torch-timm ModelEmaV2 recursion: e <- d*e + (1-d)*p
-            new_ema = jax.tree_util.tree_map(
-                lambda e, p: e * ema_decay + p.astype(e.dtype) * (1 - ema_decay),
-                state.ema_params, new_params)
+            # torch-timm ModelEmaV2 recursion over the WHOLE model state
+            # (params AND BN buffers): e <- d*e + (1-d)*p
+            def _ema(e, p):
+                return e * ema_decay + p.astype(e.dtype) * (1 - ema_decay)
+
+            new_ema = jax.tree_util.tree_map(_ema, state.ema_params, new_params)
+            if new_ema_bs is not None:
+                new_ema_bs = jax.tree_util.tree_map(
+                    _ema, state.ema_batch_stats,
+                    new_bs if new_bs else state.batch_stats)
         new_state = state.replace(
             params=new_params,
             batch_stats=new_bs if new_bs else state.batch_stats,
             opt_state=new_opt_state,
             step=state.step + 1,
             ema_params=new_ema,
+            ema_batch_stats=new_ema_bs,
         )
         if metrics is None:
             metrics = _iter_metrics(preds, label, mask, loss_out)
@@ -614,14 +627,15 @@ def train_epoch(
             # show the PREVIOUS step's loss (already materialized) and only
             # every 10 steps: each float() is a ~120 ms D2H round trip on
             # tunneled backends (the reference syncs EVERY iteration,
-            # engine.py:53 + logging.py:261-281)
+            # engine.py:53 + logging.py:261-281). _last_loss ravels: with
+            # grad_accum_steps > 1 the loss comes back stacked (A,).
             if task_multi and show_full:
                 it.set_postfix_str(", ".join(
-                    f"loss {k}: {float(v['loss']):.4f}" for k, v in older.items()
+                    f"loss {k}: {_last_loss(v):.4f}" for k, v in older.items()
                     if isinstance(v, dict) and "loss" in v
                 ))
             else:
-                it.set_postfix_str(f"Loss: {float(older['loss']):.4f}")
+                it.set_postfix_str(f"Loss: {_last_loss(older):.4f}")
     if buf:
         dispatch(buf)
     if prev_metrics is not None:

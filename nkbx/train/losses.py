@@ -64,11 +64,23 @@ def focal_loss(logits, labels, alpha=None, gamma: float = DEFAULT_FOCAL_GAMMA,
 class SingletaskCriterion:
     """Callable (logits, labels, mask) -> scalar loss."""
 
-    def __init__(self, fn):
+    def __init__(self, fn, mass_fn=None):
         self.fn = fn
+        self._mass_fn = mass_fn
 
     def __call__(self, pred, true, mask=None):
         return self.fn(pred, true, mask=mask)
+
+    def batch_mass(self, labels, mask=None):
+        """This criterion's mean-normalizer over a batch — the weight a
+        microbatch's mean-gradient must carry for EXACT gradient accumulation
+        (nkbx.train.engine): sum of class weights over valid rows for weighted
+        CE, the unignored-valid count for focal, the valid count otherwise."""
+        if self._mass_fn is not None:
+            return self._mass_fn(labels, mask)
+        if mask is None:
+            return jnp.asarray(float(labels.shape[0]))
+        return jnp.sum(mask.astype(jnp.float32))
 
 
 class MultitaskCriterion:
@@ -88,6 +100,16 @@ class MultitaskCriterion:
         out["loss"] = total
         return out
 
+    def batch_mass(self, true: dict, mask=None):
+        """Shared valid-row count: one scalar cannot represent heterogeneous
+        per-target normalizers, so multi-task gradient accumulation is exact
+        when every target's normalizer equals the valid count (no class
+        weights, no ignored labels) — which all shipped configs satisfy."""
+        labels = next(iter(true.values())) if isinstance(true, dict) else true
+        if mask is None:
+            return jnp.asarray(float(labels.shape[0]))
+        return jnp.sum(mask.astype(jnp.float32))
+
 
 def get_loss(cfg_loss: dict):
     """Config -> criterion (reference losses.py:154-176 surface).
@@ -96,21 +118,35 @@ def get_loss(cfg_loss: dict):
                optional "weight" (CE) / "alpha", "gamma" (focal)}
     """
     kind = cfg_loss["type"]
+    mass_fn = None
     if kind == "CrossEntropyLoss":
         weight = np.asarray(cfg_loss["weight"], dtype=np.float32) if "weight" in cfg_loss else None
 
         def fn(logits, labels, mask=None):
             return cross_entropy(logits, labels, weight=weight, mask=mask)
+
+        if weight is not None:
+            def mass_fn(labels, mask, _w=weight):
+                w = jnp.asarray(_w)[labels]
+                if mask is not None:
+                    w = w * mask.astype(w.dtype)
+                return jnp.sum(w)
     elif kind == "FocalLoss":
         alpha = np.asarray(cfg_loss["alpha"], dtype=np.float32) if "alpha" in cfg_loss else None
         gamma = cfg_loss.get("gamma", DEFAULT_FOCAL_GAMMA)
 
         def fn(logits, labels, mask=None):
             return focal_loss(logits, labels, alpha=alpha, gamma=gamma, mask=mask)
+
+        def mass_fn(labels, mask):
+            valid = labels != -100  # focal_loss default ignore_index
+            if mask is not None:
+                valid = valid & mask
+            return jnp.sum(valid.astype(jnp.float32))
     else:
         raise NotImplementedError(f"Unknown loss type in config: {kind}")
 
-    base = SingletaskCriterion(fn)
+    base = SingletaskCriterion(fn, mass_fn=mass_fn)
     if cfg_loss.get("task", "single") == "multi":
         return MultitaskCriterion(base)
     return base

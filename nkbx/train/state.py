@@ -15,6 +15,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     step: jnp.ndarray  # int32 scalar
     ema_params: Any = None  # EMA shadow of params (model_ema_decay > 0)
+    ema_batch_stats: Any = None  # EMA shadow of BN stats (ModelEmaV2 smooths buffers too)
 
     @classmethod
     def create(cls, params, batch_stats, tx, ema: bool = False):
@@ -29,4 +30,6 @@ class TrainState(struct.PyTreeNode):
             step=jnp.zeros((), jnp.int32),
             # the EMA shadow starts at the initial params (torch ModelEmaV2)
             ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
+            ema_batch_stats=(jax.tree_util.tree_map(jnp.array, batch_stats)
+                             if ema else None),
         )

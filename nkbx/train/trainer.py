@@ -58,6 +58,8 @@ def train(
         state, last_epoch, best_val_acc = restore_train_state(resume_from, state)
         start_epoch = last_epoch + 1
 
+    if mesh is None and getattr(cfg, "fsdp", False):
+        raise ValueError("fsdp=True requires a mesh (e.g. mesh = {'data': 8})")
     if mesh is not None:
         if getattr(cfg, "fsdp", False):
             # ZeRO-3-style: large params AND their optimizer moments scatter
@@ -110,7 +112,8 @@ def train(
             lr_factor, freeze_scale,
             epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh, cfg=cfg,
         )
-        eval_state = (state.replace(params=state.ema_params)
+        eval_state = (state.replace(params=state.ema_params,
+                                    batch_stats=state.ema_batch_stats)
                       if ema_decay > 0 else state)
         val_results = val_epoch(
             eval_state, val_loader, eval_step, epoch,
@@ -139,8 +142,11 @@ def train(
                 train_results["throughput"]["images_per_sec_per_chip"], epoch=epoch,
             )
 
-        eval_params = state.ema_params if ema_decay > 0 else state.params
-        variables = {"params": eval_params, "batch_stats": state.batch_stats}
+        if ema_decay > 0:
+            variables = {"params": state.ema_params,
+                         "batch_stats": state.ema_batch_stats}
+        else:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
         is_proc0 = jax.process_index() == 0  # plain file writes are not multi-host-coordinated
         if epoch_val_acc is not None and epoch_val_acc > best_val_acc:
             best_val_acc = epoch_val_acc
@@ -153,7 +159,7 @@ def train(
 
     model.variables = {
         "params": state.ema_params if ema_decay > 0 else state.params,
-        "batch_stats": state.batch_stats,
+        "batch_stats": state.ema_batch_stats if ema_decay > 0 else state.batch_stats,
     }
 
     if getattr(cfg, "export_serving", False) and jax.process_index() == 0:

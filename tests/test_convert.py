@@ -1168,3 +1168,26 @@ class TestSwinConversion:
         assert paths(out["params"]) == paths(variables["params"])
         n_flax = len(jax.tree_util.tree_leaves(out["params"]))
         assert n_flax == len(sd)  # no buffers in the synthetic sd; all consumed
+
+
+class TestSwinTimm09Layout:
+    def test_downsample_at_next_stage_index(self):
+        """timm >= 0.9 places PatchMerging at the next stage's INPUT
+        (layers.{i+1}.downsample); the converter must accept both layouts and
+        produce identical trees."""
+        from nkbx.models.convert import convert_swin_state_dict
+
+        rng = np.random.default_rng(19)
+        sd_orig = _synthetic_swin_sd(rng, 16, (2, 2), (2, 4))
+        sd_new = {}
+        for k, v in sd_orig.items():
+            if k.startswith("layers.0.downsample."):
+                k = k.replace("layers.0.downsample.", "layers.1.downsample.")
+            sd_new[k] = v
+        a, _ = convert_swin_state_dict(sd_orig, (2, 2))
+        b, _ = convert_swin_state_dict(sd_new, (2, 2))
+        for (pa, va), (pb, vb) in zip(
+                jax.tree_util.tree_leaves_with_path(a),
+                jax.tree_util.tree_leaves_with_path(b)):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+            np.testing.assert_array_equal(va, vb)

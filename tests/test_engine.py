@@ -511,3 +511,105 @@ class TestModelEMA:
         bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
         state = TrainState.create(model.params, model.batch_stats, bundle.tx)
         assert state.ema_params is None
+
+
+class TestGradAccumWeightedCE:
+    def test_matches_full_batch_with_class_weights(self):
+        """Class-weighted CE normalizes by the weight MASS, not the count:
+        microbatch gradients must be weighted by criterion.batch_mass for the
+        accumulated update to equal the full-batch update."""
+        import types
+
+        import jax
+        from flax import linen as nn
+
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+        class NoBN(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, mask=None):
+                x = nn.Conv(8, (3, 3), strides=(2, 2))(x.astype(jnp.float32))
+                x = nn.relu(x)
+                x = jnp.mean(x, axis=(1, 2))
+                return nn.Dense(3)(x)
+
+        module = NoBN()
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        model = types.SimpleNamespace(module=module, params=variables["params"],
+                                      batch_stats={})
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss",
+                              "weight": [1.0, 5.0, 0.25]})
+        r = np.random.default_rng(4)
+        img = jnp.asarray(r.integers(0, 255, (8, 16, 16, 3)).astype(np.uint8))
+        # classes deliberately unevenly split across the 4 microbatches
+        lab = jnp.asarray(np.array([1, 1, 0, 0, 2, 2, 0, 1], np.int64))
+        mask = jnp.ones(8, bool)
+        key = jax.random.PRNGKey(0)
+        one = jnp.asarray(1.0)
+
+        outs = []
+        for a in (1, 4):
+            bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+            step = build_train_step(model, criterion, bundle, grad_accum_steps=a)
+            st = TrainState.create(model.params, model.batch_stats, bundle.tx)
+            new, _ = step(st, img, lab, mask, key, one, one)
+            outs.append(new.params)
+        for x, y in zip(jax.tree_util.tree_leaves(outs[0]),
+                        jax.tree_util.tree_leaves(outs[1])):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestEMACheckpointRoundtrip:
+    def test_ema_survives_save_restore(self, tmp_path):
+        import jax
+
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+        from nkbx.train.checkpoint import restore_train_state, save_checkpoint
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b"], input_size=(16, 16), seed=0, dtype=jnp.float32,
+        )
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        step = build_train_step(model, criterion, bundle, ema_decay=0.9)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx, ema=True)
+        r = np.random.default_rng(5)
+        img = jnp.asarray(r.integers(0, 255, (4, 16, 16, 3)).astype(np.uint8))
+        lab = jnp.asarray(r.integers(0, 2, (4,)).astype(np.int64))
+        state, _ = step(state, img, lab, jnp.ones(4, bool),
+                        jax.random.PRNGKey(0), jnp.asarray(1.0), jnp.asarray(1.0))
+
+        save_checkpoint(tmp_path / "ck", state, epoch=0, best_val_acc=0.5)
+        template = TrainState.create(model.params, model.batch_stats, bundle.tx, ema=True)
+        restored, epoch, acc = restore_train_state(tmp_path / "ck", template)
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(restored.ema_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_batch_stats),
+                        jax.tree_util.tree_leaves(restored.ema_batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pre_ema_checkpoint_into_ema_run(self, tmp_path):
+        import jax
+
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, get_optimizer
+        from nkbx.train.checkpoint import restore_train_state, save_checkpoint
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b"], input_size=(16, 16), seed=0, dtype=jnp.float32,
+        )
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        old = TrainState.create(model.params, model.batch_stats, bundle.tx)  # no EMA
+        save_checkpoint(tmp_path / "ck", old, epoch=2, best_val_acc=0.7)
+        template = TrainState.create(model.params, model.batch_stats, bundle.tx, ema=True)
+        restored, epoch, acc = restore_train_state(tmp_path / "ck", template)
+        assert epoch == 2 and abs(acc - 0.7) < 1e-9
+        # EMA shadow restarts from the RESTORED params
+        for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
