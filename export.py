@@ -43,6 +43,8 @@ def parse_args():
     parser.add_argument("--save_path", type=str, default=".", help="Save dir")
     parser.add_argument("--half", type=str2bool, nargs="?", const=True, default=False,
                         help="bf16 inference I/O (TPU-native half precision)")
+    parser.add_argument("--quantize", type=str, default=None, choices=["dynamic"],
+                        help="tflite only: dynamic-range int8 weight quantization")
     args = parser.parse_args()
     assert args.to in ("serving", "stablehlo", "savedmodel", "tflite")
     assert args.dynamic in ("batch", "none", "all")
@@ -96,7 +98,7 @@ def main(args):
             print("WARNING: --to tflite exports static shapes; --dynamic ignored")
         out = save_dir / f"{stem}.tflite"
         path, _ = export_tflite(model, args.input_shape, out, metadata=metadata,
-                                dtype=dtype)
+                                dtype=dtype, quantize=args.quantize)
         print(f"tflite export success, saved as {path}")
     elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel

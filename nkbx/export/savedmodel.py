@@ -57,12 +57,17 @@ def export_savedmodel(model, input_shape, save_dir, metadata=None,
     return save_dir, meta
 
 
-def export_tflite(model, input_shape, out_path, metadata=None, dtype=None):
+def export_tflite(model, input_shape, out_path, metadata=None, dtype=None,
+                  quantize: str | None = None):
     """Export a ClassificationModel to a ``.tflite`` flatbuffer (static batch —
     TFLite's preferred shape model; the edge-deployment analog of the
     reference's ONNX path, reference export.py:146-206). A JSON metadata
     sidecar is written next to the flatbuffer, mirroring the reference's
-    embedded metadata (export.py:126-135)."""
+    embedded metadata (export.py:126-135).
+
+    ``quantize="dynamic"`` enables dynamic-range int8 weight quantization
+    (the reference's TensorRT-FP16 analog for edge targets: ~4x smaller
+    flatbuffer, float activations)."""
     import jax.numpy as jnp
     import tensorflow as tf
     from jax.experimental import jax2tf
@@ -96,6 +101,10 @@ def export_tflite(model, input_shape, out_path, metadata=None, dtype=None):
         tf.lite.OpsSet.TFLITE_BUILTINS,
         tf.lite.OpsSet.SELECT_TF_OPS,
     ]
+    if quantize == "dynamic":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r}; have: 'dynamic'")
     flatbuffer = converter.convert()
     out_path = Path(out_path)
     out_path.write_bytes(flatbuffer)

@@ -200,3 +200,37 @@ class TestTFLiteExport:
             tiny_model.variables, jnp.asarray(x), train=False))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_dynamic_range_quantization(self, tiny_model, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+
+        from nkbx.export import export_tflite
+
+        full, _ = export_tflite(tiny_model, (2, 32, 32, 3), tmp_path / "f.tflite")
+        quant, _ = export_tflite(tiny_model, (2, 32, 32, 3), tmp_path / "q.tflite",
+                                 quantize="dynamic")
+        assert quant.stat().st_size < full.stat().st_size  # int8 weights shrink it
+
+        interp = tf.lite.Interpreter(model_path=str(quant))
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        x = np.random.default_rng(2).random((2, 32, 32, 3)).astype(np.float32)
+        interp.set_tensor(inp["index"], x)
+        interp.invoke()
+        got = interp.get_tensor(interp.get_output_details()[0]["index"])
+
+        import jax.numpy as jnp
+
+        want = np.asarray(tiny_model.module.apply(
+            tiny_model.variables, jnp.asarray(x), train=False))
+        # int8 weight quantization: same argmax, coarse logits
+        assert (got.argmax(-1) == want.argmax(-1)).all()
+
+    def test_unknown_quantize_mode_raises(self, tiny_model, tmp_path):
+        pytest.importorskip("tensorflow")
+
+        from nkbx.export import export_tflite
+
+        with pytest.raises(ValueError, match="quantize"):
+            export_tflite(tiny_model, (2, 32, 32, 3), tmp_path / "x.tflite",
+                          quantize="int4")
