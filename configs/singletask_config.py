@@ -50,6 +50,14 @@ grad_accum_steps = 1
 # the portable best/last msgpacks use the EMA weights.
 model_ema_decay = 0.0
 
+# Mixup/CutMix (None = off; timm.data.Mixup batch-mode semantics, run
+# on-device inside the jitted step): one Beta(alpha) lam per step, rows mixed
+# with the reversed batch; CutMix pastes a random box with lam corrected to
+# its area. Loss becomes lam*loss(labels) + (1-lam)*loss(labels[::-1]).
+# Requires drop_last=True on train_data.
+# mixup = {"alpha": 0.2, "cutmix_alpha": 1.0, "prob": 1.0, "switch_prob": 0.5}
+mixup = None
+
 task = "single"
 
 # optional multi-chip mesh: {"data": 8} => 8-way data parallel

@@ -82,7 +82,7 @@ def _bind_augment(module, augment_fn, train: bool):
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                      log_gradients: bool = False, masked_bn: bool = False,
                      scan_steps: int = 1, grad_accum_steps: int = 1,
-                     ema_decay: float = 0.0):
+                     ema_decay: float = 0.0, mixup: dict | None = None):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
     -> (state, metrics).
 
@@ -111,8 +111,14 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                          "exclusive (unvalidated metric-stacking interaction)")
     module = model.module
     augment = _bind_augment(module, augment_fn, train=True)
+    mix = None
+    if mixup is not None:
+        from nkbx.train.mixup import build_mixup
 
-    def _micro_grads(params, batch_stats, x, label, mask, drop_key):
+        mix = build_mixup(mixup)
+
+    def _micro_grads(params, batch_stats, x, label, mask, drop_key,
+                     label_b=None, lam=None):
         bn_mask = mask.reshape((-1,) + (1,) * (x.ndim - 1)) if masked_bn else None
 
         def loss_fn(params):
@@ -124,6 +130,11 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                 rngs={"dropout": drop_key}, mutable=["batch_stats"],
             )
             loss_out = criterion(preds, label, mask=mask)
+            if label_b is not None:
+                # mixup: lam * loss(labels) + (1-lam) * loss(labels[::-1])
+                loss_b = criterion(preds, label_b, mask=mask)
+                loss_out = jax.tree_util.tree_map(
+                    lambda a, b: lam * a + (1.0 - lam) * b, loss_out, loss_b)
             scalar = loss_out["loss"] if isinstance(loss_out, dict) else loss_out
             return scalar, (preds, mutated.get("batch_stats", {}), loss_out)
 
@@ -131,8 +142,15 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
 
     def train_step(state: TrainState, image, label, mask, key, lr_factor, freeze_scale):
         step_key = jax.random.fold_in(key, state.step)
-        aug_key, drop_key = jax.random.split(step_key)
+        if mix is not None:
+            aug_key, drop_key, mix_key = jax.random.split(step_key, 3)
+        else:
+            aug_key, drop_key = jax.random.split(step_key)
         x = augment(image, aug_key)
+        label_b = lam = None
+        if mix is not None:
+            x, lam = mix(x, mix_key)
+            label_b = jax.tree_util.tree_map(lambda v: v[::-1], label)
 
         if grad_accum_steps > 1:
             a = grad_accum_steps
@@ -146,12 +164,21 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
             xs = split(x)
             ls = jax.tree_util.tree_map(split, label)
             ms = split(mask)
+            # mixup pairs row i with row B-1-i of the FULL batch; the flipped
+            # labels are split the same way as the images
+            lbs = (jax.tree_util.tree_map(split, label_b)
+                   if label_b is not None else None)
 
             def micro(carry, inputs):
                 bs, gsum, nsum = carry
-                i, x_i, l_i, m_i = inputs
+                if lbs is not None:
+                    i, x_i, l_i, m_i, lb_i = inputs
+                else:
+                    i, x_i, l_i, m_i = inputs
+                    lb_i = None
                 (_, (preds, new_bs, loss_out)), g = _micro_grads(
-                    state.params, bs, x_i, l_i, m_i, jax.random.fold_in(drop_key, i))
+                    state.params, bs, x_i, l_i, m_i, jax.random.fold_in(drop_key, i),
+                    label_b=lb_i, lam=lam)
                 # the criterion normalizes its mean by batch_mass (class-weight
                 # sum for weighted CE, unignored count for focal, valid count
                 # otherwise); weighting each microbatch gradient by ITS mass
@@ -169,14 +196,15 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                     jax.tree_util.tree_map(jnp.zeros_like, state.params),
                     jnp.asarray(0.0))
             idx = jnp.arange(a)
-            (new_bs, gsum, nsum), metrics = jax.lax.scan(
-                micro, init, (idx, xs, ls, ms))
+            inputs = (idx, xs, ls, ms) if lbs is None else (idx, xs, ls, ms, lbs)
+            (new_bs, gsum, nsum), metrics = jax.lax.scan(micro, init, inputs)
             grads = jax.tree_util.tree_map(
                 lambda g: g / jnp.maximum(nsum, 1e-12), gsum)
             preds = loss_out = None  # metrics already stacked (A, ...)
         else:
             (_, (preds, new_bs, loss_out)), grads = _micro_grads(
-                state.params, state.batch_stats, x, label, mask, drop_key)
+                state.params, state.batch_stats, x, label, mask, drop_key,
+                label_b=label_b, lam=lam)
             metrics = None
 
         grads = apply_coupled_wd(grads, state.params, bundle.coupled_wds)

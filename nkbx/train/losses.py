@@ -27,15 +27,28 @@ def _log_softmax(logits):
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
-def cross_entropy(logits, labels, weight=None, mask=None):
-    """Mean-reduced CE over valid rows, torch CrossEntropyLoss-compatible."""
+def cross_entropy(logits, labels, weight=None, mask=None,
+                  label_smoothing: float = 0.0):
+    """Mean-reduced CE over valid rows, torch CrossEntropyLoss-compatible
+    (incl. ``label_smoothing``, exact torch semantics: the smoothed eps/C mass
+    on each class carries THAT class's weight —
+    (1-eps)*w[y]*nll + eps/C * sum_c w_c*(-log p_c), normalized by sum w[y])."""
     log_p = _log_softmax(logits)
     nll = -jnp.take_along_axis(log_p, labels[:, None], axis=-1)[:, 0]
     w = jnp.ones_like(nll) if weight is None else jnp.asarray(weight)[labels]
+    if label_smoothing > 0.0:
+        wc = (jnp.ones(log_p.shape[-1], log_p.dtype) if weight is None
+              else jnp.asarray(weight))
+        smooth = jnp.sum(-log_p * wc, axis=-1) / log_p.shape[-1]
+        per_sample = (1.0 - label_smoothing) * w * nll + label_smoothing * smooth
+    else:
+        per_sample = w * nll
     if mask is not None:
-        w = w * mask.astype(w.dtype)
+        m = mask.astype(per_sample.dtype)
+        per_sample = per_sample * m
+        w = w * m
     denom = jnp.maximum(jnp.sum(w), 1e-12)
-    return jnp.sum(w * nll) / denom
+    return jnp.sum(per_sample) / denom
 
 
 def focal_loss(logits, labels, alpha=None, gamma: float = DEFAULT_FOCAL_GAMMA,
@@ -121,9 +134,11 @@ def get_loss(cfg_loss: dict):
     mass_fn = None
     if kind == "CrossEntropyLoss":
         weight = np.asarray(cfg_loss["weight"], dtype=np.float32) if "weight" in cfg_loss else None
+        smoothing = float(cfg_loss.get("label_smoothing", 0.0))
 
         def fn(logits, labels, mask=None):
-            return cross_entropy(logits, labels, weight=weight, mask=mask)
+            return cross_entropy(logits, labels, weight=weight, mask=mask,
+                                 label_smoothing=smoothing)
 
         if weight is not None:
             def mass_fn(labels, mask, _w=weight):

@@ -78,6 +78,12 @@ def train(
 
             state = jax.device_put(state, replicated_sharding(mesh))
 
+    mixup_cfg = getattr(cfg, "mixup", None)
+    if mixup_cfg and not train_loader.drop_last:
+        raise ValueError(
+            "mixup requires train drop_last=True: a padded final batch would "
+            "mix real samples with zero rows"
+        )
     augment_train = train_loader.pipeline.device_apply if train_loader.pipeline else None
     augment_val = val_loader.pipeline.device_apply if val_loader.pipeline else None
     train_step = build_train_step(
@@ -92,6 +98,7 @@ def train(
         # ONE optimizer update (activation memory scales with B/A)
         grad_accum_steps=int(getattr(cfg, "grad_accum_steps", 1) or 1),
         ema_decay=ema_decay,
+        mixup=mixup_cfg,
     )
     eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
 

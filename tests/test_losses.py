@@ -135,3 +135,48 @@ class TestBitCompatVsReferenceFocal:
             torch.tensor(logits), torch.tensor(labels))
         ours = focal_loss(jnp.asarray(logits), jnp.asarray(labels), alpha=alpha, gamma=2.0)
         np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-4)
+
+
+class TestLabelSmoothing:
+    def test_matches_torch_cross_entropy(self):
+        import torch
+        import torch.nn.functional as F
+
+        from nkbx.train.losses import cross_entropy
+
+        rng = np.random.default_rng(20)
+        logits = rng.normal(size=(10, 5)).astype(np.float32)
+        labels = rng.integers(0, 5, 10).astype(np.int64)
+        for eps in (0.0, 0.1, 0.3):
+            want = float(F.cross_entropy(torch.tensor(logits), torch.tensor(labels),
+                                         label_smoothing=eps))
+            got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                      label_smoothing=eps))
+            np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_matches_torch_with_class_weights(self):
+        import torch
+        import torch.nn.functional as F
+
+        from nkbx.train.losses import cross_entropy
+
+        rng = np.random.default_rng(21)
+        logits = rng.normal(size=(10, 3)).astype(np.float32)
+        labels = rng.integers(0, 3, 10).astype(np.int64)
+        w = np.array([1.0, 2.5, 0.5], np.float32)
+        want = float(F.cross_entropy(torch.tensor(logits), torch.tensor(labels),
+                                     weight=torch.tensor(w), label_smoothing=0.2))
+        got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                                  weight=w, label_smoothing=0.2))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_config_key(self):
+        from nkbx.train import get_loss
+
+        crit = get_loss({"task": "single", "type": "CrossEntropyLoss",
+                         "label_smoothing": 0.1})
+        rng = np.random.default_rng(22)
+        logits = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, 4).astype(np.int64))
+        plain = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        assert float(crit(logits, labels)) != float(plain(logits, labels))
