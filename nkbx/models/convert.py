@@ -577,6 +577,45 @@ def fetch_torch_state_dict(name: str):
     return {k: np.asarray(v.float().numpy()) for k, v in model.state_dict().items()}
 
 
+def convert_reference_checkpoint(backbone_name: str, state_dict):
+    """Full reference-TRAINED classifier -> nkbx model variables.
+
+    The reference saves ``model.state_dict()`` of SingletaskClassifier /
+    MultitaskClassifier (reference model.py:17,88): ``emb_model.<backbone>``
+    plus ``classifier.1.{weight,bias}`` (single) or
+    ``classifier.<target>.1.{weight,bias}`` (multi). Returns
+    {'params': {'backbone', 'head'|'head_<t>'}, 'batch_stats': {'backbone'}}
+    — a msgpack of this loads via the config's ``model.checkpoint`` key
+    (nkbx get_model warm start), migrating a trained torch model intact.
+    """
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    emb = {k[len("emb_model."):]: v for k, v in sd.items()
+           if k.startswith("emb_model.")}
+    if not emb:
+        raise ValueError(
+            "no 'emb_model.*' keys — not a reference classifier checkpoint "
+            "(for bare backbone weights use convert_torch_state_dict)")
+    converted = convert_torch_state_dict(backbone_name, emb)
+    params = {"backbone": converted["params"]}
+    stats = ({"backbone": converted["batch_stats"]}
+             if converted.get("batch_stats") else {})
+    if "classifier.1.weight" in sd:  # single-task Sequential(Dropout, Linear)
+        params["head"] = {"kernel": np.asarray(sd["classifier.1.weight"]).T,
+                          "bias": np.asarray(sd["classifier.1.bias"])}
+    else:  # multi-task ModuleDict of Sequentials
+        targets = sorted({k.split(".")[1] for k in sd
+                          if k.startswith("classifier.") and k.endswith(".1.weight")})
+        if not targets:
+            raise ValueError("no 'classifier.*' head keys in the checkpoint")
+        for t in targets:
+            params[f"head_{t}"] = {
+                "kernel": np.asarray(sd[f"classifier.{t}.1.weight"]).T,
+                "bias": np.asarray(sd[f"classifier.{t}.1.bias"]),
+            }
+    return {"params": params, "batch_stats": stats}
+
+
 def main(argv=None):
     import argparse
     import os
@@ -593,6 +632,11 @@ def main(argv=None):
     ap.add_argument("--out",
                     help="output .msgpack path (default: "
                          "$NKBX_PRETRAINED_DIR/<name>.msgpack)")
+    ap.add_argument("--reference-checkpoint", action="store_true",
+                    help="the weights file is a FULL reference-trained "
+                         "classifier (emb_model.* + classifier.*): convert "
+                         "backbone AND head; load the output via the config's "
+                         "model.checkpoint key")
     args = ap.parse_args(argv)
 
     if args.weights:
@@ -600,7 +644,10 @@ def main(argv=None):
     else:
         sd = fetch_torch_state_dict(args.model)
 
-    converted = convert_torch_state_dict(args.model, sd)
+    if args.reference_checkpoint:
+        converted = convert_reference_checkpoint(args.model, sd)
+    else:
+        converted = convert_torch_state_dict(args.model, sd)
 
     out = args.out
     if not out:

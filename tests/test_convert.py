@@ -1191,3 +1191,68 @@ class TestSwinTimm09Layout:
                 jax.tree_util.tree_leaves_with_path(b)):
             assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
             np.testing.assert_array_equal(va, vb)
+
+
+class TestReferenceCheckpointConversion:
+    """Full reference-TRAINED classifier (emb_model.* + classifier.*) ->
+    nkbx model variables: the torch-user migration path for trained models."""
+
+    def test_singletask_loads_into_model(self, tmp_path):
+        from nkbx.models.convert import convert_reference_checkpoint
+        from nkbx.train.checkpoint import load_model_variables
+
+        rng = np.random.default_rng(23)
+        sd = {f"emb_model.{k}": v for k, v in _synthetic_resnet18_sd(rng).items()
+              if not k.startswith("fc.")}
+        sd["classifier.1.weight"] = rng.normal(size=(3, 512)).astype(np.float32)
+        sd["classifier.1.bias"] = rng.normal(size=3).astype(np.float32)
+
+        out = convert_reference_checkpoint("resnet18", sd)
+        model = get_model({"task": "single", "model": "resnet18", "pretrained": False},
+                          ["a", "b", "c"], input_size=(32, 32), dtype=jnp.float32)
+        path = tmp_path / "ref.msgpack"
+        save_params_msgpack(out, path)
+        variables = load_model_variables(path, model.variables)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["head"]["kernel"]),
+            sd["classifier.1.weight"].T)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["backbone"]["BasicBlock_0"]["ConvBN_0"]["Conv_0"]["kernel"]),
+            np.transpose(sd["emb_model.layer1.0.conv1.weight"], (2, 3, 1, 0)))
+        # the loaded variables actually run
+        logits = model.module.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.zeros((1, 32, 32, 3)), train=False)
+        assert logits.shape == (1, 3)
+
+    def test_multitask_heads(self):
+        from nkbx.models.convert import convert_reference_checkpoint
+
+        rng = np.random.default_rng(24)
+        sd = {f"emb_model.{k}": v for k, v in _synthetic_resnet18_sd(rng).items()
+              if not k.startswith("fc.")}
+        for t, n in (("color", 4), ("shape", 2)):
+            sd[f"classifier.{t}.1.weight"] = rng.normal(size=(n, 512)).astype(np.float32)
+            sd[f"classifier.{t}.1.bias"] = rng.normal(size=n).astype(np.float32)
+
+        out = convert_reference_checkpoint("resnet18", sd)
+        assert set(k for k in out["params"] if k.startswith("head_")) == {
+            "head_color", "head_shape"}
+        assert out["params"]["head_color"]["kernel"].shape == (512, 4)
+
+        model = get_model(
+            {"task": "multi", "model": "resnet18", "pretrained": False},
+            {"color": list("abcd"), "shape": list("xy")},
+            input_size=(32, 32), dtype=jnp.float32)
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p) for p, _ in
+                    jax.tree_util.tree_leaves_with_path(tree)}
+
+        assert paths(out["params"]) == paths(model.params)
+
+    def test_not_a_reference_checkpoint_raises(self):
+        from nkbx.models.convert import convert_reference_checkpoint
+
+        with pytest.raises(ValueError, match="emb_model"):
+            convert_reference_checkpoint("resnet18", {"conv1.weight": np.zeros((64, 3, 7, 7))})
