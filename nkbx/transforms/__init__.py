@@ -42,6 +42,8 @@ from nkbx.transforms.spec import (
     RandomBrightnessContrast,
     HueSaturationValue,
     CoarseDropout,
+    Rotate,
+    ShiftScaleRotate,
     MotionBlur,
     RandomShadow,
     RandomFog,
@@ -66,6 +68,8 @@ __all__ = [
     "RandomBrightnessContrast",
     "HueSaturationValue",
     "CoarseDropout",
+    "Rotate",
+    "ShiftScaleRotate",
     "MotionBlur",
     "RandomShadow",
     "RandomFog",

@@ -246,6 +246,69 @@ def _apply_rain(t: S.RandomRain, x, key):
     return x * (1.0 - g) + y * g
 
 
+def _affine_sample(x, angle_deg, scale, tx, ty, mode: str, cval: float):
+    """Per-sample inverse-affine bilinear resample about the image center.
+
+    Forward map (cv2.warpAffine with getRotationMatrix2D + translation):
+    dst = s*R(angle)*(src - c) + c + t; we gather with the inverse
+    src = R(-angle)*(dst - c - t)/s + c. ``mode`` 'mirror' is scipy's
+    BORDER_REFLECT_101 equivalent; 'constant' fills ``cval``.
+    """
+    b, h, w, c = x.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    rad = angle_deg * (np.pi / 180.0)
+    cos = jnp.cos(rad).reshape(b, 1, 1)
+    sin = jnp.sin(rad).reshape(b, 1, 1)
+    s = scale.reshape(b, 1, 1)
+    dx = (xs[None] - cx - tx.reshape(b, 1, 1))
+    dy = (ys[None] - cy - ty.reshape(b, 1, 1))
+    # cv2.getRotationMatrix2D forward is [[cos, sin], [-sin, cos]] (positive
+    # angle = counter-clockwise in image coords); dst->src uses its inverse
+    src_x = (cos * dx - sin * dy) / s + cx
+    src_y = (sin * dx + cos * dy) / s + cy
+
+    from jax.scipy.ndimage import map_coordinates
+
+    def one_plane(img2d, sy, sx):
+        return map_coordinates(img2d, [sy, sx], order=1, mode=mode, cval=cval)
+
+    # vmap over batch then channels: (B, H, W, C) planes
+    def one_sample(img, sy, sx):
+        return jax.vmap(lambda p: one_plane(p, sy, sx))(
+            img.transpose(2, 0, 1)).transpose(1, 2, 0)
+
+    return jax.vmap(one_sample)(x, src_y, src_x)
+
+
+_BORDER_MODES = {"reflect101": "mirror", "constant": "constant"}
+
+
+def _apply_rotate(t: S.Rotate, x, key):
+    lo, hi = t.range()
+    k_g, k_a = jax.random.split(key)
+    b = x.shape[0]
+    g = _gate(k_g, t.p, b)
+    angle = jax.random.uniform(k_a, (b,), minval=lo, maxval=hi)
+    y = _affine_sample(x, angle, jnp.ones(b), jnp.zeros(b), jnp.zeros(b),
+                       _BORDER_MODES[t.border_mode], float(t.value))
+    return x * (1.0 - g) + y * g
+
+
+def _apply_shift_scale_rotate(t: S.ShiftScaleRotate, x, key):
+    (sh_lo, sh_hi), (sc_lo, sc_hi), (r_lo, r_hi) = t.ranges()
+    k_g, k_s, k_c, k_r = jax.random.split(key, 4)
+    b, h, w, _ = x.shape
+    g = _gate(k_g, t.p, b)
+    shift = jax.random.uniform(k_s, (b, 2), minval=sh_lo, maxval=sh_hi)
+    scale = 1.0 + jax.random.uniform(k_c, (b,), minval=sc_lo, maxval=sc_hi)
+    angle = jax.random.uniform(k_r, (b,), minval=r_lo, maxval=r_hi)
+    y = _affine_sample(x, angle, scale, shift[:, 0] * w, shift[:, 1] * h,
+                       _BORDER_MODES[t.border_mode], float(t.value))
+    return x * (1.0 - g) + y * g
+
+
 # ---------------------------------------------------------------------------
 # Builder
 # ---------------------------------------------------------------------------
@@ -256,6 +319,8 @@ _RANDOM_APPLIERS = {
     S.RandomBrightnessContrast: _apply_brightness_contrast,
     S.HueSaturationValue: _apply_hsv,
     S.CoarseDropout: _apply_coarse_dropout,
+    S.Rotate: _apply_rotate,
+    S.ShiftScaleRotate: _apply_shift_scale_rotate,
     S.MotionBlur: _apply_motion_blur,
     S.RandomShadow: _apply_shadow,
     S.RandomFog: _apply_fog,

@@ -197,6 +197,42 @@ class CoarseDropout(Transform):
 
 
 @dataclasses.dataclass
+class Rotate(Transform):
+    """Random rotation by U(-limit, limit) degrees about the image center
+    (albumentations Rotate: bilinear sampling, cv2.getRotationMatrix2D center
+    (w/2-0.5, h/2-0.5); border 'reflect101' (the cv2 default) or 'constant'
+    filled with ``value``)."""
+
+    limit: Union[float, Tuple[float, float]] = 90
+    border_mode: str = "reflect101"  # "reflect101" | "constant"
+    value: float = 0.0
+    p: float = 0.5
+    stage = DEVICE
+
+    def range(self):
+        return _as_range(self.limit)
+
+
+@dataclasses.dataclass
+class ShiftScaleRotate(Transform):
+    """Random affine: translate by U(-shift,shift)*dim, scale by
+    1+U(-s,s), rotate by U(-r,r) degrees (albumentations ShiftScaleRotate
+    semantics, bilinear)."""
+
+    shift_limit: Union[float, Tuple[float, float]] = 0.0625
+    scale_limit: Union[float, Tuple[float, float]] = 0.1
+    rotate_limit: Union[float, Tuple[float, float]] = 45
+    border_mode: str = "reflect101"
+    value: float = 0.0
+    p: float = 0.5
+    stage = DEVICE
+
+    def ranges(self):
+        return (_as_range(self.shift_limit), _as_range(self.scale_limit),
+                _as_range(self.rotate_limit))
+
+
+@dataclasses.dataclass
 class MotionBlur(Transform):
     """Random directional blur with odd kernel size in [3, blur_limit]."""
 

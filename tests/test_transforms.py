@@ -243,3 +243,81 @@ class TestConfigSemantics:
         ca = load_config(tmp_path / "a" / "config.py")
         cb = load_config(tmp_path / "b" / "config.py")
         assert ca.value == "A" and cb.value == "B"
+
+
+class TestGeometricDeviceOps:
+    """Rotate / ShiftScaleRotate vs cv2.warpAffine (what albumentations runs)."""
+
+    @staticmethod
+    def _cv2_affine(img, angle, scale, dx, dy, border):
+        import cv2
+
+        h, w = img.shape[:2]
+        m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, scale)
+        m[0, 2] += dx * w
+        m[1, 2] += dy * h
+        mode = cv2.BORDER_REFLECT_101 if border == "reflect101" else cv2.BORDER_CONSTANT
+        return cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR,
+                              borderMode=mode, borderValue=0)
+
+    def test_rotate_matches_cv2(self):
+        import jax
+
+        import nkbx.transforms as T
+
+        rng = np.random.default_rng(30)
+        img = rng.uniform(0, 255, (2, 20, 20, 3)).astype(np.float32)
+        angle = 33.0
+        t = T.Rotate(limit=(angle, angle), p=1.0)
+        from nkbx.transforms.device import _apply_rotate
+
+        out = np.asarray(_apply_rotate(t, jnp.asarray(img), jax.random.PRNGKey(0)))
+        for i in range(2):
+            want = self._cv2_affine(img[i], angle, 1.0, 0, 0, "reflect101")
+            # interior only: jax 'mirror' and cv2 REFLECT_101 agree, but edge
+            # pixels mix interpolation at the boundary
+            np.testing.assert_allclose(out[i, 2:-2, 2:-2], want[2:-2, 2:-2],
+                                       atol=0.75)
+
+    def test_rotate_90_exact(self):
+        import jax
+
+        import nkbx.transforms as T
+        from nkbx.transforms.device import _apply_rotate
+
+        rng = np.random.default_rng(31)
+        img = rng.uniform(0, 255, (1, 16, 16, 3)).astype(np.float32)
+        t = T.Rotate(limit=(90.0, 90.0), p=1.0)
+        out = np.asarray(_apply_rotate(t, jnp.asarray(img), jax.random.PRNGKey(0)))
+        # +90 deg (cv2 CCW) on a square grid lands exactly on pixels
+        want = self._cv2_affine(img[0], 90.0, 1.0, 0, 0, "reflect101")
+        np.testing.assert_allclose(out[0], want, atol=1e-3)
+
+    def test_shift_scale_rotate_matches_cv2(self):
+        import jax
+
+        import nkbx.transforms as T
+        from nkbx.transforms.device import _apply_shift_scale_rotate
+
+        rng = np.random.default_rng(32)
+        img = rng.uniform(0, 255, (1, 24, 24, 3)).astype(np.float32)
+        sh, sc, ang = 0.1, 0.2, 15.0
+        t = T.ShiftScaleRotate(shift_limit=(sh, sh), scale_limit=(sc, sc),
+                               rotate_limit=(ang, ang), p=1.0)
+        out = np.asarray(_apply_shift_scale_rotate(
+            t, jnp.asarray(img), jax.random.PRNGKey(0)))
+        want = self._cv2_affine(img[0], ang, 1.0 + sc, sh, sh, "reflect101")
+        np.testing.assert_allclose(out[0, 3:-3, 3:-3], want[3:-3, 3:-3], atol=0.75)
+
+    def test_p_zero_identity_and_pipeline(self):
+        import jax
+
+        import nkbx.transforms as T
+
+        pipe = T.Compose([T.Rotate(limit=30, p=0.0),
+                          T.ShiftScaleRotate(p=0.0),
+                          T.Normalize(mean=(0, 0, 0), std=(1, 1, 1))])
+        rng = np.random.default_rng(33)
+        img = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+        out = np.asarray(pipe.device_apply(jnp.asarray(img), jax.random.PRNGKey(0)))
+        np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-5)
