@@ -53,8 +53,9 @@ model_ema_decay = 0.0
 # Mixup/CutMix (None = off; timm.data.Mixup batch-mode semantics, run
 # on-device inside the jitted step): one Beta(alpha) lam per step, rows mixed
 # with the reversed batch; CutMix pastes a random box with lam corrected to
-# its area. Loss becomes lam*loss(labels) + (1-lam)*loss(labels[::-1]).
-# Requires drop_last=True on train_data.
+# its area. Loss becomes lam*loss(labels) + (1-lam)*loss(labels[partner]).
+# Padded rows pair with themselves (exactly unmixed), so drop_last=False and
+# multi-host sentinel padding are safe.
 # mixup = {"alpha": 0.2, "cutmix_alpha": 1.0, "prob": 1.0, "switch_prob": 0.5}
 mixup = None
 

@@ -645,6 +645,13 @@ def main(argv=None):
         sd = fetch_torch_state_dict(args.model)
 
     if args.reference_checkpoint:
+        if not args.out:
+            # the full-classifier tree is NOT a pretrained-backbone file: the
+            # $NKBX_PRETRAINED_DIR default would clobber the backbone msgpack
+            # that model pretrained=True loads
+            raise SystemExit("--reference-checkpoint requires --out "
+                             "(load the result via the config's "
+                             "model.checkpoint key)")
         converted = convert_reference_checkpoint(args.model, sd)
     else:
         converted = convert_torch_state_dict(args.model, sd)

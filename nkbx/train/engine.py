@@ -116,6 +116,17 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         from nkbx.train.mixup import build_mixup
 
         mix = build_mixup(mixup)
+        nonuniform_mass = (
+            getattr(criterion, "_mass_fn", None) is not None
+            or getattr(getattr(criterion, "criterion", None), "_mass_fn", None)
+            is not None)
+        if grad_accum_steps > 1 and nonuniform_mass:
+            raise ValueError(
+                "mixup + grad_accum_steps with a mass-normalized criterion "
+                "(class-weighted CE / focal): the primary and partner label "
+                "masses differ per microbatch, so a single per-microbatch "
+                "weight cannot reproduce the full-batch gradient — drop one "
+                "of the three (unweighted loss, no accumulation, or no mixup)")
 
     def _micro_grads(params, batch_stats, x, label, mask, drop_key,
                      label_b=None, lam=None):
@@ -149,8 +160,11 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         x = augment(image, aug_key)
         label_b = lam = None
         if mix is not None:
-            x, lam = mix(x, mix_key)
-            label_b = jax.tree_util.tree_map(lambda v: v[::-1], label)
+            # partner falls back to self where the reversed row is padded
+            # (multi-host sentinel padding / drop_last=False), keeping those
+            # rows exactly unmixed
+            x, lam, partner = mix(x, mix_key, mask)
+            label_b = jax.tree_util.tree_map(lambda v: v[partner], label)
 
         if grad_accum_steps > 1:
             a = grad_accum_steps

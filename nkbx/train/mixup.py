@@ -5,11 +5,15 @@ implements the same batch-mode recipe TPU-natively inside the jitted train
 step: ONE Beta-sampled lam per step, each row mixed with the batch-reversed
 row, CutMix as a centered random box with lam corrected to the true box area
 (timm/data/mixup.py semantics, batch mode). The loss becomes
-``lam * loss(labels) + (1-lam) * loss(labels[::-1])`` — works unchanged for
-CE/focal/multi-task criteria.
+``lam * loss(labels) + (1-lam) * loss(labels[partner])`` — works unchanged
+for CE/focal/multi-task criteria.
 
-Requires full batches (``drop_last=True``): mixing against a zero padding row
-would corrupt real samples; the trainer enforces this.
+Padded (masked-out) rows are handled by PARTNER SELECTION, not a config
+restriction: row i pairs with row B-1-i unless that row is padded, in which
+case it pairs with ITSELF — self-mixing is the identity for the image and
+makes the (1-lam) loss term collapse onto the row's own label, so the row
+trains exactly as if unmixed. Works with ``drop_last=False`` loaders and
+multi-host sentinel padding.
 """
 
 from __future__ import annotations
@@ -43,8 +47,10 @@ def build_mixup(cfg: dict):
     ``cutmix_alpha`` (0 = off), ``prob`` (apply chance per step, default 1),
     ``switch_prob`` (chance of CutMix when both are on, default 0.5).
 
-    Returns ``mix(x, key) -> (mixed_x, lam)``; the caller pairs row i with
-    row B-1-i (``labels[::-1]``) for the secondary loss term.
+    Returns ``mix(x, key, mask=None) -> (mixed_x, lam, partner)``; the caller
+    gathers ``labels[partner]`` for the secondary loss term. ``partner`` is
+    the reversed index, or the row's own index where the reversed row is
+    masked out (see module docstring).
     """
     alpha = float(cfg.get("alpha", 0.0))
     cutmix_alpha = float(cfg.get("cutmix_alpha", 0.0))
@@ -53,9 +59,15 @@ def build_mixup(cfg: dict):
     if alpha <= 0.0 and cutmix_alpha <= 0.0:
         raise ValueError("mixup config needs alpha > 0 and/or cutmix_alpha > 0")
 
-    def mix(x, key):
+    def mix(x, key, mask=None):
         k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(key, 5)
-        flipped = x[::-1]
+        b = x.shape[0]
+        rev = jnp.arange(b)[::-1]
+        if mask is None:
+            partner = rev
+        else:
+            partner = jnp.where(mask[rev], rev, jnp.arange(b))
+        flipped = x[partner]
         h, w = x.shape[1], x.shape[2]
 
         use_cutmix = (
@@ -82,6 +94,6 @@ def build_mixup(cfg: dict):
         apply = jax.random.bernoulli(k_apply, prob)
         mixed = jnp.where(apply, mixed, x)
         lam = jnp.where(apply, lam, 1.0)
-        return mixed, lam
+        return mixed, lam, partner
 
     return mix

@@ -78,12 +78,9 @@ def train(
 
             state = jax.device_put(state, replicated_sharding(mesh))
 
+    # mixup handles padded rows itself (self-pairing partner selection in
+    # nkbx.train.mixup), so no drop_last restriction is needed
     mixup_cfg = getattr(cfg, "mixup", None)
-    if mixup_cfg and not train_loader.drop_last:
-        raise ValueError(
-            "mixup requires train drop_last=True: a padded final batch would "
-            "mix real samples with zero rows"
-        )
     augment_train = train_loader.pipeline.device_apply if train_loader.pipeline else None
     augment_val = val_loader.pipeline.device_apply if val_loader.pipeline else None
     train_step = build_train_step(
