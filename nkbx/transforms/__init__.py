@@ -44,6 +44,7 @@ from nkbx.transforms.spec import (
     CoarseDropout,
     Rotate,
     ShiftScaleRotate,
+    RandAugment,
     MotionBlur,
     RandomShadow,
     RandomFog,
@@ -70,6 +71,7 @@ __all__ = [
     "CoarseDropout",
     "Rotate",
     "ShiftScaleRotate",
+    "RandAugment",
     "MotionBlur",
     "RandomShadow",
     "RandomFog",

@@ -285,6 +285,172 @@ def _affine_sample(x, angle_deg, scale, tx, ty, mode: str, cval: float):
 _BORDER_MODES = {"reflect101": "mirror", "constant": "constant"}
 
 
+def _affine_matrix_sample(x, inv_m, t, mode: str, cval: float):
+    """Per-sample inverse-affine resample with an explicit (B, 2, 2) inverse
+    matrix and (B, 2) forward translation (x then y), about the image center:
+    src = inv_m @ (dst - c - t) + c."""
+    b, h, w, _ = x.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    dx = xs[None] - cx - t[:, 0].reshape(b, 1, 1)
+    dy = ys[None] - cy - t[:, 1].reshape(b, 1, 1)
+    src_x = inv_m[:, 0, 0, None, None] * dx + inv_m[:, 0, 1, None, None] * dy + cx
+    src_y = inv_m[:, 1, 0, None, None] * dx + inv_m[:, 1, 1, None, None] * dy + cy
+
+    from jax.scipy.ndimage import map_coordinates
+
+    def one_plane(img2d, sy, sx):
+        return map_coordinates(img2d, [sy, sx], order=1, mode=mode, cval=cval)
+
+    def one_sample(img, sy, sx):
+        return jax.vmap(lambda p: one_plane(p, sy, sx))(
+            img.transpose(2, 0, 1)).transpose(1, 2, 0)
+
+    return jax.vmap(one_sample)(x, src_y, src_x)
+
+
+# ---------------------------------------------------------------------------
+# RandAugment (torchvision op set and magnitude ranges)
+# ---------------------------------------------------------------------------
+
+# op ids (torchvision transforms.RandAugment._augmentation_space order)
+_RA_IDENTITY, _RA_SHEAR_X, _RA_SHEAR_Y, _RA_TRANS_X, _RA_TRANS_Y, _RA_ROTATE, \
+    _RA_BRIGHT, _RA_COLOR, _RA_CONTRAST, _RA_SHARP, _RA_POSTERIZE, \
+    _RA_SOLARIZE, _RA_AUTOCONTRAST, _RA_EQUALIZE = range(14)
+_RA_NUM_OPS = 14
+
+
+def _ra_gray(x):
+    return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
+
+
+def _ra_blend(base, img, factor):
+    """torchvision _blend: base + factor*(img-base), clipped."""
+    return jnp.clip(base + factor * (img - base), 0.0, 255.0)
+
+
+def _ra_posterize(x, bits):
+    step = 2.0 ** (8.0 - bits.reshape(-1, 1, 1, 1))
+    return jnp.floor(jnp.floor(x) / step) * step
+
+
+def _ra_solarize(x, thr):
+    return jnp.where(x >= thr.reshape(-1, 1, 1, 1), 255.0 - x, x)
+
+
+def _ra_autocontrast(x):
+    mn = jnp.min(x, axis=(1, 2), keepdims=True)
+    mx = jnp.max(x, axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.where(mx > mn, mx - mn, 1.0)
+    return jnp.where(mx > mn, (x - mn) * scale, x)
+
+
+def _ra_equalize(x):
+    """PIL ImageOps.equalize per sample/channel (integer-LUT semantics)."""
+    b, h, w, c = x.shape
+    q = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
+    flat = q.transpose(0, 3, 1, 2).reshape(b * c, h * w)
+    seg = (jnp.arange(b * c)[:, None] * 256 + flat).reshape(-1)
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(seg, jnp.int32), seg, num_segments=b * c * 256
+    ).reshape(b * c, 256)
+    nonzero = hist > 0
+    # PIL: step = (n_pixels - count_of_LAST_NONZERO_bin) // 255
+    last_nz = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
+    last_count = jnp.take_along_axis(hist, last_nz[:, None], axis=1)[:, 0]
+    step = (h * w - last_count) // 255
+    csum = jnp.cumsum(hist, axis=1) - hist  # exclusive prefix sum
+    lut = jnp.clip((step[:, None] // 2 + csum) // jnp.maximum(step, 1)[:, None],
+                   0, 255)
+    identity = (step <= 0) | (jnp.sum(nonzero, axis=1) <= 1)
+    lut = jnp.where(identity[:, None], jnp.arange(256)[None, :], lut)
+    out = jnp.take_along_axis(lut, flat, axis=1)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.float32)
+
+
+def _ra_sharpness(x, factor):
+    """torchvision adjust_sharpness: blend with a 3x3 [[1,1,1],[1,5,1],[1,1,1]]/13
+    smoothing whose border ring keeps the original pixels."""
+    k = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]]) / 13.0
+    kernel = jnp.zeros((3, 3, x.shape[-1], x.shape[-1]))
+    for ci in range(x.shape[-1]):
+        kernel = kernel.at[:, :, ci, ci].set(k)
+    sm = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    sm = jnp.clip(jnp.round(sm), 0.0, 255.0)  # torchvision rounds the blur
+    border = jnp.zeros(x.shape[1:3], bool).at[1:-1, 1:-1].set(True)
+    sm = jnp.where(border[None, :, :, None], sm, x)
+    return _ra_blend(sm, x, factor.reshape(-1, 1, 1, 1))
+
+
+def _apply_randaugment(t: S.RandAugment, x, key):
+    b, h, w, _ = x.shape
+    frac = t.magnitude / (t.num_magnitude_bins - 1)
+    shear_v = 0.3 * frac
+    trans_x = 150.0 / 331.0 * w * frac
+    trans_y = 150.0 / 331.0 * h * frac
+    rot_deg = 30.0 * frac
+    color_v = 0.9 * frac
+    post_bits = 8.0 - round(t.magnitude / ((t.num_magnitude_bins - 1) / 4))
+    solar_thr = 255.0 * (1.0 - frac)
+
+    k_gate, key = jax.random.split(key)
+    gate = _gate(k_gate, t.p, b)
+    x0 = x
+
+    for _ in range(t.num_ops):
+        key, k_op, k_sign = jax.random.split(key, 3)
+        op = jax.random.randint(k_op, (b,), 0, _RA_NUM_OPS)
+        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+
+        # ---- the 5 affine sub-ops share ONE resample: build per-sample
+        # inverse matrices (identity where the drawn op is not affine) ----
+        rad = jnp.deg2rad(rot_deg) * sign
+        cos, sin = jnp.cos(rad), jnp.sin(rad)
+        eye = jnp.broadcast_to(jnp.eye(2), (b, 2, 2))
+        inv = eye
+        sh = shear_v * sign
+        inv = jnp.where((op == _RA_SHEAR_X)[:, None, None],
+                        eye.at[:, 0, 1].set(-sh), inv)
+        inv = jnp.where((op == _RA_SHEAR_Y)[:, None, None],
+                        eye.at[:, 1, 0].set(-sh), inv)
+        rot_inv = jnp.stack([jnp.stack([cos, -sin], -1),
+                             jnp.stack([sin, cos], -1)], -2)
+        inv = jnp.where((op == _RA_ROTATE)[:, None, None], rot_inv, inv)
+        tvec = jnp.zeros((b, 2))
+        tvec = jnp.where((op == _RA_TRANS_X)[:, None],
+                         jnp.stack([trans_x * sign, jnp.zeros(b)], -1), tvec)
+        tvec = jnp.where((op == _RA_TRANS_Y)[:, None],
+                         jnp.stack([jnp.zeros(b), trans_y * sign], -1), tvec)
+        is_affine = ((op == _RA_SHEAR_X) | (op == _RA_SHEAR_Y) |
+                     (op == _RA_TRANS_X) | (op == _RA_TRANS_Y) |
+                     (op == _RA_ROTATE))
+        resampled = _affine_matrix_sample(x, inv, tvec, "constant", 0.0)
+        y = jnp.where(is_affine[:, None, None, None], resampled, x)
+
+        # ---- pointwise sub-ops ----
+        f = (1.0 + color_v * sign).reshape(b, 1, 1, 1)
+
+        def sel(op_id, val):
+            return jnp.where((op == op_id)[:, None, None, None], val, y)
+
+        y = sel(_RA_BRIGHT, _ra_blend(jnp.zeros_like(x), x, f))
+        y = sel(_RA_COLOR, _ra_blend(_ra_gray(x), x, f))
+        mean_gray = jnp.mean(jnp.round(_ra_gray(x)), axis=(1, 2, 3),
+                             keepdims=True)
+        y = sel(_RA_CONTRAST, _ra_blend(mean_gray, x, f))
+        y = sel(_RA_SHARP, _ra_sharpness(x, f))
+        y = sel(_RA_POSTERIZE, _ra_posterize(x, jnp.full((b,), post_bits)))
+        y = sel(_RA_SOLARIZE, _ra_solarize(x, jnp.full((b,), solar_thr)))
+        y = sel(_RA_AUTOCONTRAST, _ra_autocontrast(x))
+        y = sel(_RA_EQUALIZE, _ra_equalize(x))
+        x = jnp.clip(y, 0.0, 255.0)
+
+    return x0 * (1.0 - gate) + x * gate
+
+
 def _apply_rotate(t: S.Rotate, x, key):
     lo, hi = t.range()
     k_g, k_a = jax.random.split(key)
@@ -321,6 +487,7 @@ _RANDOM_APPLIERS = {
     S.CoarseDropout: _apply_coarse_dropout,
     S.Rotate: _apply_rotate,
     S.ShiftScaleRotate: _apply_shift_scale_rotate,
+    S.RandAugment: _apply_randaugment,
     S.MotionBlur: _apply_motion_blur,
     S.RandomShadow: _apply_shadow,
     S.RandomFog: _apply_fog,

@@ -233,6 +233,29 @@ class ShiftScaleRotate(Transform):
 
 
 @dataclasses.dataclass
+class RandAugment(Transform):
+    """torchvision RandAugment policy, run fully on-device: per sample,
+    ``num_ops`` ops drawn uniformly from the 14-op set (identity, shear x/y,
+    translate x/y, rotate, brightness, color, contrast, sharpness, posterize,
+    solarize, autocontrast, equalize) at ``magnitude`` of
+    ``num_magnitude_bins`` (torchvision ranges; sign-symmetric ops get a
+    random sign per sample). Affine sub-ops share ONE bilinear resample per
+    round (per-sample inverse matrices), so the whole policy stays a single
+    fused program."""
+
+    num_ops: int = 2
+    magnitude: int = 9
+    num_magnitude_bins: int = 31
+    p: float = 1.0
+    stage = DEVICE
+
+    def __post_init__(self):
+        if not (0 <= self.magnitude < self.num_magnitude_bins):
+            raise ValueError(
+                f"magnitude {self.magnitude} outside [0, {self.num_magnitude_bins})")
+
+
+@dataclasses.dataclass
 class MotionBlur(Transform):
     """Random directional blur with odd kernel size in [3, blur_limit]."""
 

@@ -321,3 +321,97 @@ class TestGeometricDeviceOps:
         img = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
         out = np.asarray(pipe.device_apply(jnp.asarray(img), jax.random.PRNGKey(0)))
         np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-5)
+
+
+class TestRandAugment:
+    """On-device RandAugment: sub-op math vs independent references."""
+
+    def test_equalize_matches_pil(self):
+        from PIL import Image, ImageOps
+
+        from nkbx.transforms.device import _ra_equalize
+
+        rng = np.random.default_rng(40)
+        # skewed histogram so equalization actually moves values
+        img = (rng.beta(2, 5, (2, 24, 24, 3)) * 255).astype(np.uint8)
+        out = np.asarray(_ra_equalize(jnp.asarray(img, jnp.float32)))
+        for i in range(2):
+            want = np.asarray(ImageOps.equalize(Image.fromarray(img[i])))
+            np.testing.assert_array_equal(out[i].astype(np.uint8), want)
+
+    def test_posterize_solarize_autocontrast(self):
+        from nkbx.transforms.device import (_ra_autocontrast, _ra_posterize,
+                                            _ra_solarize)
+
+        rng = np.random.default_rng(41)
+        x = rng.uniform(0, 255, (2, 8, 8, 3)).astype(np.float32)
+        xi = jnp.asarray(x)
+        post = np.asarray(_ra_posterize(xi, jnp.full((2,), 4.0)))
+        np.testing.assert_array_equal(
+            post.astype(np.uint8), x.astype(np.uint8) & 0xF0)
+        sol = np.asarray(_ra_solarize(xi, jnp.full((2,), 128.0)))
+        np.testing.assert_allclose(
+            sol, np.where(x >= 128, 255.0 - x, x), atol=1e-5)
+        ac = np.asarray(_ra_autocontrast(xi))
+        for i in range(2):
+            for c in range(3):
+                p = x[i, :, :, c]
+                want = (p - p.min()) * 255.0 / (p.max() - p.min())
+                np.testing.assert_allclose(ac[i, :, :, c], want, atol=1e-3)
+
+    def test_translate_matches_roll(self):
+        """Integer translate with constant fill == column shift."""
+        import jax
+
+        from nkbx.transforms.device import _affine_matrix_sample
+
+        rng = np.random.default_rng(42)
+        x = rng.uniform(0, 255, (1, 8, 8, 1)).astype(np.float32)
+        eye = jnp.broadcast_to(jnp.eye(2), (1, 2, 2))
+        out = np.asarray(_affine_matrix_sample(
+            jnp.asarray(x), eye, jnp.asarray([[3.0, 0.0]]), "constant", 0.0))
+        want = np.zeros_like(x)
+        want[:, :, 3:, :] = x[:, :, :-3, :]
+        np.testing.assert_allclose(out, want, atol=1e-4)
+
+    def test_magnitude_zero_near_identity(self):
+        import jax
+
+        import nkbx.transforms as T
+        from nkbx.transforms.device import _apply_randaugment
+
+        rng = np.random.default_rng(43)
+        # keep below 255 so the magnitude-0 solarize threshold is inert
+        x = jnp.asarray(rng.uniform(0, 250, (8, 12, 12, 3)).astype(np.float32))
+        t = T.RandAugment(num_ops=2, magnitude=0)
+        out = np.asarray(_apply_randaugment(t, x, jax.random.PRNGKey(1)))
+        # affine/color ops are identity at magnitude 0; equalize/autocontrast
+        # still act on their drawn samples, so most rows must be unchanged
+        # and none should be wildly off unless equalize/autocontrast hit them
+        same = [np.allclose(out[i], np.asarray(x)[i], atol=1.0) for i in range(8)]
+        assert sum(same) >= 3
+
+    def test_pipeline_integration(self):
+        import jax
+
+        import nkbx.transforms as T
+
+        pipe = T.Compose([T.RandAugment(num_ops=2, magnitude=9),
+                          T.Normalize(mean=(0.485, 0.456, 0.406),
+                                      std=(0.229, 0.224, 0.225))])
+        rng = np.random.default_rng(44)
+        img = rng.integers(0, 255, (4, 16, 16, 3)).astype(np.uint8)
+        out = np.asarray(pipe.device_apply(jnp.asarray(img), jax.random.PRNGKey(2)))
+        assert out.shape == img.shape and np.isfinite(out).all()
+        # eval mode skips the policy entirely
+        ev = np.asarray(pipe.device_apply(jnp.asarray(img), jax.random.PRNGKey(2),
+                                          train=False))
+        want = (img.astype(np.float32) - np.array([0.485, 0.456, 0.406]) * 255) / (
+            np.array([0.229, 0.224, 0.225]) * 255)
+        np.testing.assert_allclose(ev, want, atol=1e-4)
+
+    def test_bad_magnitude_raises(self):
+        import nkbx.transforms as T
+
+        with pytest.raises(ValueError, match="magnitude"):
+            T.RandAugment(magnitude=31)
