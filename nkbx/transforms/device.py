@@ -246,6 +246,71 @@ def _apply_rain(t: S.RandomRain, x, key):
     return x * (1.0 - g) + y * g
 
 
+def _reflect101_index(i, n: int):
+    """BORDER_REFLECT_101 index folding (period 2n-2, no edge duplication)."""
+    if n == 1:
+        return jnp.zeros_like(i)
+    period = 2 * n - 2
+    i = jnp.abs(jnp.mod(i, period))
+    return jnp.minimum(i, period - i)
+
+
+def _bilinear_gather(x, src_y, src_x, mode: str, cval: float):
+    """Bilinear sample of (B, H, W, C) at PER-SAMPLE float coords (B, H, W).
+
+    Per-sample warp grids are inherently point gathers, which this backend
+    lowers slowly (~260 ms/batch at bs=128 @224 regardless of formulation —
+    measured both the scipy map_coordinates and flat take_along_axis forms);
+    use :func:`_shared_bilinear_gather` whenever the grid is shared across
+    the batch (RandAugment draws affine params per round for this reason).
+    """
+    from jax.scipy.ndimage import map_coordinates
+
+    def one_plane(img2d, sy, sx):
+        return map_coordinates(img2d, [sy, sx], order=1, mode=mode, cval=cval)
+
+    def one_sample(img, sy, sx):
+        return jax.vmap(lambda p: one_plane(p, sy, sx))(
+            img.transpose(2, 0, 1)).transpose(1, 2, 0)
+
+    return jax.vmap(one_sample)(x, src_y, src_x)
+
+
+def _shared_bilinear_gather(x, src_y, src_x, mode: str, cval: float):
+    """Bilinear sample with ONE (H, W) coord grid shared by the whole batch.
+
+    The four corner taps become row gathers over a (H*W, B*C) layout —
+    each gathered row is B*C lanes wide (the embedding-lookup pattern
+    XLA:TPU lowers efficiently), unlike per-sample point gathers.
+    """
+    b, h, w, c = x.shape
+    y0f = jnp.floor(src_y)
+    x0f = jnp.floor(src_x)
+    wy = (src_y - y0f)[:, :, None]
+    wx = (src_x - x0f)[:, :, None]
+    y0, x0 = y0f.astype(jnp.int32), x0f.astype(jnp.int32)
+    wide = x.transpose(1, 2, 0, 3).reshape(h * w, b * c)
+
+    def tap(yi, xi):
+        if mode == "mirror":
+            yc = _reflect101_index(yi, h)
+            xc = _reflect101_index(xi, w)
+            valid = None
+        else:  # constant
+            yc = jnp.clip(yi, 0, h - 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[:, :, None]
+        v = wide[(yc * w + xc).reshape(-1)].reshape(h, w, b * c)
+        if valid is not None:
+            v = jnp.where(valid, v, cval)
+        return v
+
+    top = tap(y0, x0) * (1.0 - wx) + tap(y0, x0 + 1) * wx
+    bot = tap(y0 + 1, x0) * (1.0 - wx) + tap(y0 + 1, x0 + 1) * wx
+    out = top * (1.0 - wy) + bot * wy
+    return out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+
+
 def _affine_sample(x, angle_deg, scale, tx, ty, mode: str, cval: float):
     """Per-sample inverse-affine bilinear resample about the image center.
 
@@ -268,18 +333,7 @@ def _affine_sample(x, angle_deg, scale, tx, ty, mode: str, cval: float):
     # angle = counter-clockwise in image coords); dst->src uses its inverse
     src_x = (cos * dx - sin * dy) / s + cx
     src_y = (sin * dx + cos * dy) / s + cy
-
-    from jax.scipy.ndimage import map_coordinates
-
-    def one_plane(img2d, sy, sx):
-        return map_coordinates(img2d, [sy, sx], order=1, mode=mode, cval=cval)
-
-    # vmap over batch then channels: (B, H, W, C) planes
-    def one_sample(img, sy, sx):
-        return jax.vmap(lambda p: one_plane(p, sy, sx))(
-            img.transpose(2, 0, 1)).transpose(1, 2, 0)
-
-    return jax.vmap(one_sample)(x, src_y, src_x)
+    return _bilinear_gather(x, src_y, src_x, mode, cval)
 
 
 _BORDER_MODES = {"reflect101": "mirror", "constant": "constant"}
@@ -297,17 +351,7 @@ def _affine_matrix_sample(x, inv_m, t, mode: str, cval: float):
     dy = ys[None] - cy - t[:, 1].reshape(b, 1, 1)
     src_x = inv_m[:, 0, 0, None, None] * dx + inv_m[:, 0, 1, None, None] * dy + cx
     src_y = inv_m[:, 1, 0, None, None] * dx + inv_m[:, 1, 1, None, None] * dy + cy
-
-    from jax.scipy.ndimage import map_coordinates
-
-    def one_plane(img2d, sy, sx):
-        return map_coordinates(img2d, [sy, sx], order=1, mode=mode, cval=cval)
-
-    def one_sample(img, sy, sx):
-        return jax.vmap(lambda p: one_plane(p, sy, sx))(
-            img.transpose(2, 0, 1)).transpose(1, 2, 0)
-
-    return jax.vmap(one_sample)(x, src_y, src_x)
+    return _bilinear_gather(x, src_y, src_x, mode, cval)
 
 
 # ---------------------------------------------------------------------------
@@ -351,10 +395,12 @@ def _ra_equalize(x):
     b, h, w, c = x.shape
     q = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
     flat = q.transpose(0, 3, 1, 2).reshape(b * c, h * w)
-    seg = (jnp.arange(b * c)[:, None] * 256 + flat).reshape(-1)
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(seg, jnp.int32), seg, num_segments=b * c * 256
-    ).reshape(b * c, 256)
+    # histogram as a fused broadcast-compare-reduce (one pass over the batch
+    # per 256-bin chunking by XLA); a segment_sum scatter lowers ~10x slower
+    # on TPU (measured 108 ms/batch at bs=128 @224)
+    hist = jnp.sum(
+        (flat[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :])
+        .astype(jnp.int32), axis=1)
     nonzero = hist > 0
     # PIL: step = (n_pixels - count_of_LAST_NONZERO_bin) // 255
     last_nz = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
@@ -400,35 +446,43 @@ def _apply_randaugment(t: S.RandAugment, x, key):
     gate = _gate(k_gate, t.p, b)
     x0 = x
 
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys_g = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs_g = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def shared_warp(m00, m01, m10, m11, tx, ty):
+        # shared (H, W) inverse-affine grid -> wide-row gather (fast on TPU)
+        dx = xs_g - cx - tx
+        dy = ys_g - cy - ty
+        src_x = m00 * dx + m01 * dy + cx
+        src_y = m10 * dx + m11 * dy + cy
+        return _shared_bilinear_gather(x, src_y, src_x, "constant", 0.0)
+
     for _ in range(t.num_ops):
-        key, k_op, k_sign = jax.random.split(key, 3)
+        key, k_op, k_sign, k_asign = jax.random.split(key, 4)
         op = jax.random.randint(k_op, (b,), 0, _RA_NUM_OPS)
         sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
-
-        # ---- the 5 affine sub-ops share ONE resample: build per-sample
-        # inverse matrices (identity where the drawn op is not affine) ----
-        rad = jnp.deg2rad(rot_deg) * sign
+        # affine magnitudes are drawn PER ROUND (shared across the batch, the
+        # same batch-mode tradeoff as Mixup's per-step lam): a shared warp
+        # grid gathers B*C-wide rows — per-sample grids are point gathers
+        # this backend lowers ~30x slower (PERF.md)
+        asign = jnp.where(jax.random.bernoulli(k_asign, 0.5), 1.0, -1.0)
+        rad = jnp.deg2rad(rot_deg) * asign
         cos, sin = jnp.cos(rad), jnp.sin(rad)
-        eye = jnp.broadcast_to(jnp.eye(2), (b, 2, 2))
-        inv = eye
-        sh = shear_v * sign
-        inv = jnp.where((op == _RA_SHEAR_X)[:, None, None],
-                        eye.at[:, 0, 1].set(-sh), inv)
-        inv = jnp.where((op == _RA_SHEAR_Y)[:, None, None],
-                        eye.at[:, 1, 0].set(-sh), inv)
-        rot_inv = jnp.stack([jnp.stack([cos, -sin], -1),
-                             jnp.stack([sin, cos], -1)], -2)
-        inv = jnp.where((op == _RA_ROTATE)[:, None, None], rot_inv, inv)
-        tvec = jnp.zeros((b, 2))
-        tvec = jnp.where((op == _RA_TRANS_X)[:, None],
-                         jnp.stack([trans_x * sign, jnp.zeros(b)], -1), tvec)
-        tvec = jnp.where((op == _RA_TRANS_Y)[:, None],
-                         jnp.stack([jnp.zeros(b), trans_y * sign], -1), tvec)
-        is_affine = ((op == _RA_SHEAR_X) | (op == _RA_SHEAR_Y) |
-                     (op == _RA_TRANS_X) | (op == _RA_TRANS_Y) |
-                     (op == _RA_ROTATE))
-        resampled = _affine_matrix_sample(x, inv, tvec, "constant", 0.0)
-        y = jnp.where(is_affine[:, None, None, None], resampled, x)
+        sh = shear_v * asign
+        zero = jnp.asarray(0.0)
+        one = jnp.asarray(1.0)
+        cases = {
+            _RA_SHEAR_X: (one, -sh, zero, one, zero, zero),
+            _RA_SHEAR_Y: (one, zero, -sh, one, zero, zero),
+            _RA_TRANS_X: (one, zero, zero, one, trans_x * asign, zero),
+            _RA_TRANS_Y: (one, zero, zero, one, zero, trans_y * asign),
+            _RA_ROTATE: (cos, -sin, sin, cos, zero, zero),
+        }
+        y = x
+        for op_id, params in cases.items():
+            y = jnp.where((op == op_id)[:, None, None, None],
+                          shared_warp(*params), y)
 
         # ---- pointwise sub-ops ----
         f = (1.0 + color_v * sign).reshape(b, 1, 1, 1)

@@ -238,10 +238,12 @@ class RandAugment(Transform):
     ``num_ops`` ops drawn uniformly from the 14-op set (identity, shear x/y,
     translate x/y, rotate, brightness, color, contrast, sharpness, posterize,
     solarize, autocontrast, equalize) at ``magnitude`` of
-    ``num_magnitude_bins`` (torchvision ranges; sign-symmetric ops get a
-    random sign per sample). Affine sub-ops share ONE bilinear resample per
-    round (per-sample inverse matrices), so the whole policy stays a single
-    fused program."""
+    ``num_magnitude_bins`` (torchvision ranges; sign-symmetric pointwise ops
+    get a random sign per sample). The affine sub-ops draw their
+    magnitude/sign PER ROUND (shared across the batch — the batch-mode
+    tradeoff this framework also uses for Mixup's lam): a shared warp grid
+    gathers wide rows, where per-sample grids are point gathers the TPU
+    backend lowers ~30x slower (PERF.md)."""
 
     num_ops: int = 2
     magnitude: int = 9
