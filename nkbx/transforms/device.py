@@ -311,6 +311,21 @@ def _shared_bilinear_gather(x, src_y, src_x, mode: str, cval: float):
     return out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
 
 
+def _shared_nearest_gather(x, src_y, src_x, cval: float):
+    """Nearest-neighbor variant of :func:`_shared_bilinear_gather` (single
+    tap — what torchvision RandAugment's default interpolation uses)."""
+    b, h, w, c = x.shape
+    yi = jnp.round(src_y).astype(jnp.int32)
+    xi = jnp.round(src_x).astype(jnp.int32)
+    valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[:, :, None]
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    wide = x.transpose(1, 2, 0, 3).reshape(h * w, b * c)
+    v = wide[(yc * w + xc).reshape(-1)].reshape(h, w, b * c)
+    v = jnp.where(valid, v, cval)
+    return v.reshape(h, w, b, c).transpose(2, 0, 1, 3)
+
+
 def _affine_sample(x, angle_deg, scale, tx, ty, mode: str, cval: float):
     """Per-sample inverse-affine bilinear resample about the image center.
 
@@ -337,21 +352,6 @@ def _affine_sample(x, angle_deg, scale, tx, ty, mode: str, cval: float):
 
 
 _BORDER_MODES = {"reflect101": "mirror", "constant": "constant"}
-
-
-def _affine_matrix_sample(x, inv_m, t, mode: str, cval: float):
-    """Per-sample inverse-affine resample with an explicit (B, 2, 2) inverse
-    matrix and (B, 2) forward translation (x then y), about the image center:
-    src = inv_m @ (dst - c - t) + c."""
-    b, h, w, _ = x.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    dx = xs[None] - cx - t[:, 0].reshape(b, 1, 1)
-    dy = ys[None] - cy - t[:, 1].reshape(b, 1, 1)
-    src_x = inv_m[:, 0, 0, None, None] * dx + inv_m[:, 0, 1, None, None] * dy + cx
-    src_y = inv_m[:, 1, 0, None, None] * dx + inv_m[:, 1, 1, None, None] * dy + cy
-    return _bilinear_gather(x, src_y, src_x, mode, cval)
 
 
 # ---------------------------------------------------------------------------
@@ -433,10 +433,11 @@ def _ra_sharpness(x, factor):
 
 def _apply_randaugment(t: S.RandAugment, x, key):
     b, h, w, _ = x.shape
-    frac = t.magnitude / (t.num_magnitude_bins - 1)
+    frac = t.magnitude / max(t.num_magnitude_bins - 1, 1)
     shear_v = 0.3 * frac
-    trans_x = 150.0 / 331.0 * w * frac
-    trans_y = 150.0 / 331.0 * h * frac
+    # torchvision translates by an INTEGER pixel count
+    trans_x = float(int(150.0 / 331.0 * w * frac))
+    trans_y = float(int(150.0 / 331.0 * h * frac))
     rot_deg = 30.0 * frac
     color_v = 0.9 * frac
     post_bits = 8.0 - round(t.magnitude / ((t.num_magnitude_bins - 1) / 4))
@@ -450,13 +451,18 @@ def _apply_randaugment(t: S.RandAugment, x, key):
     ys_g = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs_g = jnp.arange(w, dtype=jnp.float32)[None, :]
 
-    def shared_warp(m00, m01, m10, m11, tx, ty):
-        # shared (H, W) inverse-affine grid -> wide-row gather (fast on TPU)
-        dx = xs_g - cx - tx
-        dy = ys_g - cy - ty
-        src_x = m00 * dx + m01 * dy + cx
-        src_y = m10 * dx + m11 * dy + cy
-        return _shared_bilinear_gather(x, src_y, src_x, "constant", 0.0)
+    def shared_warp(m00, m01, m10, m11, tx, ty, about_origin=False):
+        # shared (H, W) inverse-affine grid -> wide-row gather (fast on TPU).
+        # NEAREST sampling (torchvision RandAugment's default interpolation);
+        # shears anchor at the top-left corner like torchvision's
+        # center=[0, 0], rotation at the image center.
+        ox = 0.0 if about_origin else cx
+        oy = 0.0 if about_origin else cy
+        dx = xs_g - ox - tx
+        dy = ys_g - oy - ty
+        src_x = m00 * dx + m01 * dy + ox
+        src_y = m10 * dx + m11 * dy + oy
+        return _shared_nearest_gather(x, src_y, src_x, 0.0)
 
     for _ in range(t.num_ops):
         key, k_op, k_sign, k_asign = jax.random.split(key, 4)
@@ -473,16 +479,16 @@ def _apply_randaugment(t: S.RandAugment, x, key):
         zero = jnp.asarray(0.0)
         one = jnp.asarray(1.0)
         cases = {
-            _RA_SHEAR_X: (one, -sh, zero, one, zero, zero),
-            _RA_SHEAR_Y: (one, zero, -sh, one, zero, zero),
-            _RA_TRANS_X: (one, zero, zero, one, trans_x * asign, zero),
-            _RA_TRANS_Y: (one, zero, zero, one, zero, trans_y * asign),
-            _RA_ROTATE: (cos, -sin, sin, cos, zero, zero),
+            _RA_SHEAR_X: ((one, -sh, zero, one, zero, zero), True),
+            _RA_SHEAR_Y: ((one, zero, -sh, one, zero, zero), True),
+            _RA_TRANS_X: ((one, zero, zero, one, trans_x * asign, zero), False),
+            _RA_TRANS_Y: ((one, zero, zero, one, zero, trans_y * asign), False),
+            _RA_ROTATE: ((cos, -sin, sin, cos, zero, zero), False),
         }
         y = x
-        for op_id, params in cases.items():
+        for op_id, (params, origin) in cases.items():
             y = jnp.where((op == op_id)[:, None, None, None],
-                          shared_warp(*params), y)
+                          shared_warp(*params, about_origin=origin), y)
 
         # ---- pointwise sub-ops ----
         f = (1.0 + color_v * sign).reshape(b, 1, 1, 1)

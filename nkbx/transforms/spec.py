@@ -243,7 +243,13 @@ class RandAugment(Transform):
     magnitude/sign PER ROUND (shared across the batch — the batch-mode
     tradeoff this framework also uses for Mixup's lam): a shared warp grid
     gathers wide rows, where per-sample grids are point gathers the TPU
-    backend lowers ~30x slower (PERF.md)."""
+    backend lowers ~47x slower (PERF.md). Sampling is NEAREST and shears
+    anchor at the top-left, matching torchvision's defaults.
+
+    Cost note (PERF.md): one round costs ~39 ms/batch at bs=128 @224 on the
+    dev chip; chaining two rounds currently triggers an XLA pathology
+    (~485 ms) — prefer ``num_ops=1`` on this backend when augmentation cost
+    matters."""
 
     num_ops: int = 2
     magnitude: int = 9
@@ -252,6 +258,8 @@ class RandAugment(Transform):
     stage = DEVICE
 
     def __post_init__(self):
+        if self.num_magnitude_bins < 2:
+            raise ValueError("num_magnitude_bins must be >= 2")
         if not (0 <= self.magnitude < self.num_magnitude_bins):
             raise ValueError(
                 f"magnitude {self.magnitude} outside [0, {self.num_magnitude_bins})")

@@ -360,19 +360,23 @@ class TestRandAugment:
                 np.testing.assert_allclose(ac[i, :, :, c], want, atol=1e-3)
 
     def test_translate_matches_roll(self):
-        """Integer translate with constant fill == column shift."""
-        import jax
-
-        from nkbx.transforms.device import _affine_matrix_sample
+        """Integer translate with constant fill == column shift (both the
+        per-sample bilinear path and the shared nearest path)."""
+        from nkbx.transforms.device import (_affine_sample,
+                                            _shared_nearest_gather)
 
         rng = np.random.default_rng(42)
         x = rng.uniform(0, 255, (1, 8, 8, 1)).astype(np.float32)
-        eye = jnp.broadcast_to(jnp.eye(2), (1, 2, 2))
-        out = np.asarray(_affine_matrix_sample(
-            jnp.asarray(x), eye, jnp.asarray([[3.0, 0.0]]), "constant", 0.0))
         want = np.zeros_like(x)
         want[:, :, 3:, :] = x[:, :, :-3, :]
+        out = np.asarray(_affine_sample(
+            jnp.asarray(x), jnp.zeros(1), jnp.ones(1), jnp.full((1,), 3.0),
+            jnp.zeros(1), "constant", 0.0))
         np.testing.assert_allclose(out, want, atol=1e-4)
+        ys = jnp.arange(8, dtype=jnp.float32)[:, None] * jnp.ones((1, 8))
+        xs = jnp.ones((8, 1)) * jnp.arange(8, dtype=jnp.float32)[None, :] - 3.0
+        out2 = np.asarray(_shared_nearest_gather(jnp.asarray(x), ys, xs, 0.0))
+        np.testing.assert_allclose(out2, want, atol=1e-4)
 
     def test_magnitude_zero_near_identity(self):
         import jax
