@@ -45,6 +45,7 @@ from nkbx.transforms.spec import (
     Rotate,
     ShiftScaleRotate,
     RandAugment,
+    TrivialAugmentWide,
     MotionBlur,
     RandomShadow,
     RandomFog,
@@ -72,6 +73,7 @@ __all__ = [
     "Rotate",
     "ShiftScaleRotate",
     "RandAugment",
+    "TrivialAugmentWide",
     "MotionBlur",
     "RandomShadow",
     "RandomFog",

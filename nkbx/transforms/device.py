@@ -431,31 +431,24 @@ def _ra_sharpness(x, factor):
     return _ra_blend(sm, x, factor.reshape(-1, 1, 1, 1))
 
 
-def _apply_randaugment(t: S.RandAugment, x, key):
+def _policy_round(x, key, mags):
+    """One policy round over the 14-op table. ``mags`` holds the round's
+    magnitudes (Python or traced scalars): shear_v, trans_x, trans_y,
+    rot_deg, color_v, post_bits, solar_thr.
+
+    Per-sample: WHICH op and the pointwise sign. Per round (shared across the
+    batch — the batch-mode tradeoff this framework also uses for Mixup's
+    lam): the affine magnitude/sign, because a shared warp grid gathers
+    B*C-wide rows where per-sample grids are point gathers this backend
+    lowers ~47x slower (PERF.md). NEAREST sampling and top-left-anchored
+    shears match torchvision's defaults.
+    """
     b, h, w, _ = x.shape
-    frac = t.magnitude / max(t.num_magnitude_bins - 1, 1)
-    shear_v = 0.3 * frac
-    # torchvision translates by an INTEGER pixel count
-    trans_x = float(int(150.0 / 331.0 * w * frac))
-    trans_y = float(int(150.0 / 331.0 * h * frac))
-    rot_deg = 30.0 * frac
-    color_v = 0.9 * frac
-    post_bits = 8.0 - round(t.magnitude / ((t.num_magnitude_bins - 1) / 4))
-    solar_thr = 255.0 * (1.0 - frac)
-
-    k_gate, key = jax.random.split(key)
-    gate = _gate(k_gate, t.p, b)
-    x0 = x
-
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ys_g = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs_g = jnp.arange(w, dtype=jnp.float32)[None, :]
 
     def shared_warp(m00, m01, m10, m11, tx, ty, about_origin=False):
-        # shared (H, W) inverse-affine grid -> wide-row gather (fast on TPU).
-        # NEAREST sampling (torchvision RandAugment's default interpolation);
-        # shears anchor at the top-left corner like torchvision's
-        # center=[0, 0], rotation at the image center.
         ox = 0.0 if about_origin else cx
         oy = 0.0 if about_origin else cy
         dx = xs_g - ox - tx
@@ -464,51 +457,88 @@ def _apply_randaugment(t: S.RandAugment, x, key):
         src_y = m10 * dx + m11 * dy + oy
         return _shared_nearest_gather(x, src_y, src_x, 0.0)
 
+    k_op, k_sign, k_asign = jax.random.split(key, 3)
+    op = jax.random.randint(k_op, (b,), 0, _RA_NUM_OPS)
+    sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+    asign = jnp.where(jax.random.bernoulli(k_asign, 0.5), 1.0, -1.0)
+    rad = jnp.deg2rad(mags["rot_deg"]) * asign
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    sh = mags["shear_v"] * asign
+    zero = jnp.asarray(0.0)
+    one = jnp.asarray(1.0)
+    cases = {
+        _RA_SHEAR_X: ((one, -sh, zero, one, zero, zero), True),
+        _RA_SHEAR_Y: ((one, zero, -sh, one, zero, zero), True),
+        _RA_TRANS_X: ((one, zero, zero, one, mags["trans_x"] * asign, zero), False),
+        _RA_TRANS_Y: ((one, zero, zero, one, zero, mags["trans_y"] * asign), False),
+        _RA_ROTATE: ((cos, -sin, sin, cos, zero, zero), False),
+    }
+    y = x
+    for op_id, (params, origin) in cases.items():
+        y = jnp.where((op == op_id)[:, None, None, None],
+                      shared_warp(*params, about_origin=origin), y)
+
+    # ---- pointwise sub-ops (per-sample sign) ----
+    f = (1.0 + mags["color_v"] * sign).reshape(b, 1, 1, 1)
+
+    def sel(op_id, val):
+        return jnp.where((op == op_id)[:, None, None, None], val, y)
+
+    y = sel(_RA_BRIGHT, _ra_blend(jnp.zeros_like(x), x, f))
+    y = sel(_RA_COLOR, _ra_blend(_ra_gray(x), x, f))
+    mean_gray = jnp.mean(jnp.round(_ra_gray(x)), axis=(1, 2, 3), keepdims=True)
+    y = sel(_RA_CONTRAST, _ra_blend(mean_gray, x, f))
+    y = sel(_RA_SHARP, _ra_sharpness(x, f))
+    y = sel(_RA_POSTERIZE, _ra_posterize(x, jnp.full((b,), 1.0) * mags["post_bits"]))
+    y = sel(_RA_SOLARIZE, _ra_solarize(x, jnp.full((b,), 1.0) * mags["solar_thr"]))
+    y = sel(_RA_AUTOCONTRAST, _ra_autocontrast(x))
+    y = sel(_RA_EQUALIZE, _ra_equalize(x))
+    return jnp.clip(y, 0.0, 255.0)
+
+
+def _apply_randaugment(t: S.RandAugment, x, key):
+    b, h, w, _ = x.shape
+    frac = t.magnitude / max(t.num_magnitude_bins - 1, 1)
+    mags = {
+        "shear_v": 0.3 * frac,
+        # torchvision translates by an INTEGER pixel count
+        "trans_x": float(int(150.0 / 331.0 * w * frac)),
+        "trans_y": float(int(150.0 / 331.0 * h * frac)),
+        "rot_deg": 30.0 * frac,
+        "color_v": 0.9 * frac,
+        "post_bits": 8.0 - round(t.magnitude / ((t.num_magnitude_bins - 1) / 4)),
+        "solar_thr": 255.0 * (1.0 - frac),
+    }
+    k_gate, key = jax.random.split(key)
+    gate = _gate(k_gate, t.p, b)
+    x0 = x
     for _ in range(t.num_ops):
-        key, k_op, k_sign, k_asign = jax.random.split(key, 4)
-        op = jax.random.randint(k_op, (b,), 0, _RA_NUM_OPS)
-        sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
-        # affine magnitudes are drawn PER ROUND (shared across the batch, the
-        # same batch-mode tradeoff as Mixup's per-step lam): a shared warp
-        # grid gathers B*C-wide rows — per-sample grids are point gathers
-        # this backend lowers ~30x slower (PERF.md)
-        asign = jnp.where(jax.random.bernoulli(k_asign, 0.5), 1.0, -1.0)
-        rad = jnp.deg2rad(rot_deg) * asign
-        cos, sin = jnp.cos(rad), jnp.sin(rad)
-        sh = shear_v * asign
-        zero = jnp.asarray(0.0)
-        one = jnp.asarray(1.0)
-        cases = {
-            _RA_SHEAR_X: ((one, -sh, zero, one, zero, zero), True),
-            _RA_SHEAR_Y: ((one, zero, -sh, one, zero, zero), True),
-            _RA_TRANS_X: ((one, zero, zero, one, trans_x * asign, zero), False),
-            _RA_TRANS_Y: ((one, zero, zero, one, zero, trans_y * asign), False),
-            _RA_ROTATE: ((cos, -sin, sin, cos, zero, zero), False),
-        }
-        y = x
-        for op_id, (params, origin) in cases.items():
-            y = jnp.where((op == op_id)[:, None, None, None],
-                          shared_warp(*params, about_origin=origin), y)
-
-        # ---- pointwise sub-ops ----
-        f = (1.0 + color_v * sign).reshape(b, 1, 1, 1)
-
-        def sel(op_id, val):
-            return jnp.where((op == op_id)[:, None, None, None], val, y)
-
-        y = sel(_RA_BRIGHT, _ra_blend(jnp.zeros_like(x), x, f))
-        y = sel(_RA_COLOR, _ra_blend(_ra_gray(x), x, f))
-        mean_gray = jnp.mean(jnp.round(_ra_gray(x)), axis=(1, 2, 3),
-                             keepdims=True)
-        y = sel(_RA_CONTRAST, _ra_blend(mean_gray, x, f))
-        y = sel(_RA_SHARP, _ra_sharpness(x, f))
-        y = sel(_RA_POSTERIZE, _ra_posterize(x, jnp.full((b,), post_bits)))
-        y = sel(_RA_SOLARIZE, _ra_solarize(x, jnp.full((b,), solar_thr)))
-        y = sel(_RA_AUTOCONTRAST, _ra_autocontrast(x))
-        y = sel(_RA_EQUALIZE, _ra_equalize(x))
-        x = jnp.clip(y, 0.0, 255.0)
-
+        key, k_round = jax.random.split(key)
+        x = _policy_round(x, k_round, mags)
     return x0 * (1.0 - gate) + x * gate
+
+
+def _apply_trivialaugment(t: S.TrivialAugmentWide, x, key):
+    """torchvision TrivialAugmentWide: ONE op per image at a uniformly random
+    magnitude bin (here per ROUND/batch — see _policy_round) with the wide
+    ranges (shear 0.99, translate 32 px, rotate 135, color 0.99, posterize
+    down to 2 bits)."""
+    b = x.shape[0]
+    k_gate, k_mag, k_round = jax.random.split(key, 3)
+    gate = _gate(k_gate, t.p, b)
+    m = jax.random.randint(k_mag, (), 0, t.num_magnitude_bins).astype(jnp.float32)
+    frac = m / max(t.num_magnitude_bins - 1, 1)
+    mags = {
+        "shear_v": 0.99 * frac,
+        "trans_x": jnp.round(32.0 * frac),
+        "trans_y": jnp.round(32.0 * frac),
+        "rot_deg": 135.0 * frac,
+        "color_v": 0.99 * frac,
+        "post_bits": 8.0 - jnp.round(m / ((t.num_magnitude_bins - 1) / 6)),
+        "solar_thr": 255.0 * (1.0 - frac),
+    }
+    y = _policy_round(x, k_round, mags)
+    return x * (1.0 - gate) + y * gate
 
 
 def _apply_rotate(t: S.Rotate, x, key):
@@ -548,6 +578,7 @@ _RANDOM_APPLIERS = {
     S.Rotate: _apply_rotate,
     S.ShiftScaleRotate: _apply_shift_scale_rotate,
     S.RandAugment: _apply_randaugment,
+    S.TrivialAugmentWide: _apply_trivialaugment,
     S.MotionBlur: _apply_motion_blur,
     S.RandomShadow: _apply_shadow,
     S.RandomFog: _apply_fog,

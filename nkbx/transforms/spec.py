@@ -266,6 +266,22 @@ class RandAugment(Transform):
 
 
 @dataclasses.dataclass
+class TrivialAugmentWide(Transform):
+    """torchvision TrivialAugmentWide on-device: ONE op per image from the
+    14-op table at a uniformly random magnitude bin (drawn per round/batch —
+    same batch-shared tradeoff as RandAugment's affine draws) with the wide
+    ranges (shear 0.99, translate 32 px, rotate 135, color 0.99)."""
+
+    num_magnitude_bins: int = 31
+    p: float = 1.0
+    stage = DEVICE
+
+    def __post_init__(self):
+        if self.num_magnitude_bins < 2:
+            raise ValueError("num_magnitude_bins must be >= 2")
+
+
+@dataclasses.dataclass
 class MotionBlur(Transform):
     """Random directional blur with odd kernel size in [3, blur_limit]."""
 

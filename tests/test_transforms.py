@@ -419,3 +419,47 @@ class TestRandAugment:
 
         with pytest.raises(ValueError, match="magnitude"):
             T.RandAugment(magnitude=31)
+
+
+class TestTrivialAugmentWide:
+    def test_runs_and_is_bounded(self):
+        import jax
+
+        import nkbx.transforms as T
+        from nkbx.transforms.device import _apply_trivialaugment
+
+        rng = np.random.default_rng(50)
+        x = jnp.asarray(rng.uniform(0, 255, (6, 16, 16, 3)).astype(np.float32))
+        t = T.TrivialAugmentWide()
+        outs = [np.asarray(_apply_trivialaugment(t, x, jax.random.PRNGKey(i)))
+                for i in range(4)]
+        for o in outs:
+            assert o.shape == x.shape
+            assert o.min() >= 0.0 and o.max() <= 255.0
+        # magnitudes vary across rounds -> outputs differ
+        assert any(not np.allclose(outs[0], o) for o in outs[1:])
+
+    def test_p_zero_identity(self):
+        import jax
+
+        import nkbx.transforms as T
+        from nkbx.transforms.device import _apply_trivialaugment
+
+        x = jnp.asarray(np.random.default_rng(51).uniform(
+            0, 255, (2, 12, 12, 3)).astype(np.float32))
+        out = _apply_trivialaugment(T.TrivialAugmentWide(p=0.0), x,
+                                    jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+    def test_pipeline_and_validation(self):
+        import jax
+
+        import nkbx.transforms as T
+
+        with pytest.raises(ValueError, match="num_magnitude_bins"):
+            T.TrivialAugmentWide(num_magnitude_bins=1)
+        pipe = T.Compose([T.TrivialAugmentWide(),
+                          T.Normalize(mean=(0, 0, 0), std=(1, 1, 1))])
+        img = np.random.default_rng(52).integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+        out = np.asarray(pipe.device_apply(jnp.asarray(img), jax.random.PRNGKey(3)))
+        assert out.shape == img.shape and np.isfinite(out).all()
