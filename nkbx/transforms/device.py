@@ -530,8 +530,9 @@ def _apply_trivialaugment(t: S.TrivialAugmentWide, x, key):
     frac = m / max(t.num_magnitude_bins - 1, 1)
     mags = {
         "shear_v": 0.99 * frac,
-        "trans_x": jnp.round(32.0 * frac),
-        "trans_y": jnp.round(32.0 * frac),
+        # torchvision's _apply_op truncates the translate to int
+        "trans_x": jnp.floor(32.0 * frac),
+        "trans_y": jnp.floor(32.0 * frac),
         "rot_deg": 135.0 * frac,
         "color_v": 0.99 * frac,
         "post_bits": 8.0 - jnp.round(m / ((t.num_magnitude_bins - 1) / 6)),
