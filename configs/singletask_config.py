@@ -37,11 +37,13 @@ metrics_accumulation = "exact"
 steps_per_dispatch = 1
 
 # gradient accumulation: split each batch into A sequential microbatches and
-# apply ONE optimizer update equal to the full-batch gradient (valid-count
-# weighted). Activation memory scales with batch/A — use when the target
-# batch does not fit in HBM. BatchNorm batch statistics are per-microbatch
-# (ghost-BN, as in torch accumulation). Mutually exclusive with
-# steps_per_dispatch.
+# apply ONE optimizer update equal to the full-batch gradient (weighted by
+# each microbatch's criterion mass, so class-weighted CE and focal stay
+# exact single-task; multi-task with class weights raises — per-target
+# masses cannot share one scalar). Activation memory scales with batch/A —
+# use when the target batch does not fit in HBM. BatchNorm batch statistics
+# are per-microbatch (ghost-BN, as in torch accumulation). Mutually
+# exclusive with steps_per_dispatch.
 grad_accum_steps = 1
 
 # model EMA (0 = off): keep an exponential-moving-average shadow of the

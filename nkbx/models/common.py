@@ -184,7 +184,9 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # pool in fp32 (same numerics as resnet.SEModule, the seresnet twin
+        # that keeps timm's fc1/fc2 tree names)
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(x.dtype)
         s = nn.Conv(self.reduced, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
         s = self.act(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)

@@ -75,21 +75,32 @@ def restore_train_state(path, state_template, epoch: int = 0):
     """Full resume: returns (TrainState, epoch, best_val_acc)."""
     path = Path(path).resolve()
     template = _to_save(state_template, epoch, 0.0)
+
+    def _copy(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, t)
+
     with ocp.StandardCheckpointer() as ckptr:
         try:
             restored = ckptr.restore(path, template)
         except Exception:
-            if "ema_params" not in template:
-                raise
-            # resuming a pre-EMA checkpoint into an EMA-enabled run: restore
-            # what exists; the EMA shadow restarts from the restored params
-            template.pop("ema_params")
-            template.pop("ema_batch_stats", None)
-            restored = ckptr.restore(path, template)
-            copy = lambda t: jax.tree_util.tree_map(
-                lambda x: x.copy() if hasattr(x, "copy") else x, t)
-            restored["ema_params"] = copy(restored["params"])
-            restored["ema_batch_stats"] = copy(restored["batch_stats"])
+            if "ema_params" in template:
+                # resuming a pre-EMA checkpoint into an EMA-enabled run:
+                # restore what exists; the EMA shadow restarts from the
+                # restored params
+                template.pop("ema_params")
+                template.pop("ema_batch_stats", None)
+                restored = ckptr.restore(path, template)
+                restored["ema_params"] = _copy(restored["params"])
+                restored["ema_batch_stats"] = _copy(restored["batch_stats"])
+            else:
+                # resuming an EMA checkpoint into a non-EMA run: probe with
+                # EMA entries in the template, then discard them
+                template["ema_params"] = _copy(template["params"])
+                template["ema_batch_stats"] = _copy(template["batch_stats"])
+                restored = ckptr.restore(path, template)
+                restored.pop("ema_params", None)
+                restored.pop("ema_batch_stats", None)
     new_state = state_template.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

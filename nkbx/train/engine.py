@@ -111,15 +111,21 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                          "exclusive (unvalidated metric-stacking interaction)")
     module = model.module
     augment = _bind_augment(module, augment_fn, train=True)
+    inner_mass = getattr(getattr(criterion, "criterion", None), "_mass_fn", None)
+    if grad_accum_steps > 1 and inner_mass is not None:
+        raise ValueError(
+            "multi-task grad_accum_steps with a mass-normalized criterion "
+            "(class-weighted CE / focal): per-target normalizers differ per "
+            "microbatch and a single per-microbatch weight cannot reproduce "
+            "the full-batch gradient (single-task stays exact via "
+            "criterion.batch_mass) — use an unweighted loss or no accumulation")
     mix = None
     if mixup is not None:
         from nkbx.train.mixup import build_mixup
 
         mix = build_mixup(mixup)
-        nonuniform_mass = (
-            getattr(criterion, "_mass_fn", None) is not None
-            or getattr(getattr(criterion, "criterion", None), "_mass_fn", None)
-            is not None)
+        nonuniform_mass = (getattr(criterion, "_mass_fn", None) is not None
+                           or inner_mass is not None)
         if grad_accum_steps > 1 and nonuniform_mass:
             raise ValueError(
                 "mixup + grad_accum_steps with a mass-normalized criterion "
@@ -287,6 +293,8 @@ class _StepFn:
         return self._fn(*args, **kwargs)
 
     def __getattr__(self, name):
+        if name == "_fn":  # guard: avoid recursion before __init__ ran
+            raise AttributeError(name)
         return getattr(self._fn, name)
 
 

@@ -613,3 +613,63 @@ class TestEMACheckpointRoundtrip:
         for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEMAResumeNonEMA:
+    def test_ema_checkpoint_into_non_ema_run(self, tmp_path):
+        import jax
+
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+        from nkbx.train.checkpoint import restore_train_state, save_checkpoint
+
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            classes=["a", "b"], input_size=(16, 16), seed=0, dtype=jnp.float32,
+        )
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        step = build_train_step(model, criterion, bundle, ema_decay=0.9)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx, ema=True)
+        r = np.random.default_rng(7)
+        state, _ = step(state, jnp.asarray(r.integers(0, 255, (4, 16, 16, 3)).astype(np.uint8)),
+                        jnp.asarray(r.integers(0, 2, (4,)).astype(np.int64)),
+                        jnp.ones(4, bool), jax.random.PRNGKey(0),
+                        jnp.asarray(1.0), jnp.asarray(1.0))
+        save_checkpoint(tmp_path / "ck", state, epoch=1, best_val_acc=0.4)
+
+        # resume WITHOUT EMA: the extra EMA entries are discarded gracefully
+        template = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        restored, epoch, acc = restore_train_state(tmp_path / "ck", template)
+        assert epoch == 1 and restored.ema_params is None
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGradAccumMultiWeighted:
+    def test_multitask_weighted_raises(self):
+        import types
+
+        import pytest
+        from flax import linen as nn
+
+        from nkbx.train import build_train_step, get_loss, get_optimizer
+
+        class Multi(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, mask=None):
+                emb = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+                return {"a": nn.Dense(2)(emb), "b": nn.Dense(3)(emb)}
+
+        module = Multi()
+        import jax
+
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        model = types.SimpleNamespace(module=module, params=variables["params"],
+                                      batch_stats={})
+        criterion = get_loss({"task": "multi", "type": "CrossEntropyLoss",
+                              "weight": [1.0, 2.0]})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        with pytest.raises(ValueError, match="multi-task grad_accum"):
+            build_train_step(model, criterion, bundle, grad_accum_steps=2)
