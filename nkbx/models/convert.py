@@ -213,9 +213,14 @@ def convert_torch_state_dict(name: str, state_dict):
         _dim, depths, _heads = _SWIN_SPECS[name]
         params, stats = convert_swin_state_dict(state_dict, depths)
         return {"params": params, "batch_stats": stats}
+    supported = (sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES)
+                 + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES)
+                 + sorted(_EFFNETV2_SPECS) + sorted(_CONVNEXT_SPECS)
+                 + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS)
+                 + sorted(_SWIN_SPECS))
     raise NotImplementedError(
         f"torch->flax conversion for {name!r} not implemented yet "
-        f"(have: {sorted(_RESNET_SPECS) + sorted(_MBV3_STAGES) + sorted(_VIT_SPECS) + sorted(_EFFNET_STAGES) + sorted(_EFFNETV2_SPECS) + sorted(_CONVNEXT_SPECS) + sorted(_UNICOM_SPECS) + sorted(_DENSENET_CONFIGS) + sorted(_SWIN_SPECS)})"
+        f"(have: {supported})"
     )
 
 
