@@ -350,16 +350,54 @@ class AnnotatedYOLODataset:
 
     # -- reader API ----------------------------------------------------------
 
+    _DECODE_CACHE_SIZE = 32
+
     def __len__(self):
         return len(self.list_bbox)
 
     def read(self, idx, rng=None):
         path, (x_min, y_min, x_max, y_max), label = self.list_bbox[idx]
-        img = imread_rgb(path)
+        img = self._cached_decode(path)
         return img[y_min:y_max, x_min:x_max], int(label)
+
+    def _cached_decode(self, path):
+        """Decode with a small LRU keyed by path: ``list_bbox`` is sorted by
+        filename, so an image with K boxes is decoded ONCE per sequential
+        epoch instead of K times (the reference re-decodes per crop,
+        dataset.py:356-359 there). Thread-safe for the loader's worker pool;
+        crops are slices of the cached array, so callers must not mutate."""
+        import threading
+
+        if not hasattr(self, "_decode_cache"):
+            # lazy init keeps old pickled/constructed instances working
+            self._decode_cache = {}
+            self._decode_lock = threading.Lock()
+        with self._decode_lock:
+            img = self._decode_cache.pop(path, None)
+            if img is not None:
+                self._decode_cache[path] = img  # re-insert: LRU order
+                return img
+        img = imread_rgb(path)
+        with self._decode_lock:
+            self._decode_cache[path] = img
+            while len(self._decode_cache) > self._DECODE_CACHE_SIZE:
+                self._decode_cache.pop(next(iter(self._decode_cache)))
+        return img
 
     def get_labels(self):
         return np.asarray([label for _, _, label in self.list_bbox])
+
+    def flat_index(self):
+        """(paths, crops) for the native decode fast path: per-sample image
+        path + xyxy crop box consumed by NativeDecodePool.decode_batch
+        (nkbx/native/decode.cpp crops before resize, so only the box region
+        is resized — the loader's C++ branch activates for YOLO datasets)."""
+        paths = [p for p, _, _ in self.list_bbox]
+        crops = np.asarray([box for _, box, _ in self.list_bbox], dtype=np.int32)
+        return paths, crops
+
+    def label_at(self, idx):
+        return int(self.list_bbox[idx][2])
 
 
 class GroupsDataset:

@@ -46,23 +46,61 @@ def _s2d_tap_mask(c: int) -> np.ndarray:
 
 class _MaskedS2DConv(nn.Module):
     """4x4/s1 conv over the space-to-depth input with dead taps masked out
-    (param tree path kept identical to nn.Conv: <name>/kernel)."""
+    (param tree path kept identical to nn.Conv: <name>/kernel).
+
+    ``input_norm=(mean, std)`` (pixel units, i.e. [0,255]) folds the input
+    Normalize into the conv: kernel is scaled by 1/std per input channel and
+    the mean is subtracted via a bias MAP, so the layer computes EXACTLY
+    conv((x - mean)/std) — including at the zero-padded borders, where fewer
+    taps fall inside the image — while consuming the RAW uint8-valued batch.
+    The augment stage's separate normalize pass (one full-image bf16
+    write+read through HBM) disappears; autodiff through the fold gives the
+    identical gradients to normalizing the input (the scale and bias are part
+    of the graph). The bias map is built by convolving a TINY (12x12-block)
+    constant mean image and tiling its interior value — O(1) work per step,
+    exact because tap validity at any position matches one of the small
+    conv's border/interior positions."""
 
     features: int
     dtype: Any = jnp.float32
+    input_norm: Any = None  # ((3,) mean, (3,) std) in [0,255] units
 
     @nn.compact
     def __call__(self, x):
         import jax
 
+        def conv(inp, k):
+            return jax.lax.conv_general_dilated(
+                inp, k, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
         c = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (4, 4, c, self.features), jnp.float32)
         mask = jnp.asarray(_s2d_tap_mask(c // 4))
-        k = (kernel * mask).astype(self.dtype)
-        return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k, (1, 1), ((2, 1), (2, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        k32 = kernel * mask
+        if self.input_norm is None:
+            return conv(x.astype(self.dtype), k32.astype(self.dtype))
+        mean, std = (np.asarray(v, np.float32) for v in self.input_norm)
+        # s2d channel order is (row, col, c): tile the 3-channel stats
+        inv = jnp.asarray(np.tile(1.0 / std, c // 3), jnp.float32)
+        mu = jnp.asarray(np.tile(mean, c // 3), jnp.float32)
+        k32 = k32 * inv[None, None, :, None]
+        k = k32.astype(self.dtype)
+        h, w = x.shape[1], x.shape[2]
+        s = 12  # small probe: border rows/cols 0..3 / -4..-1, interior at 5
+        probe = conv(jnp.broadcast_to(mu, (1, s, s, c)).astype(self.dtype), k)
+
+        def tile_axis(t, axis, n):
+            lo = jax.lax.slice_in_dim(t, 0, 4, axis=axis)
+            mid = jax.lax.slice_in_dim(t, 5, 6, axis=axis)
+            hi = jax.lax.slice_in_dim(t, s - 4, s, axis=axis)
+            reps = [1, 1, 1, 1]
+            reps[axis] = n - 8
+            return jnp.concatenate([lo, jnp.tile(mid, reps), hi], axis=axis)
+
+        bias_map = tile_axis(tile_axis(probe, 1, h), 2, w)  # (1, h, w, feat)
+        return conv(x.astype(self.dtype), k) - bias_map
 
 
 class S2DStemConvBN(nn.Module):
@@ -72,12 +110,14 @@ class S2DStemConvBN(nn.Module):
     features: int
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
+    input_norm: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         from nkbx.models.common import TorchBatchNorm
 
-        x = _MaskedS2DConv(self.features, dtype=self.dtype, name="Conv_0")(x)
+        x = _MaskedS2DConv(self.features, dtype=self.dtype,
+                           input_norm=self.input_norm, name="Conv_0")(x)
         x = TorchBatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                            dtype=self.dtype, name="BatchNorm_0")(
             x, mask=mask if train else None)
@@ -162,6 +202,13 @@ class ResNet(nn.Module):
     # faster fwd+dW on the dev chip (PERF.md). Requires even H and W. Converted
     # torch conv1 weights are regrouped by nkbx.models.convert.s2d_conv1_weight.
     s2d_stem: bool = True
+    # Fold Normalize((mean, std), pixel units) into the stem conv (s2d stem
+    # only): the model then consumes the RAW [0,255] batch and computes
+    # exactly conv((x - mean)/std) — see _MaskedS2DConv.input_norm.
+    input_norm: Any = None
+    # Stage indices whose blocks run under jax.checkpoint (nn.remat): trades
+    # recompute FLOPs for saved-activation HBM traffic (r3 remat sweep).
+    remat_stages: Sequence[int] = ()
 
     @property
     def num_features(self):
@@ -186,20 +233,32 @@ class ResNet(nn.Module):
             # reproduces conv7x7/s2 pad 3 exactly (see s2d_conv1_weight); dead
             # taps masked so training stays 7x7-equivalent
             x = S2DStemConvBN(self.stem_width, dtype=self.dtype,
+                              input_norm=self.input_norm,
                               name="ConvBN_0")(x, train, mask)
         else:
+            if self.input_norm is not None:
+                raise ValueError("input_norm folding requires the s2d stem")
             x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         block_kwargs = {}
         if self.block_cls is Bottleneck:
             block_kwargs = dict(cardinality=self.cardinality,
                                 base_width=self.base_width, se_ratio=self.se_ratio)
+        # blocks are explicitly named with the UN-wrapped class's auto-name
+        # pattern, so param paths (and checkpoints) are identical across
+        # remat_stages settings; train (arg 2) is static under remat
+        remat_cls = (nn.remat(self.block_cls, static_argnums=(2,))
+                     if self.remat_stages else None)
+        block_i = 0
         for stage, n_blocks in enumerate(self.stage_sizes):
             features = 64 * (2**stage)
+            cls = remat_cls if stage in self.remat_stages else self.block_cls
             for block in range(n_blocks):
                 strides = 2 if stage > 0 and block == 0 else 1
-                x = self.block_cls(features, strides, dtype=self.dtype,
-                                   **block_kwargs)(x, train, mask)
+                x = cls(features, strides, dtype=self.dtype,
+                        name=f"{self.block_cls.__name__}_{block_i}",
+                        **block_kwargs)(x, train, mask)
+                block_i += 1
         x = global_avg_pool(x)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)

@@ -391,16 +391,25 @@ def _ra_autocontrast(x):
 
 
 def _ra_equalize(x):
-    """PIL ImageOps.equalize per sample/channel (integer-LUT semantics)."""
+    """PIL ImageOps.equalize per sample/channel (integer-LUT semantics).
+
+    Histogram + LUT apply are formulated as MXU matmuls over hi/lo-nibble
+    one-hots: hist[v] = sum_p [hi(p)==hi(v)][lo(p)==lo(v)] is a (16, N) x
+    (N, 16) contraction per row, and lut[q[p]] = A[p] @ LUT_16x16 @ B[p]^T.
+    This replaces the (N x 256) broadcast-compare-reduce (32 compares/pixel
+    vs 256) and routes the contraction through the MXU; LUT values <= 255 and
+    one-hots are exact in bf16, counts accumulate in f32
+    (preferred_element_type), so the result is bit-exact vs PIL.
+    """
     b, h, w, c = x.shape
     q = jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32)
     flat = q.transpose(0, 3, 1, 2).reshape(b * c, h * w)
-    # histogram as a fused broadcast-compare-reduce (one pass over the batch
-    # per 256-bin chunking by XLA); a segment_sum scatter lowers ~10x slower
-    # on TPU (measured 108 ms/batch at bs=128 @224)
-    hist = jnp.sum(
-        (flat[:, :, None] == jnp.arange(256, dtype=jnp.int32)[None, None, :])
-        .astype(jnp.int32), axis=1)
+    nibbles = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    hi = ((flat >> 4)[:, :, None] == nibbles).astype(jnp.bfloat16)  # (R, N, 16)
+    lo = ((flat & 15)[:, :, None] == nibbles).astype(jnp.bfloat16)  # (R, N, 16)
+    hist = jnp.einsum("rnh,rnl->rhl", hi, lo,
+                      preferred_element_type=jnp.float32)
+    hist = hist.reshape(b * c, 256).astype(jnp.int32)  # bin v = hi*16 + lo
     nonzero = hist > 0
     # PIL: step = (n_pixels - count_of_LAST_NONZERO_bin) // 255
     last_nz = 255 - jnp.argmax(nonzero[:, ::-1], axis=1)
@@ -411,8 +420,13 @@ def _ra_equalize(x):
                    0, 255)
     identity = (step <= 0) | (jnp.sum(nonzero, axis=1) <= 1)
     lut = jnp.where(identity[:, None], jnp.arange(256)[None, :], lut)
-    out = jnp.take_along_axis(lut, flat, axis=1)
-    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.float32)
+    # out[p] = A[p] @ LUT @ B[p]^T: one (N,16)x(16,16) MXU matmul per row,
+    # then a 16-lane masked reduce — no per-pixel 256-entry table gather
+    lutmat = lut.reshape(b * c, 16, 16).astype(jnp.bfloat16)
+    tmp = jnp.einsum("rnh,rhl->rnl", hi, lutmat,
+                     preferred_element_type=jnp.float32)
+    out = jnp.sum(tmp * lo.astype(jnp.float32), axis=2)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
 
 
 def _ra_sharpness(x, factor):
@@ -431,55 +445,123 @@ def _ra_sharpness(x, factor):
     return _ra_blend(sm, x, factor.reshape(-1, 1, 1, 1))
 
 
-def _policy_round(x, key, mags):
-    """One policy round over the 14-op table. ``mags`` holds the round's
-    magnitudes (Python or traced scalars): shear_v, trans_x, trans_y,
-    rot_deg, color_v, post_bits, solar_thr.
+# number of affine-op ids (_RA_SHEAR_X .. _RA_ROTATE are ids 1..5)
+_RA_N_AFFINE = 5
 
-    Per-sample: WHICH op and the pointwise sign. Per round (shared across the
-    batch — the batch-mode tradeoff this framework also uses for Mixup's
-    lam): the affine magnitude/sign, because a shared warp grid gathers
-    B*C-wide rows where per-sample grids are point gathers this backend
-    lowers ~47x slower (PERF.md). NEAREST sampling and top-left-anchored
-    shears match torchvision's defaults.
+
+def _ra_affine_specs(key, n_grids: int, h: int, w: int, frac, trans_frac=None):
+    """Draw ``n_grids`` shared affine-grid specs for one policy round.
+
+    Each grid is an independent (op ~ U{shear_x, shear_y, trans_x, trans_y,
+    rotate}, sign ~ +-1) draw at magnitude fraction ``frac`` — a scalar
+    (RandAugment's fixed magnitude) or a per-grid (K,) draw (TrivialAugment's
+    random bins). A sample that lands on an affine op picks one grid uniformly,
+    so its (op, signed magnitude) marginals are exactly torchvision's; only
+    the within-batch support is limited to K combinations (the batch-mode
+    tradeoff that keeps warp grids shared — per-sample grids are point
+    gathers this backend lowers ~47x slower, PERF.md).
+    """
+    k_op, k_sign = jax.random.split(key)
+    aop = jax.random.randint(k_op, (n_grids,), _RA_SHEAR_X, _RA_ROTATE + 1)
+    s = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n_grids,)), 1.0, -1.0)
+    frac = jnp.broadcast_to(jnp.asarray(frac, jnp.float32), (n_grids,))
+    if trans_frac is None:
+        trans_frac = frac
+    else:
+        trans_frac = jnp.broadcast_to(jnp.asarray(trans_frac, jnp.float32),
+                                      (n_grids,))
+    return {
+        "aop": aop,
+        "shear_v": 0.3 * frac * s,
+        # torchvision translates by an INTEGER pixel count
+        "trans_x": jnp.floor(150.0 / 331.0 * w * trans_frac) * s,
+        "trans_y": jnp.floor(150.0 / 331.0 * h * trans_frac) * s,
+        "rot_deg": 30.0 * frac * s,
+    }
+
+
+def _taw_affine_specs(key, n_grids: int, num_bins: int):
+    """TrivialAugmentWide grid specs: per-grid random magnitude bin at the
+    wide ranges (shear 0.99, translate 32 px, rotate 135)."""
+    k_op, k_mag, k_sign = jax.random.split(key, 3)
+    aop = jax.random.randint(k_op, (n_grids,), _RA_SHEAR_X, _RA_ROTATE + 1)
+    m = jax.random.randint(k_mag, (n_grids,), 0, num_bins).astype(jnp.float32)
+    fr = m / max(num_bins - 1, 1)
+    s = jnp.where(jax.random.bernoulli(k_sign, 0.5, (n_grids,)), 1.0, -1.0)
+    return {
+        "aop": aop,
+        "shear_v": 0.99 * fr * s,
+        # torchvision's _apply_op truncates the translate to int
+        "trans_x": jnp.floor(32.0 * fr) * s,
+        "trans_y": jnp.floor(32.0 * fr) * s,
+        "rot_deg": 135.0 * fr * s,
+    }
+
+
+def _taw_point_mags(key, b: int, num_bins: int):
+    """TrivialAugmentWide pointwise magnitudes, PER SAMPLE (free for
+    elementwise ops — only warps need batch-shared grids)."""
+    k_mag, k_sign = jax.random.split(key)
+    m = jax.random.randint(k_mag, (b,), 0, num_bins).astype(jnp.float32)
+    fr = m / max(num_bins - 1, 1)
+    s = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
+    return {
+        "color_v": 0.99 * fr * s,
+        "post_bits": 8.0 - jnp.round(m / ((num_bins - 1) / 6)),
+        "solar_thr": 255.0 * (1.0 - fr),
+    }
+
+
+def _policy_round(x, key, point_mags_fn, affine_specs_fn, n_grids: int):
+    """One policy round over the 14-op table.
+
+    Per sample: WHICH op, the pointwise magnitude/sign (``point_mags_fn(key,
+    b)`` -> per-sample (B,) color_v/post_bits/solar_thr), and — for affine
+    ops — WHICH of the ``n_grids`` shared warp grids (``affine_specs_fn(key)``
+    -> per-grid (K,) op/magnitude draws, see _ra_affine_specs). NEAREST
+    sampling and top-left-anchored shears match torchvision's defaults.
     """
     b, h, w, _ = x.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ys_g = jnp.arange(h, dtype=jnp.float32)[:, None]
     xs_g = jnp.arange(w, dtype=jnp.float32)[None, :]
 
-    def shared_warp(m00, m01, m10, m11, tx, ty, about_origin=False):
-        ox = 0.0 if about_origin else cx
-        oy = 0.0 if about_origin else cy
+    k_op, k_assign, k_point, k_aff = jax.random.split(key, 4)
+    op = jax.random.randint(k_op, (b,), 0, _RA_NUM_OPS)
+    assign = jax.random.randint(k_assign, (b,), 0, n_grids)
+    pm = point_mags_fn(k_point, b)
+    aff = affine_specs_fn(k_aff)
+
+    is_affine = (op >= _RA_SHEAR_X) & (op <= _RA_ROTATE)
+    y = x
+    for k in range(n_grids):
+        aop = aff["aop"][k]
+        sh = aff["shear_v"][k]
+        rad = jnp.deg2rad(aff["rot_deg"][k])
+        cos, sin = jnp.cos(rad), jnp.sin(rad)
+        is_shx = aop == _RA_SHEAR_X
+        is_shy = aop == _RA_SHEAR_Y
+        is_rot = aop == _RA_ROTATE
+        m00 = jnp.where(is_rot, cos, 1.0)
+        m01 = jnp.where(is_shx, -sh, jnp.where(is_rot, -sin, 0.0))
+        m10 = jnp.where(is_shy, -sh, jnp.where(is_rot, sin, 0.0))
+        m11 = jnp.where(is_rot, cos, 1.0)
+        tx = jnp.where(aop == _RA_TRANS_X, aff["trans_x"][k], 0.0)
+        ty = jnp.where(aop == _RA_TRANS_Y, aff["trans_y"][k], 0.0)
+        # shears anchor at the top-left (torchvision), rotate at the center;
+        # translate is anchor-invariant
+        tl = is_shx | is_shy
+        ox = jnp.where(tl, 0.0, cx)
+        oy = jnp.where(tl, 0.0, cy)
         dx = xs_g - ox - tx
         dy = ys_g - oy - ty
         src_x = m00 * dx + m01 * dy + ox
         src_y = m10 * dx + m11 * dy + oy
-        return _shared_nearest_gather(x, src_y, src_x, 0.0)
+        warped = _shared_nearest_gather(x, src_y, src_x, 0.0)
+        y = jnp.where((is_affine & (assign == k))[:, None, None, None], warped, y)
 
-    k_op, k_sign, k_asign = jax.random.split(key, 3)
-    op = jax.random.randint(k_op, (b,), 0, _RA_NUM_OPS)
-    sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b,)), 1.0, -1.0)
-    asign = jnp.where(jax.random.bernoulli(k_asign, 0.5), 1.0, -1.0)
-    rad = jnp.deg2rad(mags["rot_deg"]) * asign
-    cos, sin = jnp.cos(rad), jnp.sin(rad)
-    sh = mags["shear_v"] * asign
-    zero = jnp.asarray(0.0)
-    one = jnp.asarray(1.0)
-    cases = {
-        _RA_SHEAR_X: ((one, -sh, zero, one, zero, zero), True),
-        _RA_SHEAR_Y: ((one, zero, -sh, one, zero, zero), True),
-        _RA_TRANS_X: ((one, zero, zero, one, mags["trans_x"] * asign, zero), False),
-        _RA_TRANS_Y: ((one, zero, zero, one, zero, mags["trans_y"] * asign), False),
-        _RA_ROTATE: ((cos, -sin, sin, cos, zero, zero), False),
-    }
-    y = x
-    for op_id, (params, origin) in cases.items():
-        y = jnp.where((op == op_id)[:, None, None, None],
-                      shared_warp(*params, about_origin=origin), y)
-
-    # ---- pointwise sub-ops (per-sample sign) ----
-    f = (1.0 + mags["color_v"] * sign).reshape(b, 1, 1, 1)
+    # ---- pointwise sub-ops (per-sample magnitude and sign) ----
+    f = (1.0 + pm["color_v"]).reshape(b, 1, 1, 1)
 
     def sel(op_id, val):
         return jnp.where((op == op_id)[:, None, None, None], val, y)
@@ -489,8 +571,8 @@ def _policy_round(x, key, mags):
     mean_gray = jnp.mean(jnp.round(_ra_gray(x)), axis=(1, 2, 3), keepdims=True)
     y = sel(_RA_CONTRAST, _ra_blend(mean_gray, x, f))
     y = sel(_RA_SHARP, _ra_sharpness(x, f))
-    y = sel(_RA_POSTERIZE, _ra_posterize(x, jnp.full((b,), 1.0) * mags["post_bits"]))
-    y = sel(_RA_SOLARIZE, _ra_solarize(x, jnp.full((b,), 1.0) * mags["solar_thr"]))
+    y = sel(_RA_POSTERIZE, _ra_posterize(x, jnp.broadcast_to(pm["post_bits"], (b,))))
+    y = sel(_RA_SOLARIZE, _ra_solarize(x, jnp.broadcast_to(pm["solar_thr"], (b,))))
     y = sel(_RA_AUTOCONTRAST, _ra_autocontrast(x))
     y = sel(_RA_EQUALIZE, _ra_equalize(x))
     return jnp.clip(y, 0.0, 255.0)
@@ -499,46 +581,54 @@ def _policy_round(x, key, mags):
 def _apply_randaugment(t: S.RandAugment, x, key):
     b, h, w, _ = x.shape
     frac = t.magnitude / max(t.num_magnitude_bins - 1, 1)
-    mags = {
-        "shear_v": 0.3 * frac,
-        # torchvision translates by an INTEGER pixel count
-        "trans_x": float(int(150.0 / 331.0 * w * frac)),
-        "trans_y": float(int(150.0 / 331.0 * h * frac)),
-        "rot_deg": 30.0 * frac,
-        "color_v": 0.9 * frac,
-        "post_bits": 8.0 - round(t.magnitude / ((t.num_magnitude_bins - 1) / 4)),
-        "solar_thr": 255.0 * (1.0 - frac),
-    }
+    pb = 8.0 - round(t.magnitude / ((t.num_magnitude_bins - 1) / 4))
+    st = 255.0 * (1.0 - frac)
+
+    def point_mags(k, bb):
+        # magnitude is fixed; only the sign of the signed ops is per sample
+        s = jnp.where(jax.random.bernoulli(k, 0.5, (bb,)), 1.0, -1.0)
+        return {"color_v": 0.9 * frac * s,
+                "post_bits": jnp.full((bb,), pb),
+                "solar_thr": jnp.full((bb,), st)}
+
+    def affine_specs(k):
+        return _ra_affine_specs(k, t.num_affine_grids, h, w, frac)
+
     k_gate, key = jax.random.split(key)
     gate = _gate(k_gate, t.p, b)
-    x0 = x
-    for _ in range(t.num_ops):
-        key, k_round = jax.random.split(key)
-        x = _policy_round(x, k_round, mags)
-    return x0 * (1.0 - gate) + x * gate
+
+    def round_fn(xc, k):
+        return _policy_round(xc, k, point_mags, affine_specs,
+                             t.num_affine_grids), None
+
+    if t.num_ops > 1:
+        # lax.scan compiles the round body ONCE: chaining unrolled rounds in
+        # one fused program triggered an XLA recompute/spill pathology
+        # (num_ops=2 measured ~6x over 2x one round, PERF.md round 2)
+        y, _ = jax.lax.scan(round_fn, x, jax.random.split(key, t.num_ops))
+    else:
+        y, _ = round_fn(x, key)
+    return x * (1.0 - gate) + y * gate
 
 
 def _apply_trivialaugment(t: S.TrivialAugmentWide, x, key):
-    """torchvision TrivialAugmentWide: ONE op per image at a uniformly random
-    magnitude bin (here per ROUND/batch — see _policy_round) with the wide
-    ranges (shear 0.99, translate 32 px, rotate 135, color 0.99, posterize
-    down to 2 bits)."""
+    """torchvision TrivialAugmentWide: ONE op per image at a PER-IMAGE
+    uniformly random magnitude bin, with the wide ranges (shear 0.99,
+    translate 32 px, rotate 135, color 0.99, posterize down to 2 bits).
+    Pointwise magnitudes are exactly per-sample; affine magnitudes are
+    bucketed over ``num_affine_grids`` shared warp grids (exact per-sample
+    marginals, K-limited within-batch support — see _ra_affine_specs)."""
     b = x.shape[0]
-    k_gate, k_mag, k_round = jax.random.split(key, 3)
+    k_gate, k_round = jax.random.split(key)
     gate = _gate(k_gate, t.p, b)
-    m = jax.random.randint(k_mag, (), 0, t.num_magnitude_bins).astype(jnp.float32)
-    frac = m / max(t.num_magnitude_bins - 1, 1)
-    mags = {
-        "shear_v": 0.99 * frac,
-        # torchvision's _apply_op truncates the translate to int
-        "trans_x": jnp.floor(32.0 * frac),
-        "trans_y": jnp.floor(32.0 * frac),
-        "rot_deg": 135.0 * frac,
-        "color_v": 0.99 * frac,
-        "post_bits": 8.0 - jnp.round(m / ((t.num_magnitude_bins - 1) / 6)),
-        "solar_thr": 255.0 * (1.0 - frac),
-    }
-    y = _policy_round(x, k_round, mags)
+
+    def point_mags(k, bb):
+        return _taw_point_mags(k, bb, t.num_magnitude_bins)
+
+    def affine_specs(k):
+        return _taw_affine_specs(k, t.num_affine_grids, t.num_magnitude_bins)
+
+    y = _policy_round(x, k_round, point_mags, affine_specs, t.num_affine_grids)
     return x * (1.0 - gate) + y * gate
 
 

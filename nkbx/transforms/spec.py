@@ -239,21 +239,19 @@ class RandAugment(Transform):
     translate x/y, rotate, brightness, color, contrast, sharpness, posterize,
     solarize, autocontrast, equalize) at ``magnitude`` of
     ``num_magnitude_bins`` (torchvision ranges; sign-symmetric pointwise ops
-    get a random sign per sample). The affine sub-ops draw their
-    magnitude/sign PER ROUND (shared across the batch — the batch-mode
-    tradeoff this framework also uses for Mixup's lam): a shared warp grid
-    gathers wide rows, where per-sample grids are point gathers the TPU
-    backend lowers ~47x slower (PERF.md). Sampling is NEAREST and shears
-    anchor at the top-left, matching torchvision's defaults.
-
-    Cost note (PERF.md): one round costs ~39 ms/batch at bs=128 @224 on the
-    dev chip; chaining two rounds currently triggers an XLA pathology
-    (~485 ms) — prefer ``num_ops=1`` on this backend when augmentation cost
-    matters."""
+    get a random sign per sample). Affine sub-ops are applied through
+    ``num_affine_grids`` batch-shared warp grids per round, each an
+    independent (op, sign) draw: per-sample marginals are exactly
+    torchvision's, with within-batch support limited to K grids (shared
+    grids gather wide rows; per-sample grids are point gathers the TPU
+    backend lowers ~47x slower, PERF.md). ``num_ops > 1`` rounds run under
+    ``lax.scan`` (one compiled round body). Sampling is NEAREST and shears
+    anchor at the top-left, matching torchvision's defaults."""
 
     num_ops: int = 2
     magnitude: int = 9
     num_magnitude_bins: int = 31
+    num_affine_grids: int = 4
     p: float = 1.0
     stage = DEVICE
 
@@ -268,11 +266,14 @@ class RandAugment(Transform):
 @dataclasses.dataclass
 class TrivialAugmentWide(Transform):
     """torchvision TrivialAugmentWide on-device: ONE op per image from the
-    14-op table at a uniformly random magnitude bin (drawn per round/batch —
-    same batch-shared tradeoff as RandAugment's affine draws) with the wide
-    ranges (shear 0.99, translate 32 px, rotate 135, color 0.99)."""
+    14-op table at a PER-IMAGE uniformly random magnitude bin with the wide
+    ranges (shear 0.99, translate 32 px, rotate 135, color 0.99). Pointwise
+    magnitudes are exactly per-sample; affine magnitudes are bucketed over
+    ``num_affine_grids`` batch-shared warp grids (exact per-sample marginals,
+    K-limited within-batch support — see RandAugment)."""
 
     num_magnitude_bins: int = 31
+    num_affine_grids: int = 4
     p: float = 1.0
     stage = DEVICE
 

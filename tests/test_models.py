@@ -127,3 +127,64 @@ class TestClassifier:
         old = jax.tree_util.tree_leaves(single.batch_stats)
         new = jax.tree_util.tree_leaves(new_bs)
         assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new))
+
+
+class TestResNetR3Options:
+    """Round-3 perf hooks: input_norm folding and remat_stages must be exact
+    reparametrizations (same function, same gradients, same param paths)."""
+
+    def _setup(self):
+        from nkbx.models.resnet import BasicBlock, ResNet
+
+        rng = np.random.default_rng(0)
+        x_raw = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)).astype(np.float32))
+        mean = np.array([0.485, 0.456, 0.406], np.float32) * 255
+        std = np.array([0.229, 0.224, 0.225], np.float32) * 255
+        base = ResNet(stage_sizes=(1, 1), block_cls=BasicBlock, stem_width=16,
+                      dtype=jnp.float32)
+        v = base.init({"params": jax.random.PRNGKey(0)}, (x_raw - mean) / std,
+                      train=False)
+        return ResNet, BasicBlock, base, v, x_raw, mean, std
+
+    def test_input_norm_fold_exact_incl_borders(self):
+        ResNet, BasicBlock, base, v, x_raw, mean, std = self._setup()
+        fold = ResNet(stage_sizes=(1, 1), block_cls=BasicBlock, stem_width=16,
+                      dtype=jnp.float32, input_norm=(mean, std))
+        y0 = base.apply(v, (x_raw - mean) / std, train=False)
+        y1 = fold.apply(v, x_raw, train=False)
+        # exact reparametrization incl. the zero-padding border correction
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_remat_stages_same_params_outputs_grads(self):
+        ResNet, BasicBlock, base, v, x_raw, mean, std = self._setup()
+        x = (x_raw - mean) / std
+        remat = ResNet(stage_sizes=(1, 1), block_cls=BasicBlock, stem_width=16,
+                       dtype=jnp.float32, remat_stages=(0, 1))
+        # identical param tree paths (checkpoint-compatible)
+        vr = remat.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(v)
+        np.testing.assert_array_equal(
+            np.asarray(remat.apply(v, x, train=False)),
+            np.asarray(base.apply(v, x, train=False)))
+
+        def loss(m):
+            def f(p):
+                out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                                 x, train=True, mutable=["batch_stats"])
+                return jnp.sum(out ** 2)
+            return jax.grad(f)(v["params"])
+
+        g0, g1 = loss(base), loss(remat)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_input_norm_requires_s2d(self):
+        from nkbx.models.resnet import BasicBlock, ResNet
+
+        m = ResNet(stage_sizes=(1, 1), block_cls=BasicBlock, stem_width=16,
+                   s2d_stem=False, input_norm=(np.zeros(3), np.ones(3)))
+        with pytest.raises(ValueError, match="s2d"):
+            m.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 3)), train=False)

@@ -97,6 +97,64 @@ class TestLoaderNativePath:
         diff = np.abs(nat_batch["image"].astype(int) - py_batch["image"].astype(int))
         assert diff.mean() < 1.0 and diff.max() <= 16
 
+    @pytest.fixture(scope="class")
+    def yolo_yaml(self, tmp_path_factory):
+        import cv2
+        import yaml
+
+        root = tmp_path_factory.mktemp("nat_yolo")
+        r = np.random.default_rng(7)
+        (root / "train" / "images").mkdir(parents=True)
+        (root / "train" / "labels").mkdir(parents=True)
+        for i in range(4):
+            img = r.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / "train" / "images" / f"{i}.jpg"), img[:, :, ::-1])
+            # TWO boxes per image: same image decoded once, cropped twice
+            with open(root / "train" / "labels" / f"{i}.txt", "w") as f:
+                f.write(f"{i % 2} 0.3 0.4 0.35 0.5\n{(i + 1) % 2} 0.7 0.6 0.3 0.4\n")
+        ypath = root / "data.yaml"
+        with open(ypath, "w") as f:
+            yaml.safe_dump({"path": str(root), "train": "train/images",
+                            "val": "train/images", "names": ["a", "b"]}, f)
+        return ypath
+
+    def test_yolo_loader_native_crop_path(self, yolo_yaml):
+        """VERDICT r2 item 5: the C++ crop decoder activates for YOLO datasets
+        and matches the Python crop-then-resize path."""
+        from nkbx.data import AnnotatedYOLODataset, DataLoader
+
+        ds = AnnotatedYOLODataset(annotations_file=str(yolo_yaml), fold="train")
+        paths, crops = ds.flat_index()
+        assert len(paths) == len(ds) == 8 and crops.shape == (8, 4)
+        assert ds.label_at(0) == ds.read(0)[1]
+        pipe = T.Compose([T.LongestMaxSize(32), T.PadIfNeeded(32, 32), T.Normalize()])
+        loader = DataLoader(ds, pipeline=pipe, batch_size=8, num_workers=2)
+        assert loader._native is not None and loader._native["crops"] is not None
+        nat_batch = next(iter(loader.epoch(0)))
+        loader._native = None
+        py_batch = next(iter(loader.epoch(0)))
+        assert np.array_equal(nat_batch["label"], py_batch["label"])
+        diff = np.abs(nat_batch["image"].astype(int) - py_batch["image"].astype(int))
+        assert diff.mean() < 1.0 and diff.max() <= 16
+
+    def test_yolo_decode_cache_dedupes(self, yolo_yaml, monkeypatch):
+        """Sequential epoch decodes each image once, not once per box."""
+        from nkbx.data import AnnotatedYOLODataset
+        from nkbx.data import datasets as D
+
+        ds = AnnotatedYOLODataset(annotations_file=str(yolo_yaml), fold="train")
+        calls = []
+        real = D.imread_rgb
+        monkeypatch.setattr(D, "imread_rgb", lambda p: (calls.append(p), real(p))[1])
+        for i in range(len(ds)):
+            ds.read(i)
+        assert len(calls) == 4  # 8 crops over 4 unique images
+        # cache returns the SAME pixels as a fresh decode
+        img, _ = ds.read(0)
+        fresh = real(ds.list_bbox[0][0])
+        x0, y0, x1, y1 = ds.list_bbox[0][1]
+        np.testing.assert_array_equal(img, fresh[y0:y1, x0:x1])
+
     def test_random_crop_pipeline_disables_native(self, tmp_path_factory):
         import cv2
         from nkbx.data import ImageFolderDataset, DataLoader
