@@ -32,7 +32,8 @@ def parse_args():
     parser.add_argument("-cfg", "--config", type=str, required=True, help="Config file path")
     parser.add_argument("--to", type=str, required=True,
                         help="serving | stablehlo | savedmodel (TF, via jax2tf) "
-                             "| tflite (edge flatbuffer, static shapes)")
+                             "| tflite (edge flatbuffer, static shapes) "
+                             "| onnx (via SavedModel + tf2onnx, optional dep)")
     parser.add_argument("-w", "--weights", type=str, required=True,
                         help="nkbx checkpoint (orbax dir or .msgpack)")
     parser.add_argument("--dynamic", type=str, default="batch",
@@ -46,7 +47,7 @@ def parse_args():
     parser.add_argument("--quantize", type=str, default=None, choices=["dynamic"],
                         help="tflite only: dynamic-range int8 weight quantization")
     args = parser.parse_args()
-    assert args.to in ("serving", "stablehlo", "savedmodel", "tflite")
+    assert args.to in ("serving", "stablehlo", "savedmodel", "tflite", "onnx")
     assert args.dynamic in ("batch", "none", "all")
     assert len(args.input_shape) == 4
     return args
@@ -100,6 +101,16 @@ def main(args):
         path, _ = export_tflite(model, args.input_shape, out, metadata=metadata,
                                 dtype=dtype, quantize=args.quantize)
         print(f"tflite export success, saved as {path}")
+    elif args.to == "onnx":
+        from nkbx.export import export_onnx
+
+        if args.dynamic == "all":
+            print("WARNING: --to onnx supports dynamic BATCH only; "
+                  "H/W stay static (use --to serving for --dynamic all)")
+        out = save_dir / f"{stem}.onnx"
+        path, _ = export_onnx(model, args.input_shape, out, metadata=metadata,
+                              dynamic_batch=(args.dynamic != "none"), dtype=dtype)
+        print(f"onnx export success, saved as {path}")
     elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel
 

@@ -21,8 +21,16 @@ def export_tflite(*args, **kwargs):
     return _impl(*args, **kwargs)
 
 
+def export_onnx(*args, **kwargs):
+    """Lazy wrapper: tensorflow imports are heavy, load only when used."""
+    from nkbx.export.savedmodel import export_onnx as _impl
+
+    return _impl(*args, **kwargs)
+
+
 __all__ = [
     "export_model",
+    "export_onnx",
     "export_savedmodel",
     "export_tflite",
     "load_exported",

@@ -57,6 +57,42 @@ def export_savedmodel(model, input_shape, save_dir, metadata=None,
     return save_dir, meta
 
 
+def export_onnx(model, input_shape, out_path, metadata=None,
+                dynamic_batch: bool = True, dtype=None, opset: int = 17):
+    """Export a ClassificationModel to ``.onnx`` via SavedModel -> tf2onnx
+    (the reference's primary interchange artifact, export.py:146-206 there).
+
+    ``tf2onnx``/``onnx`` are OPTIONAL dependencies: when absent this raises a
+    RuntimeError naming the exact recipe (the SavedModel it already wrote +
+    the one-line tf2onnx command) so the conversion can be finished on any
+    machine with the packages installed."""
+    import tempfile
+
+    out_path = Path(out_path)
+    sm_dir = out_path.with_suffix("")  # keep the intermediate next to the .onnx
+    if sm_dir == out_path:
+        sm_dir = Path(tempfile.mkdtemp(prefix="nkbx_onnx_sm_"))
+    sm_dir = Path(str(sm_dir) + "_savedmodel")
+    _, meta = export_savedmodel(model, input_shape, sm_dir, metadata=metadata,
+                                dynamic_batch=dynamic_batch, dtype=dtype)
+    try:
+        import tf2onnx  # noqa: F401
+        from tf2onnx import convert as t2o_convert
+    except ImportError as e:
+        raise RuntimeError(
+            f"ONNX export needs the optional 'tf2onnx' + 'onnx' packages "
+            f"(not installed). The TF SavedModel was written to {sm_dir} — "
+            f"finish the conversion anywhere with:\n"
+            f"  pip install tf2onnx onnx\n"
+            f"  python -m tf2onnx.convert --saved-model {sm_dir} "
+            f"--output {out_path} --opset {opset}"
+        ) from e
+    model_proto, _ = t2o_convert.from_saved_model(  # pragma: no cover - needs tf2onnx
+        str(sm_dir), output_path=str(out_path), opset=opset)
+    out_path.with_suffix(out_path.suffix + ".json").write_text(json.dumps(meta))
+    return out_path, meta
+
+
 def export_tflite(model, input_shape, out_path, metadata=None, dtype=None,
                   quantize: str | None = None):
     """Export a ClassificationModel to a ``.tflite`` flatbuffer (static batch —

@@ -40,5 +40,8 @@ def export_formats():
         ["Orbax checkpoint", "-", "", True, True],
         ["StableHLO", "stablehlo", ".stablehlo", True, True],
         ["TPU serving bundle", "serving", ".nkbx", True, True],
+        ["TF SavedModel (jax2tf)", "savedmodel", "_savedmodel/", True, True],
+        ["TFLite flatbuffer (+int8)", "tflite", ".tflite", True, False],
+        ["ONNX (SavedModel + tf2onnx)", "onnx", ".onnx", True, False],
     ]
     return pandas.DataFrame(x, columns=["Format", "Argument", "Suffix", "CPU", "TPU"])

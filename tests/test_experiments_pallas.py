@@ -1,10 +1,14 @@
-"""nkbx.ops custom kernels (Pallas interpret mode on CPU)."""
+"""experiments/ Pallas kernels (documented negative results) — interpret mode on CPU."""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "experiments"))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nkbx.ops.fused_matmul_bn import (
+from pallas_fused_matmul_bn import (
     fused_matmul_bn_relu_stats,
     reference_matmul_bn_relu_stats,
 )

@@ -234,3 +234,30 @@ class TestTFLiteExport:
         with pytest.raises(ValueError, match="quantize"):
             export_tflite(tiny_model, (2, 32, 32, 3), tmp_path / "x.tflite",
                           quantize="int4")
+
+
+class TestOnnxExport:
+    def test_graceful_without_tf2onnx_writes_savedmodel(self, tiny_model, tmp_path):
+        """tf2onnx is an optional dep: absent, export_onnx must still write
+        the SavedModel and raise with the exact finish-elsewhere recipe."""
+        pytest.importorskip("tensorflow")
+        try:
+            import tf2onnx  # noqa: F401
+
+            pytest.skip("tf2onnx installed; graceful path not reachable")
+        except ImportError:
+            pass
+        from nkbx.export import export_onnx
+
+        out = tmp_path / "model.onnx"
+        with pytest.raises(RuntimeError, match="tf2onnx.convert --saved-model"):
+            export_onnx(tiny_model, (2, 32, 32, 3), out)
+        sm = tmp_path / "model_savedmodel"
+        assert (sm / "saved_model.pb").exists()
+        assert (sm / "metadata.json").exists()
+
+    def test_formats_table_lists_all(self):
+        from nkbx.utils.misc import export_formats
+
+        args = set(export_formats()["Argument"])
+        assert {"stablehlo", "serving", "savedmodel", "tflite", "onnx"} <= args
