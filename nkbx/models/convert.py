@@ -710,6 +710,11 @@ def convert_swin_state_dict(state_dict, depths):
     _set(params, ("patch_embed", "kernel"), _conv_w(sd["patch_embed.proj.weight"]))
     _set(params, ("patch_embed", "bias"), sd["patch_embed.proj.bias"])
     put_ln("patch_embed.norm", ("patch_norm",))
+    # layout probe must be GLOBAL: in the timm >= 0.9 layout layers.{i}.downsample
+    # EXISTS for every i >= 1 (it is stage i's INPUT merge), so a per-index
+    # existence check would misread stages >= 1 of a 0.9 checkpoint as the
+    # pre-0.9 layout (bug found by tests/torch_replicas.py swin replicas)
+    pre09 = "layers.0.downsample.reduction.weight" in sd
     for i, depth in enumerate(depths):
         for j in range(depth):
             t = f"layers.{i}.blocks.{j}"
@@ -727,8 +732,7 @@ def convert_swin_state_dict(state_dict, depths):
             # layers.{i}.downsample; timm >= 0.9 applies it at the INPUT of
             # the next stage, layers.{i+1}.downsample (same tensors — timm's
             # rewrite chose the permute that preserves the concat order)
-            ds = (f"layers.{i}.downsample"
-                  if f"layers.{i}.downsample.reduction.weight" in sd
+            ds = (f"layers.{i}.downsample" if pre09
                   else f"layers.{i + 1}.downsample")
             put_ln(f"{ds}.norm", (f"downsample{i}", "norm"))
             put_dense(f"{ds}.reduction", (f"downsample{i}", "reduction"), bias=False)
