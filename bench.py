@@ -44,8 +44,10 @@ def main():
     # steps_per_dispatch: lax.scan K train steps per device dispatch — the
     # per-dispatch host round trip through the tunnel costs ~1 ms/step
     # otherwise (nkbx.train.build_train_step scan_steps / cfg
-    # steps_per_dispatch; per-step semantics identical, tests/test_engine.py)
-    K = 10
+    # steps_per_dispatch; per-step semantics identical, tests/test_engine.py).
+    # K=20 measures 2700.7 img/s vs 2675.1 at K=10 (r3 sweep, PERF.md) —
+    # 99.8% of the 2706 device-bound rate.
+    K = 20
     train_step = build_train_step(model, criterion, bundle,
                                   augment_fn=pipeline.device_apply, scan_steps=K)
     state = TrainState.create(model.params, model.batch_stats, bundle.tx)
