@@ -29,6 +29,7 @@
 #include <functional>
 #include <mutex>
 #include <queue>
+#include <unordered_map>
 #include <string>
 #include <thread>
 #include <vector>
@@ -205,12 +206,11 @@ void resize_bilinear(const uint8_t* src, int sh, int sw, uint8_t* dst, int dh, i
   }
 }
 
-// one sample: decode -> crop -> geometry -> write into batch slot
-int process_one(const char* path, const int* crop, int out_h, int out_w, int mode,
-                uint8_t* out_slot) {
-  Image img;
-  if (!decode_file(path, &img)) return -1;
-
+// crop -> geometry -> write into batch slot (image already decoded; one
+// decode serves EVERY crop of the same file in a batch — YOLO-crop datasets
+// carry several boxes per image and the reference re-decodes per crop)
+int process_decoded(const Image& img, const int* crop, int out_h, int out_w,
+                    int mode, uint8_t* out_slot) {
   const uint8_t* src = img.data.data();
   int sh = img.h, sw = img.w;
   std::vector<uint8_t> cropped;
@@ -273,14 +273,35 @@ void nkbx_decode_batch(void* pool, const char** paths, int n, const int* crops,
                        int out_h, int out_w, int mode, unsigned char* out,
                        int* status) {
   Pool* p = static_cast<Pool*>(pool);
-  std::atomic<int> remaining(n);
+  // group batch slots by file: each unique file is decoded ONCE and serves
+  // all of its crops (one task per file keeps the pool's decode parallelism)
+  std::vector<std::pair<std::string, std::vector<int>>> groups;
+  {
+    std::unordered_map<std::string, size_t> index;
+    for (int i = 0; i < n; ++i) {
+      auto it = index.find(paths[i]);
+      if (it == index.end()) {
+        index.emplace(paths[i], groups.size());
+        groups.emplace_back(paths[i], std::vector<int>{i});
+      } else {
+        groups[it->second].second.push_back(i);
+      }
+    }
+  }
+  std::atomic<int> remaining(int(groups.size()));
   std::mutex done_mu;
   std::condition_variable done_cv;
   const size_t slot = size_t(out_h) * out_w * 3;
-  for (int i = 0; i < n; ++i) {
+  for (const auto& g : groups) {
+    const auto* gp = &g;  // stable: this function outlives the tasks
     p->tp.submit([=, &remaining, &done_mu, &done_cv] {
-      status[i] = process_one(paths[i], crops ? crops + 4 * i : nullptr,
-                              out_h, out_w, mode, out + slot * i);
+      Image img;
+      const bool ok = decode_file(gp->first.c_str(), &img);
+      for (int i : gp->second) {
+        status[i] = ok ? process_decoded(img, crops ? crops + 4 * i : nullptr,
+                                         out_h, out_w, mode, out + slot * i)
+                       : -1;
+      }
       if (remaining.fetch_sub(1) == 1) {
         std::unique_lock<std::mutex> lk(done_mu);
         done_cv.notify_one();
@@ -291,6 +312,6 @@ void nkbx_decode_batch(void* pool, const char** paths, int n, const int* crops,
   done_cv.wait(lk, [&] { return remaining.load() == 0; });
 }
 
-const char* nkbx_version() { return "nkbx-native 0.1.0"; }
+const char* nkbx_version() { return "nkbx-native 0.2.0"; }
 
 }  // extern "C"
