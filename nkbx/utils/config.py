@@ -36,6 +36,19 @@ _DEFAULTS = {
     "mesh": None,  # optional dict: {"data": N} / {"data": N, "model": M}
 }
 
+# Every knob any nkbx entry point reads (configs may define extra helper
+# variables freely — only NEAR-MISSES of these names are warned about, e.g.
+# ``model_ema`` for ``model_ema_decay``, which would otherwise be silently
+# ignored by the getattr-with-default pattern).
+_KNOWN_KEYS = frozenset(_DEFAULTS) | {
+    "enable_mixed_presicion", "experiment_name", "experiment", "task",
+    "train_data", "val_data", "inference_data", "train_pipeline",
+    "val_pipeline", "inference_pipeline", "model", "optimizer", "criterion",
+    "target_names", "metrics_accumulation", "mixup", "model_ema_decay",
+    "steps_per_dispatch", "grad_accum_steps", "fsdp", "export_serving",
+    "enable_nan_debugging", "debug_nans", "save_path",
+}
+
 
 class Config:
     """Attribute view over a loaded config module (or a plain dict).
@@ -59,6 +72,30 @@ class Config:
             self._ns["enable_mixed_precision"] = self._ns["enable_mixed_presicion"]
         if "enable_mixed_precision" in self._ns:
             self._ns.setdefault("enable_mixed_presicion", self._ns["enable_mixed_precision"])
+        self._warn_near_miss_keys()
+
+    def _warn_near_miss_keys(self):
+        """Warn when a config name looks like a typo of a real knob.
+
+        Unknown names are otherwise read-with-default and silently ignored
+        (configs legitimately define helper variables, so only CLOSE matches
+        of known keys are flagged — e.g. ``model_ema`` vs ``model_ema_decay``).
+        """
+        import difflib
+        import warnings
+
+        for key in self._ns:
+            if key in _KNOWN_KEYS or not isinstance(key, str):
+                continue
+            close = difflib.get_close_matches(key, _KNOWN_KEYS, n=1, cutoff=0.75)
+            prefix = [k for k in _KNOWN_KEYS
+                      if len(key) >= 5 and k.startswith(key) and k != key]
+            hit = close or sorted(prefix)
+            if hit:
+                warnings.warn(
+                    f"Config key {key!r} is not a known nkbx knob but is close "
+                    f"to {hit[0]!r} — it would be silently ignored; did you "
+                    f"mean {hit[0]!r}?")
 
     def __getattr__(self, name):
         ns = object.__getattribute__(self, "_ns")

@@ -533,3 +533,20 @@ class TestTrivialAugmentWide:
         img = np.random.default_rng(52).integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
         out = np.asarray(pipe.device_apply(jnp.asarray(img), jax.random.PRNGKey(3)))
         assert out.shape == img.shape and np.isfinite(out).all()
+
+
+class TestConfigNearMissWarning:
+    def test_near_miss_key_warns(self):
+        import warnings
+
+        from nkbx.utils.config import Config
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            Config({"model_ema": {"decay": 0.9}, "steps_per_dispach": 2,
+                    "img_size": 224, "annotations_path": "x", "n_epochs": 1})
+            msgs = [str(x.message) for x in w]
+        assert any("model_ema_decay" in m for m in msgs)
+        assert any("steps_per_dispatch" in m for m in msgs)
+        # helper variables stay silent
+        assert not any("img_size" in m or "annotations_path" in m for m in msgs)
