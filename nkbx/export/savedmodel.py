@@ -49,7 +49,10 @@ def export_savedmodel(model, input_shape, save_dir, metadata=None,
         input_signature=[tf.TensorSpec([batch_dim, h, w, c], tf.float32, name="images")],
     )
     save_dir = Path(save_dir)
-    tf.saved_model.save(wrapper, str(save_dir))
+    from nkbx.ops.attention import disable_fused
+
+    with disable_fused():  # tf.function traces here; Pallas isn't TF-portable
+        tf.saved_model.save(wrapper, str(save_dir))
 
     meta = metadata or make_metadata(model.classes, input_shape, model.task)
     (save_dir / "metadata.json").write_text(json.dumps(meta))
@@ -129,8 +132,11 @@ def export_tflite(model, input_shape, out_path, metadata=None, dtype=None,
         autograph=False,
         input_signature=[tf.TensorSpec([b, h, w, c], tf.float32, name="images")],
     )
-    converter = tf.lite.TFLiteConverter.from_concrete_functions(
-        [tf_fn.get_concrete_function()])
+    from nkbx.ops.attention import disable_fused
+
+    with disable_fused():  # tracing happens here; Pallas isn't TF-portable
+        converter = tf.lite.TFLiteConverter.from_concrete_functions(
+            [tf_fn.get_concrete_function()])
     # jax2tf emits some ops outside the builtin-TFLite set; allow TF fallback
     # kernels (the standard jax2tf->TFLite recipe)
     converter.target_spec.supported_ops = [

@@ -77,7 +77,10 @@ def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=Tru
     else:
         arg = jax.ShapeDtypeStruct((b, h, w, c), dtype)
 
-    exported = jexp.export(jax.jit(infer))(arg)
+    from nkbx.ops.attention import disable_fused
+
+    with disable_fused():  # Pallas attention is not export-portable
+        exported = jexp.export(jax.jit(infer))(arg)
     blob = exported.serialize()
 
     meta = metadata or make_metadata(model.classes, input_shape, model.task)
@@ -109,7 +112,10 @@ def save_stablehlo_text(model, input_shape, save_path, dtype=jnp.float32):
     def infer(x):
         return module.apply(variables, x, train=False)
 
-    lowered = jax.jit(infer).lower(jax.ShapeDtypeStruct(tuple(input_shape), dtype))
+    from nkbx.ops.attention import disable_fused
+
+    with disable_fused():  # Pallas attention is not export-portable
+        lowered = jax.jit(infer).lower(jax.ShapeDtypeStruct(tuple(input_shape), dtype))
     text = lowered.as_text(dialect="stablehlo")
     Path(save_path).write_text(text)
     return save_path

@@ -66,11 +66,23 @@ def _window_reverse(windows, window: int, b: int, h: int, w: int):
     return x.reshape(b, h, w, c)
 
 
+def _use_fused(flag):
+    """None = auto: fused Pallas attention on TPU (+38% swin_tiny, PERF.md),
+    plain XLA elsewhere. NKBX_FUSED_ATTENTION=0|1 overrides; export tracing
+    force-disables (see nkbx.ops.attention.resolve_fused)."""
+    import jax
+
+    from nkbx.ops.attention import resolve_fused
+
+    return resolve_fused(flag, jax.default_backend() == "tpu")
+
+
 class WindowAttention(nn.Module):
     dim: int
     n_heads: int
     window: int
     dtype: Any = jnp.float32
+    fused: Any = None  # None=auto (TPU) | True | False — see nkbx/ops/attention.py
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
@@ -81,21 +93,35 @@ class WindowAttention(nn.Module):
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * self.window - 1) ** 2, self.n_heads), jnp.float32)
-        index = jnp.asarray(_relative_position_index(self.window))
+        # index stays STATIC numpy: export traces apply() with device_get'd
+        # (numpy) variables, and numpy table[jnp_index] would try to convert
+        # a tracer; jnp.asarray(table) handles both numpy and tracer params.
+        index = _relative_position_index(self.window).reshape(-1)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x)
-        qkv = qkv.reshape(bn, n, 3, self.n_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q * (hd ** -0.5)) @ k.transpose(0, 1, 3, 2)  # (bn, heads, N, N)
-        bias = table[index.reshape(-1)].reshape(n, n, self.n_heads)
-        attn = attn + bias.transpose(2, 0, 1).astype(attn.dtype)[None]
-        if attn_mask is not None:
-            nw = attn_mask.shape[0]
-            attn = attn.reshape(bn // nw, nw, self.n_heads, n, n)
-            attn = attn + jnp.asarray(attn_mask, attn.dtype)[None, :, None]
-            attn = attn.reshape(bn, self.n_heads, n, n)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        y = (attn @ v).transpose(0, 2, 1, 3).reshape(bn, n, self.dim)
+        bias = jnp.asarray(table)[index].reshape(n, n, self.n_heads)
+        if _use_fused(self.fused):
+            # qkv factors as (3, heads, hd) in the minor dim — exactly the
+            # packed layout fused_attention_qkv consumes (no slice copies).
+            from nkbx.ops.attention import fused_attention_qkv
+
+            mask = (np.zeros((1, n, n), np.float32) if attn_mask is None
+                    else np.asarray(attn_mask, np.float32))
+            y = fused_attention_qkv(
+                qkv, bias.transpose(2, 0, 1).astype(jnp.float32),
+                jnp.asarray(mask), hd ** -0.5, self.n_heads)
+        else:
+            qkv = qkv.reshape(bn, n, 3, self.n_heads, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * (hd ** -0.5)) @ k.transpose(0, 1, 3, 2)  # (bn, heads, N, N)
+            attn = attn + bias.transpose(2, 0, 1).astype(attn.dtype)[None]
+            if attn_mask is not None:
+                nw = attn_mask.shape[0]
+                attn = attn.reshape(bn // nw, nw, self.n_heads, n, n)
+                attn = attn + jnp.asarray(attn_mask, attn.dtype)[None, :, None]
+                attn = attn.reshape(bn, self.n_heads, n, n)
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            y = (attn @ v).transpose(0, 2, 1, 3).reshape(bn, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="proj")(y)
 
@@ -107,6 +133,7 @@ class SwinBlock(nn.Module):
     shift: int  # 0 or window // 2
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
+    fused: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +154,8 @@ class SwinBlock(nn.Module):
             mask = None
         wins = _window_partition(x, window)
         wins = WindowAttention(self.dim, self.n_heads, window,
-                               dtype=self.dtype, name="attn")(wins, mask)
+                               dtype=self.dtype, fused=self.fused,
+                               name="attn")(wins, mask)
         x = _window_reverse(wins, window, b, h, w)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -167,6 +195,7 @@ class SwinTransformer(nn.Module):
     mlp_ratio: int = 4
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: Any = None  # None=auto (TPU): fused Pallas window attention
 
     @property
     def num_features(self):
@@ -185,6 +214,7 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(dim, heads, self.window,
                               shift=(self.window // 2) if j % 2 else 0,
                               mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                              fused=self.fused_attention,
                               name=f"stage{i}_block{j}")(x)
             if i != len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"downsample{i}")(x)

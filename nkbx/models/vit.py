@@ -20,6 +20,35 @@ from flax import linen as nn
 from nkbx.models.common import TorchBatchNorm
 
 
+def _fused_attention_fn(query, key, value, bias=None, mask=None, **kw):
+    """`flax.linen.MultiHeadDotProductAttention` attention_fn hook routing to
+    the fused Pallas kernel (nkbx/ops/attention.py). Only installed when
+    there is no attention mask/bias/dropout — always true for these ViTs."""
+    from nkbx.ops.attention import fused_attention
+
+    assert bias is None and mask is None
+    b, n, h, d = query.shape
+    o = fused_attention(
+        query.reshape(b, n, h * d), key.reshape(b, n, h * d),
+        value.reshape(b, n, h * d),
+        jnp.zeros((1, n, n), jnp.float32), jnp.zeros((1, n, n), jnp.float32),
+        d ** -0.5, h)
+    return o.reshape(b, n, h, d)
+
+
+def _use_fused(flag):
+    """None = auto: plain XLA. MEASURED NEGATIVE for ViT (PERF.md round 3):
+    vit_base @224 bs=64 trains at 1,053 img/s XLA vs 980 fused — N=197
+    tokens already fills the MXU in XLA's batched attention, unlike Swin's
+    49-token windows (where the same kernel is +38%, see swin.py). Kept as
+    an explicit opt-in (fused_attention=True) for small-window ViT variants.
+    NKBX_FUSED_ATTENTION=0|1 overrides; export tracing force-disables
+    (see nkbx.ops.attention.resolve_fused)."""
+    from nkbx.ops.attention import resolve_fused
+
+    return resolve_fused(flag, False)
+
+
 class TransformerBlock(nn.Module):
     dim: int
     n_heads: int
@@ -27,9 +56,11 @@ class TransformerBlock(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
     ln_eps: float = 1e-6  # timm passes eps=1e-6; unicom keeps torch default 1e-5
+    fused: Any = None  # None=XLA (fused measured -7% for ViT; see _use_fused)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        fused = _use_fused(self.fused) and not (self.drop_rate > 0 and train)
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
@@ -37,6 +68,7 @@ class TransformerBlock(nn.Module):
             param_dtype=jnp.float32,
             dropout_rate=self.drop_rate,
             deterministic=not train,
+            **({"attention_fn": _fused_attention_fn} if fused else {}),
         )(y, y)
         x = x + y
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -58,6 +90,7 @@ class ViT(nn.Module):
     pool: str = "cls"  # 'cls' | 'mean'
     projection_dim: Optional[int] = None  # unicom-style feature head -> 512
     dtype: Any = jnp.float32
+    fused_attention: Any = None  # None=XLA; True opts into the Pallas kernel
 
     @property
     def num_features(self):
@@ -86,7 +119,8 @@ class ViT(nn.Module):
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
         for _ in range(self.depth):
-            x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio, self.drop_rate, self.dtype)(x, train)
+            x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio, self.drop_rate,
+                                 self.dtype, fused=self.fused_attention)(x, train)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = x[:, 0] if self.pool == "cls" else jnp.mean(x, axis=1)
         if self.projection_dim:
@@ -124,6 +158,7 @@ class UnicomViT(nn.Module):
     mlp_ratio: float = 4.0
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: Any = None
 
     @property
     def num_features(self):
@@ -148,7 +183,8 @@ class UnicomViT(nn.Module):
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
         for _ in range(self.depth):
             x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio,
-                                 self.drop_rate, self.dtype, ln_eps=1e-5)(x, train)
+                                 self.drop_rate, self.dtype, ln_eps=1e-5,
+                                 fused=self.fused_attention)(x, train)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = x.reshape(b, n * self.dim)  # token-major flatten, as torch reshape
         bn_mask = mask.reshape(b, 1) if mask is not None else None

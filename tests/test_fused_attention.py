@@ -1,0 +1,176 @@
+"""Fused Pallas attention (nkbx/ops/attention.py) vs the plain-XLA path.
+
+Runs the kernel in interpreter mode on the forced-CPU backend (conftest);
+on TPU the same code compiles via Mosaic. Covers all three mask regimes
+(M == 1, W % M == 0 reshape, W < M sliced blocks), both entries (separate
+q/k/v and packed qkv), gradients incl. the accumulated bias gradient, and
+the model-level swin/vit integration flags."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nkbx.ops.attention import (
+    fused_attention,
+    fused_attention_qkv,
+    reference_attention,
+)
+
+
+def _inputs(g, n, heads, d, m, seed=0, bias_heads=None):
+    rng = np.random.RandomState(seed)
+    hd = heads * d
+    q, k, v = (jnp.asarray(rng.randn(g, n, hd), jnp.float32) for _ in range(3))
+    bias = jnp.asarray(rng.randn(bias_heads or heads, n, n) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.rand(m, n, n) < 0.2, -100.0, 0.0), jnp.float32)
+    return q, k, v, bias, mask
+
+
+CASES = [
+    # (G, N, heads, d, M) — M=1 broadcast; W%M==0 reshape; W<M slice path
+    (8, 9, 2, 8, 1),
+    (8, 9, 2, 8, 4),
+    (64, 5, 1, 8, 64),
+    (6, 13, 3, 4, 3),
+]
+
+
+@pytest.mark.parametrize("g,n,heads,d,m", CASES)
+def test_forward_matches_reference(g, n, heads, d, m):
+    q, k, v, bias, mask = _inputs(g, n, heads, d, m)
+    scale = d ** -0.5
+    got = fused_attention(q, k, v, bias, mask, scale, heads, True)
+    want = reference_attention(q, k, v, bias, mask, scale, heads)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_bias_broadcast_single_head_slot():
+    q, k, v, bias, mask = _inputs(8, 9, 2, 8, 1, bias_heads=1)
+    scale = 8 ** -0.5
+    got = fused_attention(q, k, v, bias, mask, scale, 2, True)
+    want = reference_attention(q, k, v, bias, mask, scale, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("g,n,heads,d,m", CASES[:2] + CASES[2:3])
+def test_gradients_match_reference(g, n, heads, d, m):
+    q, k, v, bias, mask = _inputs(g, n, heads, d, m, seed=1)
+    scale = d ** -0.5
+    co = jnp.asarray(np.random.RandomState(2).randn(g, n, heads * d),
+                     jnp.float32)
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(fused_attention(q, k, v, bias, mask, scale, heads, True) * co)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(reference_attention(q, k, v, bias, mask, scale, heads) * co)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("q k v bias".split(), got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_packed_qkv_matches_separate():
+    g, n, heads, d, m = 8, 9, 2, 8, 4
+    q, k, v, bias, mask = _inputs(g, n, heads, d, m, seed=3)
+    scale = d ** -0.5
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    got = fused_attention_qkv(qkv, bias, mask, scale, heads, True)
+    want = reference_attention(q, k, v, bias, mask, scale, heads)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    co = jnp.asarray(np.random.RandomState(4).randn(g, n, heads * d), jnp.float32)
+
+    def loss_packed(qkv, bias):
+        return jnp.sum(fused_attention_qkv(qkv, bias, mask, scale, heads, True) * co)
+
+    def loss_ref(qkv, bias):
+        q, k, v = qkv[..., :16], qkv[..., 16:32], qkv[..., 32:]
+        return jnp.sum(reference_attention(q, k, v, bias, mask, scale, heads) * co)
+
+    (dqkv, dbias) = jax.grad(loss_packed, argnums=(0, 1))(qkv, bias)
+    (dqkv_w, dbias_w) = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(dqkv, dqkv_w, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dbias, dbias_w, rtol=2e-4, atol=2e-4)
+
+
+def _tiny_swin(fused):
+    from nkbx.models.swin import SwinTransformer
+
+    # 16x16 input, patch 4 -> 4x4 grid, window 2 -> shifted block has a mask
+    return SwinTransformer(embed_dim=8, depths=(2,), n_heads=(2,), patch_size=4,
+                           window=2, fused_attention=fused)
+
+
+def test_swin_model_fused_matches_xla_path():
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 16, 16, 3), jnp.float32)
+    params = _tiny_swin(False).init(jax.random.PRNGKey(0), x)
+
+    def out(fused):
+        return _tiny_swin(fused).apply(params, x)
+
+    np.testing.assert_allclose(out(True), out(False), rtol=5e-5, atol=5e-5)
+
+    def loss(params, fused):
+        return jnp.sum(_tiny_swin(fused).apply(params, x) ** 2)
+
+    gf = jax.grad(loss)(params, True)
+    gx = jax.grad(loss)(params, False)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_x = dict(jax.tree_util.tree_leaves_with_path(gx))
+    assert flat_f and len(flat_f) == len(flat_x)
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            leaf, flat_x[path], rtol=5e-4, atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_export_force_disables_fused_path():
+    """jax.export with a symbolic batch cannot trace the Pallas kernel
+    (the block picker needs a concrete window count); export_model wraps
+    its trace in disable_fused() so even fused=True models export."""
+    import tempfile
+
+    from nkbx.models.classifier import ClassificationModel
+    from nkbx.export.stablehlo import export_model, load_exported
+    from nkbx.ops.attention import disable_fused, fused_force_disabled
+
+    assert not fused_force_disabled()
+    with disable_fused():
+        assert fused_force_disabled()
+    assert not fused_force_disabled()
+
+    module = _tiny_swin(True)  # explicit fused=True — guard must override
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    model = ClassificationModel(module, dict(variables), ["a", "b"], "single", 8)
+    with tempfile.TemporaryDirectory() as d:
+        path, _ = export_model(model, (2, 16, 16, 3), f"{d}/m.nkbx",
+                               dynamic="batch")
+        _, exported = load_exported(path)
+        out = exported.call(x)
+        np.testing.assert_allclose(
+            out, module.apply(variables, x), rtol=1e-5, atol=1e-5)
+
+
+def test_vit_model_fused_matches_xla_path():
+    from nkbx.models.vit import ViT
+
+    x = jnp.asarray(np.random.RandomState(6).rand(2, 16, 16, 3), jnp.float32)
+    mk = lambda fused: ViT(patch_size=8, dim=16, depth=1, n_heads=2,
+                           fused_attention=fused)
+    params = mk(False).init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(mk(True).apply(params, x),
+                               mk(False).apply(params, x),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss(params, fused):
+        return jnp.sum(mk(fused).apply(params, x) ** 2)
+
+    gf = jax.tree_util.tree_leaves(jax.grad(loss)(params, True))
+    gx = jax.tree_util.tree_leaves(jax.grad(loss)(params, False))
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
