@@ -156,6 +156,22 @@ def test_export_force_disables_fused_path():
             out, module.apply(variables, x), rtol=1e-5, atol=1e-5)
 
 
+def test_env_override_resolves_flags(monkeypatch):
+    from nkbx.ops.attention import disable_fused, resolve_fused
+
+    monkeypatch.delenv("NKBX_FUSED_ATTENTION", raising=False)
+    assert resolve_fused(None, True) is True    # family default
+    assert resolve_fused(None, False) is False
+    assert resolve_fused(True, False) is True   # explicit flag beats default
+    assert resolve_fused(False, True) is False
+    monkeypatch.setenv("NKBX_FUSED_ATTENTION", "0")
+    assert resolve_fused(True, True) is False   # env beats the module flag
+    monkeypatch.setenv("NKBX_FUSED_ATTENTION", "1")
+    assert resolve_fused(False, False) is True
+    with disable_fused():                       # export context beats env
+        assert resolve_fused(True, True) is False
+
+
 def test_vit_model_fused_matches_xla_path():
     from nkbx.models.vit import ViT
 
