@@ -8,7 +8,7 @@ Usage: python experiments/r3_swin_attention.py {smoke|swin_fused|swin_xla|
 vit_fused|vit_xla}   — one variant per invocation, chip idle (CLAUDE.md).
 
 Measured (2026-08-17, PERF.md "Round-3 fused window attention"):
-  swin_xla 84.96 ms → 753 img/s | swin_fused 61.39 ms → 1,042 (+38.4%)
+  swin_xla 84.96 ms → 753 img/s | swin_fused 58.93 ms → 1,086 (+44.2%)
   vit_xla  60.78 ms → 1,053     | vit_fused  65.29 ms → 980 (−7%, negative)
 """
 

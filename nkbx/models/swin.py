@@ -67,7 +67,7 @@ def _window_reverse(windows, window: int, b: int, h: int, w: int):
 
 
 def _use_fused(flag):
-    """None = auto: fused Pallas attention on TPU (+38% swin_tiny, PERF.md),
+    """None = auto: fused Pallas attention on TPU (+44% swin_tiny, PERF.md),
     plain XLA elsewhere. NKBX_FUSED_ATTENTION=0|1 overrides; export tracing
     force-disables (see nkbx.ops.attention.resolve_fused)."""
     import jax

@@ -90,8 +90,12 @@ def resolve_fused(flag, auto: bool) -> bool:
         return env not in ("0", "false", "False")
     return auto if flag is None else bool(flag)
 
-_VMEM_BUDGET = 6_000_000  # bytes of per-window tensors; ~2x under 16M VMEM
-                          # to leave room for Pallas double-buffering
+_VMEM_BUDGET = 10_000_000  # bytes of per-window tensors, under the ~16M VMEM
+                           # with room for Pallas double-buffering. Measured
+                           # (PERF.md r3): 10M beats the 6M first cut +4.2%
+                           # (fewer grid steps); head-batched dot cores were
+                           # break-even (the VMEM-forced W reduction cancels
+                           # the larger-dot gain) and were dropped.
 
 
 def _pick_block(g: int, m: int, n: int, hd: int, itemsize: int) -> int:
@@ -102,7 +106,7 @@ def _pick_block(g: int, m: int, n: int, hd: int, itemsize: int) -> int:
     """
     pad = lambda x, t: -(-x // t) * t
     per_win = 8 * pad(n, 8) * pad(hd, 128) * itemsize + 4 * pad(n, 8) * pad(n, 128) * 4
-    cap = max(1, min(32, _VMEM_BUDGET // per_win))
+    cap = max(1, min(64, _VMEM_BUDGET // per_win))
     for w in range(min(cap, g), 0, -1):
         if g % w == 0 and (w % m == 0 or m % w == 0):
             return w

@@ -34,6 +34,10 @@ CASES = [
     (8, 9, 2, 8, 4),
     (64, 5, 1, 8, 64),
     (6, 13, 3, 4, 3),
+    # heads >= 8 exercises the head-batched cores in all three mask regimes
+    (8, 9, 8, 4, 1),
+    (8, 9, 8, 4, 4),
+    (64, 5, 8, 4, 64),
 ]
 
 
@@ -54,7 +58,7 @@ def test_bias_broadcast_single_head_slot():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("g,n,heads,d,m", CASES[:2] + CASES[2:3])
+@pytest.mark.parametrize("g,n,heads,d,m", CASES[:3] + CASES[4:])
 def test_gradients_match_reference(g, n, heads, d, m):
     q, k, v, bias, mask = _inputs(g, n, heads, d, m, seed=1)
     scale = d ** -0.5
