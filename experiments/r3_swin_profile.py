@@ -1,6 +1,6 @@
 """Round-3: where does the swin_tiny fused train step's time go?
 
-The fused-attention kernel took swin_tiny from 84.96 -> 61.39 ms/step
+The fused-attention kernel took swin_tiny from 84.96 -> 58.93 ms/step
 (bs=64 @224, PERF.md), but swin's MXU compute bound is ~7-10 ms — unlike
 ResNet-50 (bandwidth-saturated at 99% of roofline) swin has real headroom.
 This captures a device trace of the train step and aggregates per-kernel
@@ -11,11 +11,7 @@ Usage (chip idle, host quiet):
     python experiments/r3_swin_profile.py parse     # re-parse existing trace
 """
 
-import glob
-import gzip
-import json
 import sys
-from collections import defaultdict
 
 TRACE_DIR = "/tmp/swin_trace"
 BS = 64
@@ -67,60 +63,15 @@ def run_trace():
     jax.profiler.stop_trace()
 
 
-def categorize(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n or "pallas" in n:
-        return "pallas attention"
-    if n.startswith("copy") or ".copy" in n or "transpose" in n:
-        return "copies/transposes"
-    if "convolution" in n or "conv" in n:
-        return "convs (patch embed / dW)"
-    if "dot" in n:
-        return "matmuls (qkv/proj/mlp/head)"
-    if "reduce" in n:
-        return "reduces (LN stats etc.)"
-    if "fusion" in n:
-        return "other fusions"
-    if "dynamic" in n or "slice" in n or "concatenate" in n:
-        return "slices/concats"
-    return "misc"
-
-
 def parse():
-    files = sorted(glob.glob(f"{TRACE_DIR}/**/*.trace.json.gz", recursive=True))
-    if not files:
-        print("no trace.json.gz found under", TRACE_DIR)
-        return
-    with gzip.open(files[-1], "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    # device-side complete events: pid/tid names identify TPU tracks
-    pid_name = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_name[e["pid"]] = e["args"].get("name", "")
-    by_name = defaultdict(float)
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        track = pid_name.get(e.get("pid"), "")
-        if "TPU" not in track and "tpu" not in track and "/device" not in track:
-            continue
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        by_name[e["name"]] += dur
-        total += dur
-    by_cat = defaultdict(float)
-    for name, ms in by_name.items():
-        by_cat[categorize(name)] += ms
-    print(f"\ntotal device time (3 steps): {total:.1f} ms "
-          f"(~{total / 3:.1f} ms/step)")
-    print("\nby category (ms over 3 steps):")
-    for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f"  {ms:8.2f}  {cat}")
-    print("\ntop 25 kernels:")
-    for name, ms in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"  {ms:8.2f}  {name[:110]}")
+    from nkbx.core.profiling import aggregate_perfetto, format_breakdown
+
+    def swin_cat(name):
+        return "pallas window attention" if name.startswith("attn") else None
+
+    agg = aggregate_perfetto(TRACE_DIR, extra_category=swin_cat)
+    print(format_breakdown(agg, top=25))
+    print(f"\n(~{agg['total_ms'] / 3:.1f} ms/step over the 3 traced steps)")
 
 
 if __name__ == "__main__":

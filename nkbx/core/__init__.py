@@ -1,3 +1,4 @@
+from nkbx.core.profiling import aggregate_perfetto, format_breakdown
 from nkbx.core.runtime import (
     initialize,
     precision_policy,
@@ -12,4 +13,6 @@ __all__ = [
     "enable_nan_debugging",
     "Throughput",
     "profile_trace",
+    "aggregate_perfetto",
+    "format_breakdown",
 ]

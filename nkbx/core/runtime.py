@@ -93,9 +93,13 @@ class Throughput:
 
 
 @contextlib.contextmanager
-def profile_trace(log_dir: str):
-    """TensorBoard-viewable device trace: ``with profile_trace('/tmp/tb'): ...``"""
-    jax.profiler.start_trace(log_dir)
+def profile_trace(log_dir: str, perfetto: bool = False):
+    """TensorBoard-viewable device trace: ``with profile_trace('/tmp/tb'): ...``
+
+    ``perfetto=True`` additionally writes a ``*.trace.json.gz`` that
+    :func:`nkbx.core.profiling.aggregate_perfetto` turns into a per-kernel /
+    per-category time breakdown (no TensorBoard needed)."""
+    jax.profiler.start_trace(log_dir, create_perfetto_trace=perfetto)
     try:
         yield
     finally:
