@@ -368,8 +368,10 @@ class AnnotatedYOLODataset:
         crops are slices of the cached array, so callers must not mutate."""
         import threading
 
-        if not hasattr(self, "_decode_cache"):
-            # lazy init keeps old pickled/constructed instances working
+        if not hasattr(self, "_decode_lock"):
+            # lazy init keeps old pickled/constructed instances working; the
+            # cache dict is assigned BEFORE the lock so a racing thread that
+            # sees the lock also sees the cache (assignment order + the GIL)
             self._decode_cache = {}
             self._decode_lock = threading.Lock()
         with self._decode_lock:
