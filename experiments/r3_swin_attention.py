@@ -5,11 +5,16 @@ as the round-2 zoo datapoints in PERF.md) for swin_tiny and vit_base_p16 with
 the fused kernel (nkbx/ops/attention.py) on and off.
 
 Usage: python experiments/r3_swin_attention.py {smoke|swin_fused|swin_xla|
-vit_fused|vit_xla}   — one variant per invocation, chip idle (CLAUDE.md).
+vit_fused|vit_xla} [bs] [min_g]  — one variant per invocation, chip idle
+(CLAUDE.md). ``bs`` defaults to 64; ``min_g`` (swin auto-mode only) sets
+NKBX_FUSED_MIN_G to route small-G stages to XLA (swin_auto variant).
 
 Measured (2026-08-17, PERF.md "Round-3 fused window attention"):
   swin_xla 84.96 ms → 753 img/s | swin_fused 58.93 ms → 1,086 (+44.2%)
   vit_xla  60.78 ms → 1,053     | vit_fused  65.29 ms → 980 (−7%, negative)
+G sweep (PERF.md "per-stage G sweep") — all-fused optimal at every Swin G:
+  bs=64: auto min_g=128 58.86 ms (break-even) | min_g=512 66.67 (−12%)
+  bs=8:  fused 10.31 ms | auto min_g=128 11.48 (−10%) | xla 12.68 (−19%)
 """
 
 import json
@@ -71,7 +76,8 @@ def run(variant):
                                    [f"c{i}" for i in range(1000)], "single",
                                    backbone.num_features)
 
-    fused = variant.endswith("fused")
+    # "auto" leaves the flag None so the NKBX_FUSED_MIN_G per-stage gate runs
+    fused = None if variant.endswith("auto") else variant.endswith("fused")
     if variant.startswith("swin"):
         backbone = swin_mod.swin_tiny_patch4_window7_224(
             dtype=jnp.bfloat16, fused_attention=fused)
@@ -110,10 +116,20 @@ def run(variant):
         state, metrics = step(state, *args)
     loss = sync(metrics)
     dt = (time.perf_counter() - t0) / (chunks * K)
-    print(json.dumps({"variant": variant, "ms_per_step": round(dt * 1e3, 2),
+    import os
+
+    print(json.dumps({"variant": variant, "bs": BS,
+                      "min_g": os.environ.get("NKBX_FUSED_MIN_G"),
+                      "ms_per_step": round(dt * 1e3, 2),
                       "img_per_s": round(BS / dt, 1), "loss": round(loss, 4)}))
 
 
 if __name__ == "__main__":
     arg = sys.argv[1] if len(sys.argv) > 1 else "smoke"
+    if len(sys.argv) > 2:
+        BS = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        import os
+
+        os.environ["NKBX_FUSED_MIN_G"] = sys.argv[3]
     smoke() if arg == "smoke" else run(arg)

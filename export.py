@@ -46,10 +46,18 @@ def parse_args():
                         help="bf16 inference I/O (TPU-native half precision)")
     parser.add_argument("--quantize", type=str, default=None, choices=["dynamic"],
                         help="tflite only: dynamic-range int8 weight quantization")
+    parser.add_argument("--fused-attention", type=str2bool, nargs="?", const=True,
+                        default=False,
+                        help="serving only: keep the Pallas fused-attention "
+                             "kernel in the bundle (+44%% Swin serving on TPU; "
+                             "TPU-only artifact, requires --dynamic none)")
     args = parser.parse_args()
     assert args.to in ("serving", "stablehlo", "savedmodel", "tflite", "onnx")
     assert args.dynamic in ("batch", "none", "all")
     assert len(args.input_shape) == 4
+    if args.fused_attention:
+        assert args.to == "serving", "--fused-attention applies to --to serving only"
+        assert args.dynamic == "none", "--fused-attention requires --dynamic none"
     return args
 
 
@@ -126,6 +134,7 @@ def main(args):
         path, meta = export_model(
             model, args.input_shape, out, metadata=metadata,
             dynamic=args.dynamic, dtype=dtype,
+            fused_attention=args.fused_attention,
         )
         print(f"serving export success, saved as {path}")
     else:

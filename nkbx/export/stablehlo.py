@@ -39,7 +39,8 @@ def make_metadata(classes, input_shape, task="single", description=""):
 
 
 def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=True,
-                 dtype=jnp.float32, dynamic="batch", spatial_multiple=32):
+                 dtype=jnp.float32, dynamic="batch", spatial_multiple=32,
+                 fused_attention=False):
     """Export a ClassificationModel's inference fn to a .nkbx bundle.
 
     Args:
@@ -55,6 +56,15 @@ def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=Tru
             embeddings pin the spatial size, as they do for the reference's
             ONNX dynamic axes).
         dynamic_batch: legacy bool form of ``dynamic`` ('batch' when True).
+        fused_attention: keep the Pallas fused-attention lowering in the
+            bundle (+44% serving throughput for Swin on TPU, PERF.md) instead
+            of force-disabling it. The resulting bundle embeds a
+            ``tpu_custom_call`` — it is TPU-ONLY and carries no cross-release
+            compatibility guarantee (the default, portable bundle has both).
+            Requires ``dynamic='none'``: the kernel's block picker needs a
+            concrete window count. Traced on a non-TPU backend the model's
+            auto mode skips the kernel anyway, so this flag only changes the
+            artifact when exporting on the TPU host that will serve it.
     """
     from jax import export as jexp
 
@@ -79,11 +89,23 @@ def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=Tru
 
     from nkbx.ops.attention import disable_fused
 
-    with disable_fused():  # Pallas attention is not export-portable
-        exported = jexp.export(jax.jit(infer))(arg)
+    if fused_attention:
+        if dynamic != "none":
+            raise ValueError(
+                "fused_attention export requires dynamic='none': the Pallas "
+                "block picker needs a concrete window count")
+        exported = jexp.export(
+            jax.jit(infer),
+            disabled_checks=[jexp.DisabledSafetyCheck.custom_call("tpu_custom_call")],
+        )(arg)
+    else:
+        with disable_fused():  # Pallas attention is not export-portable
+            exported = jexp.export(jax.jit(infer))(arg)
     blob = exported.serialize()
 
     meta = metadata or make_metadata(model.classes, input_shape, model.task)
+    if fused_attention:
+        meta = dict(meta, fused_attention=True)
     meta_bytes = json.dumps(meta).encode()
     save_path = Path(save_path)
     with open(save_path, "wb") as f:

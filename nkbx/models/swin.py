@@ -66,15 +66,18 @@ def _window_reverse(windows, window: int, b: int, h: int, w: int):
     return x.reshape(b, h, w, c)
 
 
-def _use_fused(flag):
+def _use_fused(flag, groups=None):
     """None = auto: fused Pallas attention on TPU (+44% swin_tiny, PERF.md),
-    plain XLA elsewhere. NKBX_FUSED_ATTENTION=0|1 overrides; export tracing
+    plain XLA elsewhere. The window-group count G = batch·windows is passed
+    so NKBX_FUSED_MIN_G can route small-G stages to XLA per call site — the
+    round-3 G sweep measured all-fused optimal at every Swin G, so the
+    default gate is open. NKBX_FUSED_ATTENTION=0|1 overrides; export tracing
     force-disables (see nkbx.ops.attention.resolve_fused)."""
     import jax
 
     from nkbx.ops.attention import resolve_fused
 
-    return resolve_fused(flag, jax.default_backend() == "tpu")
+    return resolve_fused(flag, jax.default_backend() == "tpu", groups)
 
 
 class WindowAttention(nn.Module):
@@ -100,7 +103,7 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                        name="qkv")(x)
         bias = jnp.asarray(table)[index].reshape(n, n, self.n_heads)
-        if _use_fused(self.fused):
+        if _use_fused(self.fused, groups=bn):
             # qkv factors as (3, heads, hd) in the minor dim — exactly the
             # packed layout fused_attention_qkv consumes (no slice copies).
             from nkbx.ops.attention import fused_attention_qkv

@@ -74,13 +74,28 @@ def fused_force_disabled() -> bool:
     return _FORCE_DISABLED
 
 
-def resolve_fused(flag, auto: bool) -> bool:
+_AUTO_MIN_GROUPS = 1  # auto-mode G threshold. The round-3 per-stage G sweep
+                      # (PERF.md) measured all-fused optimal or break-even at
+                      # every Swin G (4096..8, bs=64 and bs=8), so the shipped
+                      # gate is fully open; NKBX_FUSED_MIN_G remains as an ops
+                      # escape hatch for untested window/batch geometries.
+
+
+def resolve_fused(flag, auto: bool, groups=None) -> bool:
     """Resolve a model's fused-attention flag at trace time.
 
     Precedence: disable_fused() context (export tracing) > the
     ``NKBX_FUSED_ATTENTION=0|1`` env override (ops escape hatch / bisect
-    tool) > the module flag (None = the model family's measured default:
-    True-on-TPU for Swin, False for ViT — see PERF.md round 3)."""
+    tool) > the module flag (True/False) > the auto default (the model
+    family's measured default: True-on-TPU for Swin, False for ViT — see
+    PERF.md round 3). In auto mode, ``groups`` (the attention group count
+    G = batch·windows, static at trace time) can gate the kernel per CALL
+    SITE via ``NKBX_FUSED_MIN_G`` (route G < min_g stages to XLA). The
+    round-3 sweep measured the all-fused program fastest at every Swin G,
+    so the default threshold leaves the gate open — the knob exists because
+    the kernel's win (keeping the (G,H,N,N) probs out of HBM) shrinks with
+    G while its grid/dispatch overhead does not, and other window/batch
+    geometries may cross over (ViT/32 at G=64,N=50 measures −2%)."""
     import os
 
     if _FORCE_DISABLED:
@@ -88,7 +103,12 @@ def resolve_fused(flag, auto: bool) -> bool:
     env = os.environ.get("NKBX_FUSED_ATTENTION", "")
     if env:
         return env not in ("0", "false", "False")
-    return auto if flag is None else bool(flag)
+    if flag is not None:
+        return bool(flag)
+    if not auto:
+        return False
+    min_g = int(os.environ.get("NKBX_FUSED_MIN_G", _AUTO_MIN_GROUPS))
+    return groups is None or groups >= min_g
 
 _VMEM_BUDGET = 10_000_000  # bytes of per-window tensors, under the ~16M VMEM
                            # with room for Pallas double-buffering. Measured

@@ -160,6 +160,33 @@ def test_export_force_disables_fused_path():
             out, module.apply(variables, x), rtol=1e-5, atol=1e-5)
 
 
+def test_export_fused_attention_optin():
+    """export_model(fused_attention=True) keeps the fused lowering in the
+    bundle (TPU-only serving artifact; on this CPU backend the kernel traces
+    through interpret mode, so the roundtrip stays runnable) and refuses
+    symbolic shapes."""
+    import tempfile
+
+    from nkbx.models.classifier import ClassificationModel
+    from nkbx.export.stablehlo import export_model, load_exported
+
+    module = _tiny_swin(True)
+    x = jnp.asarray(np.random.RandomState(7).rand(2, 16, 16, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    model = ClassificationModel(module, dict(variables), ["a", "b"], "single", 8)
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(ValueError, match="dynamic"):
+            export_model(model, (2, 16, 16, 3), f"{d}/m.nkbx",
+                         dynamic="batch", fused_attention=True)
+        path, meta = export_model(model, (2, 16, 16, 3), f"{d}/m.nkbx",
+                                  dynamic="none", fused_attention=True)
+        assert meta["fused_attention"] is True
+        meta2, exported = load_exported(path)
+        assert meta2["fused_attention"] is True
+        np.testing.assert_allclose(
+            exported.call(x), module.apply(variables, x), rtol=1e-5, atol=1e-5)
+
+
 def test_env_override_resolves_flags(monkeypatch):
     from nkbx.ops.attention import disable_fused, resolve_fused
 
@@ -174,6 +201,33 @@ def test_env_override_resolves_flags(monkeypatch):
     assert resolve_fused(False, False) is True
     with disable_fused():                       # export context beats env
         assert resolve_fused(True, True) is False
+
+
+def test_auto_mode_group_gate(monkeypatch):
+    """NKBX_FUSED_MIN_G routes small-G call sites to XLA per call site (ops
+    escape hatch; the shipped default gate is open — the PERF.md round-3 G
+    sweep measured all-fused optimal at every Swin G). An explicit module
+    flag or env override bypasses the gate."""
+    from nkbx.ops import attention
+    from nkbx.ops.attention import resolve_fused
+
+    monkeypatch.delenv("NKBX_FUSED_ATTENTION", raising=False)
+    monkeypatch.setenv("NKBX_FUSED_MIN_G", "256")
+    assert resolve_fused(None, True, groups=4096) is True
+    assert resolve_fused(None, True, groups=256) is True
+    assert resolve_fused(None, True, groups=64) is False   # small-G -> XLA
+    assert resolve_fused(None, True) is True               # no G info: fused
+    assert resolve_fused(True, True, groups=64) is True    # explicit flag wins
+    assert resolve_fused(None, False, groups=4096) is False
+    monkeypatch.setenv("NKBX_FUSED_ATTENTION", "1")
+    assert resolve_fused(None, True, groups=64) is True    # env force beats gate
+    monkeypatch.delenv("NKBX_FUSED_ATTENTION")
+    monkeypatch.delenv("NKBX_FUSED_MIN_G")
+    # the shipped default threshold gates exactly as documented
+    gate = attention._AUTO_MIN_GROUPS
+    assert resolve_fused(None, True, groups=gate) is True
+    if gate > 1:
+        assert resolve_fused(None, True, groups=gate - 1) is False
 
 
 def test_vit_model_fused_matches_xla_path():
