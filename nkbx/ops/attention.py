@@ -110,6 +110,59 @@ def resolve_fused(flag, auto: bool, groups=None) -> bool:
     min_g = int(os.environ.get("NKBX_FUSED_MIN_G", _AUTO_MIN_GROUPS))
     return groups is None or groups >= min_g
 
+_ATTENTION_MESH = None  # (Mesh, axis_name) | None — see set_attention_mesh
+
+
+def set_attention_mesh(mesh, axis: str = "data"):
+    """Declare the mesh the fused kernels will run under (or None to clear).
+
+    ``pallas_call`` has no GSPMD partitioning rule — jitted over a
+    multi-device mesh it raises ("requires all mesh axes to be Manual",
+    jax 0.9 pallas_call.py). The kernel is purely batched over its leading
+    G dim, so when a mesh is declared the public entry points wrap the
+    kernel in ``jax.shard_map`` over ``axis`` (batch-sharded q/k/v/o,
+    replicated bias/mask); the bias gradient — the one cross-shard
+    reduction — is returned per-shard and summed outside the shard_map.
+    The engine sets this from its ``mesh=`` argument (nkbx/train/engine.py);
+    meshes with a data axis of size 1 keep the plain single-device path.
+    """
+    global _ATTENTION_MESH
+    _ATTENTION_MESH = None if mesh is None else (mesh, axis)
+
+
+@contextlib.contextmanager
+def attention_mesh(mesh, axis: str = "data"):
+    global _ATTENTION_MESH
+    prev = _ATTENTION_MESH
+    set_attention_mesh(mesh, axis)
+    try:
+        yield
+    finally:
+        _ATTENTION_MESH = prev
+
+
+def _active_mesh():
+    """The declared (mesh, axis) when its data axis is actually >1."""
+    if _ATTENTION_MESH is None:
+        return None
+    mesh, axis = _ATTENTION_MESH
+    return (mesh, axis) if mesh.shape[axis] > 1 else None
+
+
+def _check_shardable(g: int, m: int, mesh, axis: str):
+    ndev = mesh.shape[axis]
+    if g % ndev:
+        raise ValueError(
+            f"fused attention under a {ndev}-way '{axis}' mesh needs the "
+            f"window-group count G={g} divisible by the axis size "
+            f"(per-chip batch must divide the global batch)")
+    if m > 1 and (g // ndev) % m:
+        raise ValueError(
+            f"fused attention shards G={g} into {ndev} chunks of {g // ndev}, "
+            f"which misaligns the {m}-periodic shift mask — shard on whole-"
+            f"image boundaries (G per shard must be a multiple of M={m})")
+
+
 _VMEM_BUDGET = 10_000_000  # bytes of per-window tensors, under the ~16M VMEM
                            # with room for Pallas double-buffering. Measured
                            # (PERF.md r3): 10M beats the 6M first cut +4.2%
@@ -274,13 +327,7 @@ def _interp(interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_attention(q, k, v, bias, mask, scale, heads, interpret=None):
-    """softmax(q kᵀ·scale + bias + mask) v, fused in VMEM.
-
-    q, k, v: (G, N, H·D); bias (H, N, N) learned additive bias, or (1, N, N)
-    broadcast across heads (pass zeros for none); mask (M, N, N) additive
-    constant (no grad) with G % M == 0.
-    """
+def _fused_sep(q, k, v, bias, mask, scale, heads, interpret=None):
     return _sep_fwd(q, k, v, bias, mask, scale, heads, interpret)
 
 
@@ -305,8 +352,8 @@ def _sep_vjp_fwd(q, k, v, bias, mask, scale, heads, interpret):
     return _sep_fwd(q, k, v, bias, mask, scale, heads, interpret), (q, k, v, bias, mask)
 
 
-def _sep_vjp_bwd(scale, heads, interpret, res, go):
-    q, k, v, bias, mask = res
+def _sep_bwd_raw(q, k, v, bias, mask, go, scale, heads, interpret):
+    """(dq, dk, dv, dbias_f32) for one (possibly per-shard) group block."""
     g_, n, hd = q.shape
     m = mask.shape[0]
     w = _pick_block(g_, m, n, hd, q.dtype.itemsize)
@@ -314,7 +361,7 @@ def _sep_vjp_bwd(scale, heads, interpret, res, go):
     kern = functools.partial(_bwd_kernel_sep, heads=heads, hd=hd, w=w, m=m,
                              n=n, scale=scale, out_dtype=q.dtype)
     ts = jax.ShapeDtypeStruct((g_, n, hd), q.dtype)
-    dq, dk, dv, dbias = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(g_ // w,),
         in_specs=[qspec, qspec, qspec, bspec, mspec, qspec],
@@ -323,16 +370,20 @@ def _sep_vjp_bwd(scale, heads, interpret, res, go):
                    jax.ShapeDtypeStruct((bias.shape[0], n, n), jnp.float32)),
         interpret=_interp(interpret),
     )(q, k, v, bias, mask, go)
+
+
+def _sep_vjp_bwd(scale, heads, interpret, res, go):
+    q, k, v, bias, mask = res
+    dq, dk, dv, dbias = _sep_bwd_raw(q, k, v, bias, mask, go, scale, heads,
+                                     interpret)
     return dq, dk, dv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
 
 
-fused_attention.defvjp(_sep_vjp_fwd, _sep_vjp_bwd)
+_fused_sep.defvjp(_sep_vjp_fwd, _sep_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_attention_qkv(qkv, bias, mask, scale, heads, interpret=None):
-    """Packed-entry twin of fused_attention: qkv (G, N, 3·H·D) — the swin
-    qkv-Dense output, factored (3, heads, hd) in the minor dim."""
+def _fused_qkv(qkv, bias, mask, scale, heads, interpret=None):
     return _packed_fwd(qkv, bias, mask, scale, heads, interpret)
 
 
@@ -359,8 +410,8 @@ def _packed_vjp_fwd(qkv, bias, mask, scale, heads, interpret):
     return _packed_fwd(qkv, bias, mask, scale, heads, interpret), (qkv, bias, mask)
 
 
-def _packed_vjp_bwd(scale, heads, interpret, res, go):
-    qkv, bias, mask = res
+def _packed_bwd_raw(qkv, bias, mask, go, scale, heads, interpret):
+    """(dqkv, dbias_f32) for one (possibly per-shard) group block."""
     g_, n, hd3 = qkv.shape
     hd = hd3 // 3
     m = mask.shape[0]
@@ -369,7 +420,7 @@ def _packed_vjp_bwd(scale, heads, interpret, res, go):
     ospec, _, _ = _specs(n, hd, bias.shape[0], m, w)
     kern = functools.partial(_bwd_kernel_packed, heads=heads, hd=hd, w=w,
                              m=m, n=n, scale=scale, out_dtype=qkv.dtype)
-    dqkv, dbias = pl.pallas_call(
+    return pl.pallas_call(
         kern,
         grid=(g_ // w,),
         in_specs=[qspec, bspec, mspec, ospec],
@@ -378,10 +429,137 @@ def _packed_vjp_bwd(scale, heads, interpret, res, go):
                    jax.ShapeDtypeStruct((bias.shape[0], n, n), jnp.float32)),
         interpret=_interp(interpret),
     )(qkv, bias, mask, go)
+
+
+def _packed_vjp_bwd(scale, heads, interpret, res, go):
+    qkv, bias, mask = res
+    dqkv, dbias = _packed_bwd_raw(qkv, bias, mask, go, scale, heads, interpret)
     return dqkv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
 
 
-fused_attention_qkv.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+_fused_qkv.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+# --- mesh-sharded twins (see set_attention_mesh) ----------------------------
+#
+# pallas_call cannot be partitioned by GSPMD, so under a multi-device mesh the
+# kernel runs inside jax.shard_map over the data axis: q/k/v/qkv/go/o are
+# batch-sharded on G (each shard is an independent, smaller instance of the
+# same kernel — per-shard semantics are exact because the op is purely
+# batched over G), bias/mask are replicated in, and the bias gradient — the
+# only cross-shard reduction — is emitted per-shard on a sharded leading axis
+# and summed OUTSIDE the shard_map (sidestepping replicated-cotangent
+# transpose subtleties; check_vma=False because pallas declares no vma).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_sep_sharded(q, k, v, bias, mask, scale, heads, interpret, mesh, axis):
+    return _sep_sharded_fwd(q, k, v, bias, mask, scale, heads, interpret,
+                            mesh, axis)[0]
+
+
+def _sep_sharded_fwd(q, k, v, bias, mask, scale, heads, interpret, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _check_shardable(q.shape[0], mask.shape[0], mesh, axis)
+
+    def fn(q_, k_, v_, b_, m_):
+        return _sep_fwd(q_, k_, v_, b_, m_, scale, heads, interpret)
+
+    shmap = jax.shard_map(fn, mesh=mesh,
+                          in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                          out_specs=P(axis), check_vma=False)
+    return shmap(q, k, v, bias, mask), (q, k, v, bias, mask)
+
+
+def _sep_sharded_bwd(scale, heads, interpret, mesh, axis, res, go):
+    from jax.sharding import PartitionSpec as P
+
+    q, k, v, bias, mask = res
+
+    def fn(q_, k_, v_, b_, m_, g_):
+        dq, dk, dv, dbias = _sep_bwd_raw(q_, k_, v_, b_, m_, g_, scale,
+                                         heads, interpret)
+        return dq, dk, dv, dbias[None]  # (1, BH, N, N) per shard
+
+    shmap = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)), check_vma=False)
+    dq, dk, dv, dbias_parts = shmap(q, k, v, bias, mask, go)
+    dbias = jnp.sum(dbias_parts, axis=0).astype(bias.dtype)
+    return dq, dk, dv, dbias, jnp.zeros_like(mask)
+
+
+_fused_sep_sharded.defvjp(_sep_sharded_fwd, _sep_sharded_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused_qkv_sharded(qkv, bias, mask, scale, heads, interpret, mesh, axis):
+    return _packed_sharded_fwd(qkv, bias, mask, scale, heads, interpret,
+                               mesh, axis)[0]
+
+
+def _packed_sharded_fwd(qkv, bias, mask, scale, heads, interpret, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _check_shardable(qkv.shape[0], mask.shape[0], mesh, axis)
+
+    def fn(qkv_, b_, m_):
+        return _packed_fwd(qkv_, b_, m_, scale, heads, interpret)
+
+    shmap = jax.shard_map(fn, mesh=mesh, in_specs=(P(axis), P(), P()),
+                          out_specs=P(axis), check_vma=False)
+    return shmap(qkv, bias, mask), (qkv, bias, mask)
+
+
+def _packed_sharded_bwd(scale, heads, interpret, mesh, axis, res, go):
+    from jax.sharding import PartitionSpec as P
+
+    qkv, bias, mask = res
+
+    def fn(qkv_, b_, m_, g_):
+        dqkv, dbias = _packed_bwd_raw(qkv_, b_, m_, g_, scale, heads, interpret)
+        return dqkv, dbias[None]
+
+    shmap = jax.shard_map(
+        fn, mesh=mesh, in_specs=(P(axis), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False)
+    dqkv, dbias_parts = shmap(qkv, bias, mask, go)
+    return (dqkv, jnp.sum(dbias_parts, axis=0).astype(bias.dtype),
+            jnp.zeros_like(mask))
+
+
+_fused_qkv_sharded.defvjp(_packed_sharded_fwd, _packed_sharded_bwd)
+
+
+# --- public entry points -----------------------------------------------------
+
+
+def fused_attention(q, k, v, bias, mask, scale, heads, interpret=None):
+    """softmax(q kᵀ·scale + bias + mask) v, fused in VMEM.
+
+    q, k, v: (G, N, H·D); bias (H, N, N) learned additive bias, or (1, N, N)
+    broadcast across heads (pass zeros for none); mask (M, N, N) additive
+    constant (no grad) with G % M == 0. Under a declared multi-device mesh
+    (set_attention_mesh) the kernel runs per-shard inside jax.shard_map.
+    """
+    ctx = _active_mesh()
+    if ctx is not None:
+        return _fused_sep_sharded(q, k, v, bias, mask, scale, heads,
+                                  interpret, *ctx)
+    return _fused_sep(q, k, v, bias, mask, scale, heads, interpret)
+
+
+def fused_attention_qkv(qkv, bias, mask, scale, heads, interpret=None):
+    """Packed-entry twin of fused_attention: qkv (G, N, 3·H·D) — the swin
+    qkv-Dense output, factored (3, heads, hd) in the minor dim. Mesh-aware
+    like fused_attention."""
+    ctx = _active_mesh()
+    if ctx is not None:
+        return _fused_qkv_sharded(qkv, bias, mask, scale, heads, interpret,
+                                  *ctx)
+    return _fused_qkv(qkv, bias, mask, scale, heads, interpret)
 
 
 def reference_attention(q, k, v, bias, mask, scale, heads):

@@ -119,6 +119,36 @@ class TestCLIWorkflow:
         pngs = list((tmp_path / "augs").glob("aug_*.png"))
         assert len(pngs) == 4
 
+    def test_export_cli(self, workspace):
+        """export.py --to serving end-to-end on the trained checkpoint
+        (reference export.py surface): the bundle loads and serves, and
+        --fused-attention stamps its metadata flag (TPU-only artifact;
+        traced on CPU the auto mode skips the kernel, so the bundle stays
+        runnable here)."""
+        out = workspace / "export_out"
+        _run(["export.py", "-cfg", str(workspace / "train_config.py"),
+              "--to", "serving", "-w", str(workspace / "runs" / "cli_run" / "weights" / "last"),
+              "--dynamic", "none", "--input-shape", "4", "32", "32", "3",
+              "--fused-attention", "--save_path", str(out)])
+        from nkbx.export.serving import TPUServingModule
+
+        mod = TPUServingModule(str(out / "last.nkbx"), warm_up_on_load=False)
+        assert mod.metadata["fused_attention"] is True
+        assert mod.metadata["classes"] == ["cat", "dog"]
+        probs = np.asarray(mod(np.random.default_rng(0).random((4, 32, 32, 3), dtype=np.float32)))
+        assert probs.shape == (4, 2)
+
+    def test_export_cli_fused_requires_static(self, workspace):
+        """--fused-attention with symbolic shapes is refused up front."""
+        r = subprocess.run(
+            [sys.executable, "export.py", "-cfg", str(workspace / "train_config.py"),
+             "--to", "serving", "-w", str(workspace / "runs" / "cli_run" / "weights" / "last"),
+             "--dynamic", "batch", "--fused-attention"],
+            cwd=REPO, env={**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""},
+            capture_output=True, text=True, timeout=120)
+        assert r.returncode != 0
+        assert "requires --dynamic none" in r.stderr
+
     def test_resume_cli(self, workspace):
         """--resume continues from the saved epoch without error."""
         # bump n_epochs to 2 so resume has something to do

@@ -248,3 +248,122 @@ def test_vit_model_fused_matches_xla_path():
     gx = jax.tree_util.tree_leaves(jax.grad(loss)(params, False))
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+
+
+class TestMeshSharded:
+    """Multi-device path: pallas_call cannot be GSPMD-partitioned, so under a
+    declared mesh (set_attention_mesh — the engine does this from its mesh=
+    argument) the public entries run the kernel per-shard inside
+    jax.shard_map. Per-shard semantics are exact (the op is purely batched
+    over G); the bias gradient is psummed by summing per-shard partials."""
+
+    def _mesh(self):
+        from nkbx.parallel import make_mesh
+
+        return make_mesh(n_data=8)
+
+    def test_sep_sharded_matches_local(self):
+        from nkbx.parallel import batch_sharding
+        from nkbx.ops.attention import attention_mesh
+
+        mesh = self._mesh()
+        g, n, heads, d, m = 16, 9, 2, 8, 2
+        q, k, v, bias, mask = _inputs(g, n, heads, d, m, seed=11)
+        scale = d ** -0.5
+        co = jnp.asarray(np.random.RandomState(12).randn(g, n, heads * d),
+                         jnp.float32)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(fused_attention(q, k, v, bias, mask, scale,
+                                           heads, True) * co)
+
+        want_out = fused_attention(q, k, v, bias, mask, scale, heads, True)
+        want_g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+
+        sh = batch_sharding(mesh)
+        qs, ks, vs = (jax.device_put(t, sh) for t in (q, k, v))
+        with attention_mesh(mesh):
+            got_out = fused_attention(qs, ks, vs, bias, mask, scale, heads, True)
+            got_g = jax.grad(loss, argnums=(0, 1, 2, 3))(qs, ks, vs, bias)
+        np.testing.assert_allclose(got_out, want_out, rtol=2e-5, atol=2e-5)
+        for name, a, b in zip("q k v bias".split(), got_g, want_g):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
+
+    def test_packed_sharded_matches_local(self):
+        from nkbx.parallel import batch_sharding
+        from nkbx.ops.attention import attention_mesh
+
+        mesh = self._mesh()
+        g, n, heads, d, m = 16, 9, 2, 8, 1
+        q, k, v, bias, mask = _inputs(g, n, heads, d, m, seed=13)
+        scale = d ** -0.5
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        co = jnp.asarray(np.random.RandomState(14).randn(g, n, heads * d),
+                         jnp.float32)
+
+        def loss(qkv, bias):
+            return jnp.sum(fused_attention_qkv(qkv, bias, mask, scale,
+                                               heads, True) * co)
+
+        want_out = fused_attention_qkv(qkv, bias, mask, scale, heads, True)
+        want_g = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+
+        qkvs = jax.device_put(qkv, batch_sharding(mesh))
+        with attention_mesh(mesh):
+            got_out = fused_attention_qkv(qkvs, bias, mask, scale, heads, True)
+            got_g = jax.grad(loss, argnums=(0, 1))(qkvs, bias)
+        np.testing.assert_allclose(got_out, want_out, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(got_g[0], want_g[0], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got_g[1], want_g[1], rtol=2e-4, atol=2e-4)
+
+    def test_divisibility_errors(self):
+        from nkbx.ops.attention import attention_mesh
+
+        mesh = self._mesh()
+        q, k, v, bias, mask = _inputs(12, 9, 2, 8, 1, seed=15)
+        with attention_mesh(mesh):
+            with pytest.raises(ValueError, match="divisible"):
+                fused_attention(q, k, v, bias, mask, 0.35, 2, True)
+        q, k, v, bias, mask = _inputs(16, 9, 2, 8, 4, seed=16)
+        with attention_mesh(mesh):  # 16/8 = 2 per shard, M=4 misaligns
+            with pytest.raises(ValueError, match="misaligns"):
+                fused_attention(q, k, v, bias, mask, 0.35, 2, True)
+
+    def test_mesh_with_unit_data_axis_stays_local(self):
+        from nkbx.parallel import make_mesh
+        from nkbx.ops.attention import _active_mesh, attention_mesh
+
+        with attention_mesh(make_mesh(n_data=1, n_model=1,
+                                      devices=jax.devices()[:1])):
+            assert _active_mesh() is None
+
+    def test_swin_module_under_mesh_matches_replicated(self):
+        """End-to-end WindowAttention integration: a jitted swin forward+grad
+        with the batch sharded over 8 devices equals the single-device fused
+        path (the engine sets the mesh before tracing — mirrored here)."""
+        from nkbx.parallel import batch_sharding
+        from nkbx.ops.attention import attention_mesh
+
+        module = _tiny_swin(True)
+        xb = jnp.asarray(np.random.RandomState(17).rand(8, 16, 16, 3),
+                         jnp.float32)
+        params = module.init(jax.random.PRNGKey(0), xb)
+
+        def loss(params, x):
+            return jnp.sum(module.apply(params, x) ** 2)
+
+        want = loss(params, xb)
+        want_g = jax.grad(loss)(params, xb)
+
+        mesh = self._mesh()
+        xs = jax.device_put(xb, batch_sharding(mesh))
+        with attention_mesh(mesh):
+            got = jax.jit(loss)(params, xs)
+            got_g = jax.jit(jax.grad(loss))(params, xs)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(got_g),
+                jax.tree_util.tree_leaves(want_g)):
+            np.testing.assert_allclose(
+                a, b, rtol=5e-4, atol=5e-4,
+                err_msg=jax.tree_util.keystr(path))
