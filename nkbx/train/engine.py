@@ -599,13 +599,13 @@ def train_epoch(
 
     from nkbx.core import Throughput
 
-    if mesh is not None:
-        # declare the mesh BEFORE the step traces: the fused Pallas attention
-        # must lower through shard_map on multi-device meshes (GSPMD cannot
-        # partition pallas_call — see nkbx.ops.attention.set_attention_mesh)
-        from nkbx.ops.attention import set_attention_mesh
+    # declare the mesh BEFORE the step traces: the fused Pallas attention
+    # must lower through shard_map on multi-device meshes (GSPMD cannot
+    # partition pallas_call — see nkbx.ops.attention.set_attention_mesh).
+    # Unconditional so a mesh=None epoch clears a previous epoch's mesh.
+    from nkbx.ops.attention import set_attention_mesh
 
-        set_attention_mesh(mesh)
+    set_attention_mesh(mesh)
 
     task = getattr(cfg, "task", "single") if cfg is not None else "single"
     logger = epoch_logger if epoch_logger is not None else EpochCollector(task)
@@ -717,10 +717,9 @@ def val_epoch(
     progress: bool = True,
     task: str = "single",
 ):
-    if mesh is not None:
-        from nkbx.ops.attention import set_attention_mesh
+    from nkbx.ops.attention import set_attention_mesh
 
-        set_attention_mesh(mesh)  # see train_epoch — Pallas needs shard_map
+    set_attention_mesh(mesh)  # see train_epoch — Pallas needs shard_map
     logger = epoch_logger if epoch_logger is not None else EpochCollector(task)
     logger.init_iter_logs()
     it = val_loader.epoch(epoch)

@@ -367,3 +367,40 @@ class TestMeshSharded:
             np.testing.assert_allclose(
                 a, b, rtol=5e-4, atol=5e-4,
                 err_msg=jax.tree_util.keystr(path))
+
+
+def test_epoch_with_none_mesh_clears_declared_mesh():
+    """train_epoch/val_epoch declare their mesh unconditionally: an epoch run
+    with mesh=None must clear a mesh left by a previous multi-device epoch,
+    or later single-device steps would lower through a stale shard_map."""
+    from nkbx.models import get_model
+    from nkbx.ops.attention import _active_mesh, set_attention_mesh
+    from nkbx.parallel import make_mesh
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+    from nkbx.train.engine import train_epoch
+
+    model = get_model(
+        {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+        classes=["a", "b"], input_size=(32, 32), seed=0, dtype=jnp.float32)
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+    bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.1})
+    step = build_train_step(model, criterion, bundle)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+
+    class Loader:
+        def epoch(self, e):
+            r = np.random.default_rng(0)
+            yield {"image": r.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
+                   "label": np.zeros(4, np.int64), "mask": np.ones(4, bool)}
+
+        def __len__(self):
+            return 1
+
+    set_attention_mesh(make_mesh(n_data=8))  # stale mesh from a previous run
+    assert _active_mesh() is not None
+    try:
+        train_epoch(state, Loader(), step, 0, jax.random.PRNGKey(0), 1.0, 1.0,
+                    mesh=None, progress=False)
+        assert _active_mesh() is None
+    finally:
+        set_attention_mesh(None)
