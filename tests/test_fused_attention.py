@@ -404,3 +404,93 @@ def test_epoch_with_none_mesh_clears_declared_mesh():
         assert _active_mesh() is None
     finally:
         set_attention_mesh(None)
+
+
+def _swin_engine_fixture():
+    """(step-builder inputs, loader) for engine-level mesh integration tests."""
+    from nkbx.models.classifier import ClassificationModel, SingletaskClassifier
+    from nkbx.models.swin import SwinTransformer
+    from nkbx.train import get_loss
+
+    bb = SwinTransformer(embed_dim=8, depths=(2,), n_heads=(2,), patch_size=4,
+                         window=2, fused_attention=True, dtype=jnp.float32)
+    module = SingletaskClassifier(backbone=bb, n_classes=3)
+    variables = dict(module.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, 16, 16, 3)), train=False))
+    model = ClassificationModel(module, variables, ["a", "b", "c"], "single", 8)
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+
+    rng = np.random.default_rng(0)
+    X = np.stack([np.full((16, 16, 3), (i % 3) * 0.3, np.float32)
+                  + rng.normal(0, .05, (16, 16, 3)) for i in range(32)]
+                 ).astype(np.float32)
+    Y = (np.arange(32) % 3).astype(np.int64)
+
+    class Loader:
+        def epoch(self, e):
+            for b in range(2):
+                sl = slice(b * 16, (b + 1) * 16)
+                yield {"image": X[sl], "label": Y[sl],
+                       "mask": np.ones(16, bool)}
+
+        def __len__(self):
+            return 2
+
+    return model, criterion, Loader
+
+
+def test_scan_steps_with_mesh_and_fused_swin():
+    """steps_per_dispatch>1 nests the shard_map'd Pallas kernel inside
+    lax.scan under the mesh — must trace, run, and match the unscanned run."""
+    from nkbx.parallel import make_mesh
+    from nkbx.train import TrainState, build_train_step, get_optimizer
+    from nkbx.train.engine import train_epoch
+    from nkbx.ops.attention import set_attention_mesh
+
+    mesh = make_mesh(n_data=8)
+    model, criterion, Loader = _swin_engine_fixture()
+    try:
+        losses = []
+        for scan_steps in (2, 1):
+            bundle = get_optimizer(model.params, {"type": "adam", "lr": 5e-3})
+            step = build_train_step(model, criterion, bundle,
+                                    scan_steps=scan_steps)
+            state = TrainState.create(model.params, model.batch_stats,
+                                      bundle.tx)
+            state, res = train_epoch(state, Loader(), step, 0,
+                                     jax.random.PRNGKey(0), 1.0, 1.0,
+                                     mesh=mesh, progress=False)
+            losses.append(float(np.mean(res["running_loss"])))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    finally:
+        set_attention_mesh(None)
+
+
+def test_fsdp_with_mesh_and_fused_swin():
+    """FSDP-scattered params (incl. the attention bias — replicated into the
+    shard_map by GSPMD all-gather) train through the fused kernel and match
+    the replicated run."""
+    from nkbx.parallel import make_mesh, state_shardings
+    from nkbx.train import TrainState, build_train_step, get_optimizer
+    from nkbx.train.engine import train_epoch
+    from nkbx.ops.attention import set_attention_mesh
+
+    mesh = make_mesh(n_data=8)
+    model, criterion, Loader = _swin_engine_fixture()
+    try:
+        losses = []
+        for fsdp in (True, False):
+            bundle = get_optimizer(model.params, {"type": "adam", "lr": 5e-3})
+            step = build_train_step(model, criterion, bundle)
+            state = TrainState.create(model.params, model.batch_stats,
+                                      bundle.tx)
+            if fsdp:
+                state = jax.device_put(
+                    state, state_shardings(mesh, state, fsdp=True))
+            state, res = train_epoch(state, Loader(), step, 0,
+                                     jax.random.PRNGKey(0), 1.0, 1.0,
+                                     mesh=mesh, progress=False)
+            losses.append(float(np.mean(res["running_loss"])))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    finally:
+        set_attention_mesh(None)
