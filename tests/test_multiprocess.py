@@ -324,3 +324,141 @@ class TestFullTrainingLockstep:
         assert len(mh["running_loss"]) == len(results["running_loss"])
         np.testing.assert_allclose(mh["checksum"], checksum, rtol=2e-3)
         np.testing.assert_allclose(mh["epoch_acc"], metrics["epoch_acc"], atol=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas attention across processes: the shard_map lowering must hold
+# when the mesh's data axis spans hosts (per-shard kernel + cross-host summed
+# bias gradient) — 2-process run == single-process run, exactly.
+# ---------------------------------------------------------------------------
+
+SWIN_WORKER = """
+import json, os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; out_dir = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+sys.path.insert(0, os.environ["NKBX_TEST_HELPER_DIR"])
+from swin_lockstep_common import run_training
+
+losses, checksum = run_training(mesh_devices=4, local_slice=(pid * 4, pid * 4 + 4))
+with open(os.path.join(out_dir, f"swin{pid}.json"), "w") as f:
+    json.dump({"running_loss": [round(float(x), 6) for x in losses],
+               "checksum": round(checksum, 5)}, f)
+"""
+
+SWIN_COMMON = '''
+"""Shared trainer for the fused-swin multi-host lockstep test: deterministic
+synthetic batches; each process feeds its local slice of the global batch 8."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_training(mesh_devices, local_slice):
+    from nkbx.models.classifier import ClassificationModel, SingletaskClassifier
+    from nkbx.models.swin import SwinTransformer
+    from nkbx.parallel import make_mesh, replicated_sharding
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+    from nkbx.train.engine import EpochCollector, train_epoch
+
+    bb = SwinTransformer(embed_dim=8, depths=(2,), n_heads=(2,), patch_size=4,
+                         window=2, fused_attention=True, dtype=jnp.float32)
+    module = SingletaskClassifier(backbone=bb, n_classes=3)
+    variables = dict(module.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, 16, 16, 3)), train=False))
+    model = ClassificationModel(module, variables, ["a", "b", "c"], "single", 8)
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+    bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+    step = build_train_step(model, criterion, bundle)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+    mesh = make_mesh(n_data=mesh_devices)
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    r = np.random.default_rng(3)
+    X = np.stack([np.full((16, 16, 3), (i % 3) * 0.3, np.float32)
+                  + r.normal(0, .05, (16, 16, 3)) for i in range(24)]
+                 ).astype(np.float32)
+    Y = (np.arange(24) % 3).astype(np.int64)
+    lo, hi = local_slice
+
+    class Loader:
+        def epoch(self, e):
+            for b in range(3):
+                g = slice(b * 8, (b + 1) * 8)
+                img, lab = X[g], Y[g]
+                yield {"image": img[lo:hi], "label": lab[lo:hi],
+                       "mask": np.ones(hi - lo, bool)}
+
+        def __len__(self):
+            return 3
+
+    state, results = train_epoch(state, Loader(), step, 0,
+                                 jax.random.PRNGKey(0), 1.0, 1.0,
+                                 epoch_logger=EpochCollector("single"),
+                                 mesh=mesh, progress=False)
+    from jax.experimental import multihost_utils
+
+    params = (multihost_utils.process_allgather(state.params, tiled=True)
+              if jax.process_count() > 1 else state.params)
+    checksum = float(sum(np.abs(np.asarray(v)).sum()
+                         for v in jax.tree_util.tree_leaves(params)))
+    return [float(x) for x in results["running_loss"]], checksum
+'''
+
+
+@pytest.fixture(scope="module")
+def swin_lockstep_runs(tmp_path_factory):
+    out = tmp_path_factory.mktemp("mhswin")
+    (out / "swin_lockstep_common.py").write_text(SWIN_COMMON)
+    script = out / "swin_worker.py"
+    script.write_text(SWIN_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["NKBX_TEST_HELPER_DIR"] = str(out)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(pid), str(port), str(out)],
+                         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=560)
+        assert p.returncode == 0, f"STDOUT:{stdout[-2000:]}\nSTDERR:{stderr[-3000:]}"
+    runs = [json.loads((out / f"swin{i}.json").read_text()) for i in (0, 1)]
+    return runs, out
+
+
+class TestFusedAttentionAcrossProcesses:
+    def test_hosts_agree(self, swin_lockstep_runs):
+        (a, b), _ = swin_lockstep_runs
+        assert a == b
+
+    def test_matches_single_process(self, swin_lockstep_runs):
+        (mh, _), out = swin_lockstep_runs
+        sys.path.insert(0, str(out))
+        try:
+            from swin_lockstep_common import run_training
+            from nkbx.ops.attention import set_attention_mesh
+
+            try:
+                losses, checksum = run_training(mesh_devices=4,
+                                                local_slice=(0, 8))
+            finally:
+                set_attention_mesh(None)
+        finally:
+            sys.path.remove(str(out))
+        np.testing.assert_allclose(mh["running_loss"],
+                                   [round(x, 6) for x in losses], atol=2e-6)
+        np.testing.assert_allclose(mh["checksum"], checksum, rtol=1e-6)
