@@ -44,7 +44,15 @@ def main():
     input_size = cfg.val_pipeline.output_size() or (224, 224)
     model = get_model(cfg.model, classes, input_size=input_size, dtype=dtype)
     criterion = get_loss(cfg.criterion)
-    metrics = evaluate(model, val_loader, criterion, cfg)
+
+    # same `mesh` config key as train.py: shard the eval batch over the data
+    # axis (the reference is single-GPU; on a multi-chip host this spreads the
+    # val set — params stay replicated, metrics are gathered exactly)
+    from nkbx.parallel import make_mesh
+
+    mesh_cfg = getattr(cfg, "mesh", None) or {}
+    mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
+    metrics = evaluate(model, val_loader, criterion, cfg, mesh=mesh)
 
     save_path = Path(cfg.save_path)
     save_path.mkdir(exist_ok=True, parents=True)
