@@ -8,7 +8,8 @@ import argparse
 from pathlib import Path
 
 
-def inference(model, loader, classes, save_path, cfg):
+def inference(model, loader, classes, save_path, cfg, mesh=None):
+    import jax
     import jax.numpy as jnp
     import numpy as np
     import pandas as pd
@@ -33,8 +34,21 @@ def inference(model, loader, classes, save_path, cfg):
     rows = []
     forward = build_predict_fn(model, augment_fn=augment)
 
+    from nkbx.ops.attention import set_attention_mesh
+
+    set_attention_mesh(mesh)  # fused Pallas attention needs shard_map on meshes
+    if mesh is not None and mesh.shape["data"] > 1:
+        # shard the (padded, static-size) batch over the data axis — same
+        # `mesh` config key as train.py/eval.py; params replicate under jit
+        from nkbx.parallel import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+    else:
+        put = jnp.asarray
+
     for batch in tqdm(loader.epoch(0), leave=False, desc="Inference", total=len(loader)):
-        preds = forward(model.variables, jnp.asarray(batch["image"]))
+        preds = forward(model.variables, put(batch["image"]))
         valid = batch["mask"]
         batch_cols = []
         if task == "single":
@@ -69,9 +83,14 @@ def main():
     input_size = cfg.inference_pipeline.output_size() or (224, 224)
     model = get_model(cfg.model, classes, input_size=input_size, dtype=dtype)
 
+    from nkbx.parallel import make_mesh
+
+    mesh_cfg = getattr(cfg, "mesh", None) or {}
+    mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
+
     save_path = Path(cfg.save_path)
     save_path.mkdir(exist_ok=True, parents=True)
-    inference(model, loader, classes, save_path, cfg)
+    inference(model, loader, classes, save_path, cfg, mesh=mesh)
     print(f"Wrote {save_path / 'inference_annotations.csv'}")
 
 
