@@ -83,10 +83,16 @@ def main():
     input_size = cfg.inference_pipeline.output_size() or (224, 224)
     model = get_model(cfg.model, classes, input_size=input_size, dtype=dtype)
 
-    from nkbx.parallel import make_mesh
+    # mesh is OPT-IN here (unlike train.py): the batch must divide by the
+    # data-axis size, and a default all-device mesh would reject otherwise
+    # valid single-chip configs (e.g. batch 4 on an 8-chip host)
+    mesh_cfg = getattr(cfg, "mesh", None)
+    if mesh_cfg:
+        from nkbx.parallel import make_mesh
 
-    mesh_cfg = getattr(cfg, "mesh", None) or {}
-    mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
+        mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
+    else:
+        mesh = None
 
     save_path = Path(cfg.save_path)
     save_path.mkdir(exist_ok=True, parents=True)

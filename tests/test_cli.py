@@ -113,6 +113,34 @@ class TestCLIWorkflow:
         assert len(df) == 3
         assert set(df["label"]) <= {"cat", "dog"}
 
+    def test_eval_and_inference_cli_with_mesh(self, workspace):
+        """The OPT-IN `mesh` config key shards eval/inference over the data
+        axis (batch must divide by the axis size — 8 here); results match the
+        single-device runs (test_eval_cli / test_inference_cli)."""
+        import pandas as pd
+
+        cfg = (workspace / "eval_config.py").read_text()
+        (workspace / "eval_mesh_config.py").write_text(
+            cfg.replace(f'save_path = r"{workspace}/eval_out"',
+                        f'save_path = r"{workspace}/eval_mesh_out"')
+            + '\nmesh = {"data": 8}\n')
+        _run(["eval.py", "-cfg", str(workspace / "eval_mesh_config.py")])
+        got = json.loads((workspace / "eval_mesh_out" / "metrics.json").read_text())
+        want = json.loads((workspace / "eval_out" / "metrics.json").read_text())
+        np.testing.assert_allclose(got["epoch_acc"], want["epoch_acc"], rtol=1e-6)
+        np.testing.assert_allclose(got["epoch_loss"], want["epoch_loss"], rtol=1e-5)
+
+        cfg = (workspace / "infer_config.py").read_text()
+        (workspace / "infer_mesh_config.py").write_text(
+            cfg.replace(f'save_path = r"{workspace}/infer_out"',
+                        f'save_path = r"{workspace}/infer_mesh_out"')
+            .replace('"batch_size": 4', '"batch_size": 8')
+            + '\nmesh = {"data": 8}\n')
+        _run(["inference.py", "-cfg", str(workspace / "infer_mesh_config.py")])
+        got = pd.read_csv(workspace / "infer_mesh_out" / "inference_annotations.csv")
+        want = pd.read_csv(workspace / "infer_out" / "inference_annotations.csv")
+        pd.testing.assert_frame_equal(got, want)
+
     def test_save_augs_cli(self, workspace, tmp_path):
         _run(["save_augs.py", "-cfg", str(workspace / "train_config.py"),
               "-n", "4", "-o", str(tmp_path / "augs")])
