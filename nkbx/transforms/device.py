@@ -156,19 +156,31 @@ def _apply_motion_blur(t: S.MotionBlur, x, key):
     ksizes = t.ksizes()
     kmax = max(ksizes)
     bsz, ih, iw, c = x.shape
-    k_g, k_len, k_ang = jax.random.split(key, 3)
+    k_g, k_len, k_ang, k_off = jax.random.split(key, 4)
     g = _gate(k_g, t.p, bsz)
     length = jnp.asarray(ksizes)[jax.random.randint(k_len, (bsz,), 0, len(ksizes))]  # odd
     theta = jax.random.uniform(k_ang, (bsz,), minval=0.0, maxval=np.pi)
 
-    # Rasterize per-sample centered line kernels (B, kmax, kmax)
+    # Rasterize per-sample line kernels (B, kmax, kmax)
     yy = jax.lax.broadcasted_iota(jnp.float32, (kmax, kmax), 0) - (kmax - 1) / 2.0
     xx = jax.lax.broadcasted_iota(jnp.float32, (kmax, kmax), 1) - (kmax - 1) / 2.0
     dy, dx = jnp.sin(theta), jnp.cos(theta)  # (B,)
-    # distance from pixel center to the line, and projection along it
-    dist = jnp.abs(yy[None] * dx[:, None, None] - xx[None] * dy[:, None, None])
-    proj = jnp.abs(yy[None] * dy[:, None, None] + xx[None] * dx[:, None, None])
     half = (length.astype(jnp.float32) - 1.0) / 2.0
+    if getattr(t, "allow_shifted", True):
+        # albumentations allow_shifted: the line center may sit off the kernel
+        # center, bounded so both endpoints stay inside the kernel square
+        lim_y = jnp.maximum((kmax - 1) / 2.0 - half * jnp.abs(dy), 0.0)
+        lim_x = jnp.maximum((kmax - 1) / 2.0 - half * jnp.abs(dx), 0.0)
+        off = jax.random.uniform(k_off, (bsz, 2), minval=-1.0, maxval=1.0)
+        oy = off[:, 0] * lim_y
+        ox = off[:, 1] * lim_x
+    else:
+        oy = ox = jnp.zeros((bsz,), jnp.float32)
+    yc = yy[None] - oy[:, None, None]
+    xc = xx[None] - ox[:, None, None]
+    # distance from pixel center to the line, and projection along it
+    dist = jnp.abs(yc * dx[:, None, None] - xc * dy[:, None, None])
+    proj = jnp.abs(yc * dy[:, None, None] + xc * dx[:, None, None])
     kern = ((dist <= 0.5) & (proj <= half[:, None, None] + 0.25)).astype(jnp.float32)
     kern = kern / jnp.maximum(jnp.sum(kern, axis=(1, 2), keepdims=True), 1.0)
 

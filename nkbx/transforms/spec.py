@@ -284,9 +284,15 @@ class TrivialAugmentWide(Transform):
 
 @dataclasses.dataclass
 class MotionBlur(Transform):
-    """Random directional blur with odd kernel size in [3, blur_limit]."""
+    """Random directional blur with odd kernel size in [3, blur_limit].
+
+    ``allow_shifted`` (albumentations parity, default True there too): the
+    blur line may sit off the kernel center — visually the blurred content
+    also shifts by up to (k-1)/2 px. False pins the line to the center.
+    """
 
     blur_limit: Union[int, Tuple[int, int]] = 7
+    allow_shifted: bool = True
     p: float = 0.5
     stage = DEVICE
 
