@@ -93,5 +93,40 @@ def main():
     }))
 
 
+def _backend_alive(timeout_s: float) -> bool:
+    """Probe the TPU backend in a subprocess (a dead tunnel HANGS device
+    initialization indefinitely — a thread can't be cancelled, a process can)."""
+    import subprocess
+    import sys
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
-    main()
+    # The axon tunnel has measured multi-hour outages (round 3). Rather than
+    # hanging forever or dying with a stack trace, retry the backend a few
+    # times and emit an explicit machine-readable failure line.
+    import os
+
+    attempts = int(os.environ.get("NKBX_BENCH_PROBE_ATTEMPTS", "3"))
+    probe_s = float(os.environ.get("NKBX_BENCH_PROBE_TIMEOUT_S", "240"))
+    for attempt in range(attempts):
+        if _backend_alive(probe_s):
+            main()
+            break
+        time.sleep(min(120.0, probe_s / 2))
+    else:
+        print(json.dumps({
+            "metric": "train images/sec/chip (ResNet-50 @224, bf16, incl. on-device augment)",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"TPU backend unavailable (tunnel down) after {attempts} probes; "
+                     "last measured: 2700.7 img/s (PERF.md round 3)",
+        }))
