@@ -76,6 +76,25 @@ def migrate_text(src: str):
             out_lines.append("# [nkbx-migrate] dropped: " + stripped +
                              "  (T.ToTensorV2 is built in)")
             continue
+        if re.match(r"(import\s+torch(\.\w+)*(\s+as\s+\w+)?|from\s+torch[.\w]*\s+import\s+.*)$",
+                    stripped):
+            out_lines.append("# [nkbx-migrate] torch import dropped "
+                             "(nkbx is torch-free at runtime): " + stripped)
+            continue
+
+        # pre-dict-era reference configs: criterion as a torch module instance
+        m = re.match(r"criterion\s*=\s*(?:torch\.)?nn\.CrossEntropyLoss\(\s*\)", stripped)
+        if m:
+            # pre-dict configs predate multitask, so the task is "single"
+            out_lines.append('criterion = {"task": "single", "type": "CrossEntropyLoss"}'
+                             "  # [nkbx-migrate] was: " + stripped)
+            continue
+        m = re.match(r"criterion\s*=\s*(?:torch\.)?nn\.(\w+)\(", stripped)
+        if m:
+            warnings.append(
+                f"line {lineno}: criterion uses torch nn.{m.group(1)} — rewrite "
+                f"as a dict, e.g. {{'task': task, 'type': 'CrossEntropyLoss'}} "
+                f"or {{'type': 'FocalLoss', ...}} (see configs/)")
 
         dead = next((k for k in _DEAD_KEYS
                      if re.match(rf"{k}\s*=", stripped)), None)
@@ -121,6 +140,11 @@ def check_config(path: Path) -> list[str]:
 
         if not isinstance(pipe, T.Compose):
             problems.append(f"{key} is {type(pipe).__name__}, expected T.Compose")
+    for key in ("criterion", "model", "optimizer"):
+        val = cfg.get(key, None)
+        if val is not None and not isinstance(val, dict):
+            problems.append(f"{key} is {type(val).__name__}, expected a dict "
+                            f"(see configs/ for the key surface)")
     return problems
 
 

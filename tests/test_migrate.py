@@ -153,3 +153,29 @@ def test_migrated_config_trains(dataset, tmp_path):
     assert (run_dir / "classes.json").exists()
     assert (run_dir / "weights" / "last").is_dir()
     assert json.loads((run_dir / "classes.json").read_text()) == ["cat", "dog"]
+
+
+class TestLegacyConfigs:
+    """Pre-dict-era reference configs (configs/archive/old there): torch
+    imports and nn.CrossEntropyLoss() criteria rewrite to the dict surface."""
+
+    def test_nn_criterion_rewritten(self):
+        src = ("import torch\nimport torch.nn as nn\n"
+               "criterion = nn.CrossEntropyLoss()\n")
+        out, warnings = migrate_text(src)
+        assert 'criterion = {"task": "single", "type": "CrossEntropyLoss"}' in out
+        assert not any(line.strip().startswith("import torch")
+                       for line in out.splitlines())
+        assert warnings == []
+
+    def test_other_nn_criterion_warns(self):
+        out, warnings = migrate_text("criterion = nn.BCEWithLogitsLoss(pos_weight=w)\n")
+        assert any("rewrite" in w and "BCEWithLogitsLoss" in w for w in warnings)
+
+    def test_check_rejects_non_dict_criterion(self, tmp_path):
+        from nkbx.utils.migrate import check_config
+
+        cfg = tmp_path / "c.py"
+        cfg.write_text("criterion = 5\n")
+        problems = check_config(cfg)
+        assert any("criterion" in p for p in problems)
