@@ -494,3 +494,31 @@ def test_fsdp_with_mesh_and_fused_swin():
         np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
     finally:
         set_attention_mesh(None)
+
+
+def test_grad_accum_with_mesh_and_fused_swin():
+    """grad_accum_steps=2 halves the microbatch, so the kernel's per-shard G
+    halves too (16-sample batch / 2 microbatches / 8 shards = 1 sample, 4
+    windows per shard) — must trace, run, and match the unaccumulated run."""
+    from nkbx.parallel import make_mesh
+    from nkbx.train import TrainState, build_train_step, get_optimizer
+    from nkbx.train.engine import train_epoch
+    from nkbx.ops.attention import set_attention_mesh
+
+    mesh = make_mesh(n_data=8)
+    model, criterion, Loader = _swin_engine_fixture()
+    try:
+        losses = []
+        for accum in (2, 1):
+            bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+            step = build_train_step(model, criterion, bundle,
+                                    grad_accum_steps=accum)
+            state = TrainState.create(model.params, model.batch_stats,
+                                      bundle.tx)
+            state, res = train_epoch(state, Loader(), step, 0,
+                                     jax.random.PRNGKey(0), 1.0, 1.0,
+                                     mesh=mesh, progress=False)
+            losses.append(float(np.mean(res["running_loss"])))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    finally:
+        set_attention_mesh(None)
