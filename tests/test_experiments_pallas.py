@@ -35,3 +35,14 @@ class TestFusedMatmulBN:
         bias = jnp.zeros(128)
         y, s, q = fused_matmul_bn_relu_stats(x, w, scale, bias, tile_rows=512, interpret=True)
         assert float(jnp.max(y)) == 0.0 and float(jnp.max(s)) == 0.0
+
+
+class TestLayoutTaxHarness:
+    """experiments/r3_layout_tax.py --check: the G-minor-read + in-VMEM
+    transpose microkernel is bit-exact in interpret mode (the measurement
+    itself needs the chip; the variant is a resolved VMEM negative, PERF.md)."""
+
+    def test_check(self):
+        import r3_layout_tax
+
+        r3_layout_tax.check()
