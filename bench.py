@@ -120,7 +120,8 @@ if __name__ == "__main__":
         if _backend_alive(probe_s):
             main()
             break
-        time.sleep(min(120.0, probe_s / 2))
+        if attempt < attempts - 1:
+            time.sleep(min(120.0, probe_s / 2))
     else:
         print(json.dumps({
             "metric": "train images/sec/chip (ResNet-50 @224, bf16, incl. on-device augment)",

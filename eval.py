@@ -45,19 +45,13 @@ def main():
     model = get_model(cfg.model, classes, input_size=input_size, dtype=dtype)
     criterion = get_loss(cfg.criterion)
 
-    # same `mesh` config key as train.py, but OPT-IN: the batch must divide
-    # by the data-axis size, and a default all-device mesh would reject
-    # otherwise valid single-chip configs (e.g. batch 4 on an 8-chip host).
-    # With the key set, the val set spreads over the data axis — params stay
-    # replicated, metrics are gathered exactly.
-    mesh_cfg = getattr(cfg, "mesh", None)
-    if mesh_cfg:
-        from nkbx.parallel import make_mesh
+    # same `mesh` config key as train.py, but OPT-IN (see mesh_from_cfg):
+    # with the key set, the val set spreads over the data axis — params stay
+    # replicated, metrics are gathered exactly
+    from nkbx.parallel import mesh_from_cfg
 
-        mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
-    else:
-        mesh = None
-    metrics = evaluate(model, val_loader, criterion, cfg, mesh=mesh)
+    metrics = evaluate(model, val_loader, criterion, cfg,
+                       mesh=mesh_from_cfg(cfg))
 
     save_path = Path(cfg.save_path)
     save_path.mkdir(exist_ok=True, parents=True)

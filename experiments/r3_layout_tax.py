@@ -134,14 +134,15 @@ def main():
             return jnp.transpose(jnp.transpose(a, (1, 2, 0)) + 0, (2, 0, 1)) + 0
 
         f1 = _time(relayout)
-        f1(x).block_until_ready()
+        float(f1(x).sum())  # warm-up sync: block_until_ready is unreliable
+                            # through the tunnel (CLAUDE.md) — fetch a scalar
         t0 = time.perf_counter()
         float(f1(x).sum())
         relayout_ms = (time.perf_counter() - t0) / ITERS * 1000 / 2
 
         w = _pick_w(g)
         f2 = _time(functools.partial(stream, w=w))
-        f2(x).block_until_ready()
+        float(f2(x).sum())  # warm-up sync (see above)
         t0 = time.perf_counter()
         float(f2(x).sum())
         stream_ms = (time.perf_counter() - t0) / ITERS * 1000
@@ -154,7 +155,7 @@ def main():
 
         xt = jnp.transpose(x, (1, 2, 0)) + 0
         f3 = _time(tk)
-        f3(xt).block_until_ready()
+        float(f3(xt).sum())  # warm-up sync (see above)
         t0 = time.perf_counter()
         float(f3(xt).sum())
         t3 = (time.perf_counter() - t0) / ITERS * 1000

@@ -9,7 +9,6 @@ from pathlib import Path
 
 
 def inference(model, loader, classes, save_path, cfg, mesh=None):
-    import jax
     import jax.numpy as jnp
     import numpy as np
     import pandas as pd
@@ -34,32 +33,34 @@ def inference(model, loader, classes, save_path, cfg, mesh=None):
     rows = []
     forward = build_predict_fn(model, augment_fn=augment)
 
-    from nkbx.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)  # fused Pallas attention needs shard_map on meshes
     if mesh is not None and mesh.shape["data"] > 1:
         # shard the (padded, static-size) batch over the data axis — same
-        # `mesh` config key as train.py/eval.py; params replicate under jit
-        from nkbx.parallel import batch_sharding
+        # `mesh` config key as train.py/eval.py; params replicate under jit.
+        # shard_batch handles the multi-host case (each process contributes
+        # its local rows), exactly like the engine's _put_batch.
+        from nkbx.parallel import shard_batch
 
-        sharding = batch_sharding(mesh)
-        put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+        put = lambda x: shard_batch(mesh, np.asarray(x))
     else:
         put = jnp.asarray
 
-    for batch in tqdm(loader.epoch(0), leave=False, desc="Inference", total=len(loader)):
-        preds = forward(model.variables, put(batch["image"]))
-        valid = batch["mask"]
-        batch_cols = []
-        if task == "single":
-            pred = np.asarray(jnp.argmax(preds, axis=-1))[valid]
-            batch_cols.append([idx_to_class[int(i)] for i in pred])
-        else:
-            for t in columns[:-1]:
-                pred = np.asarray(jnp.argmax(preds[t], axis=-1))[valid]
-                batch_cols.append([idx_to_class[t][int(i)] for i in pred])
-        batch_cols.append([p for p, v in zip(batch["path"], valid) if v])
-        rows.append(pd.DataFrame(np.vstack(batch_cols).T, columns=columns))
+    from nkbx.ops.attention import attention_mesh
+
+    with attention_mesh(mesh):
+        for batch in tqdm(loader.epoch(0), leave=False, desc="Inference",
+                          total=len(loader)):
+            preds = forward(model.variables, put(batch["image"]))
+            valid = batch["mask"]
+            batch_cols = []
+            if task == "single":
+                pred = np.asarray(jnp.argmax(preds, axis=-1))[valid]
+                batch_cols.append([idx_to_class[int(i)] for i in pred])
+            else:
+                for t in columns[:-1]:
+                    pred = np.asarray(jnp.argmax(preds[t], axis=-1))[valid]
+                    batch_cols.append([idx_to_class[t][int(i)] for i in pred])
+            batch_cols.append([p for p, v in zip(batch["path"], valid) if v])
+            rows.append(pd.DataFrame(np.vstack(batch_cols).T, columns=columns))
 
     out = pd.concat(rows) if rows else pd.DataFrame(columns=columns)
     out.to_csv(Path(save_path, "inference_annotations.csv"), index=False)
@@ -83,16 +84,9 @@ def main():
     input_size = cfg.inference_pipeline.output_size() or (224, 224)
     model = get_model(cfg.model, classes, input_size=input_size, dtype=dtype)
 
-    # mesh is OPT-IN here (unlike train.py): the batch must divide by the
-    # data-axis size, and a default all-device mesh would reject otherwise
-    # valid single-chip configs (e.g. batch 4 on an 8-chip host)
-    mesh_cfg = getattr(cfg, "mesh", None)
-    if mesh_cfg:
-        from nkbx.parallel import make_mesh
+    from nkbx.parallel import mesh_from_cfg
 
-        mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
-    else:
-        mesh = None
+    mesh = mesh_from_cfg(cfg)  # opt-in (see mesh_from_cfg)
 
     save_path = Path(cfg.save_path)
     save_path.mkdir(exist_ok=True, parents=True)

@@ -1,5 +1,6 @@
 from nkbx.parallel.mesh import (
     make_mesh,
+    mesh_from_cfg,
     batch_sharding,
     replicated_sharding,
     shard_batch,
@@ -9,6 +10,7 @@ from nkbx.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "mesh_from_cfg",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",

@@ -46,6 +46,22 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     return Mesh(dev_array, ("data", "model"))
 
 
+def mesh_from_cfg(cfg, default_all_devices: bool = False) -> Mesh | None:
+    """Build the mesh a config asks for (the shared `mesh` config key).
+
+    ``mesh = {"data": 8, "model": 1}`` in a config maps to
+    ``make_mesh(n_data=8, n_model=1)``. Without the key: train.py spans all
+    devices by default (``default_all_devices=True`` — DP is the training
+    default and its loaders use divisible batches), while eval.py/inference.py
+    return None (opt-in — their batch sizes need not divide the device count).
+    """
+    mesh_cfg = getattr(cfg, "mesh", None)
+    if not mesh_cfg:
+        return make_mesh() if default_all_devices else None
+    return make_mesh(n_data=mesh_cfg.get("data"),
+                     n_model=mesh_cfg.get("model", 1))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch arrays: leading dim split over ``data``, rest replicated."""
     return NamedSharding(mesh, P("data"))

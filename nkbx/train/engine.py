@@ -595,17 +595,24 @@ def train_epoch(
     cfg=None,
 ):
     """One training epoch; returns (state, epoch_results)."""
+    # declare the mesh BEFORE the step traces: the fused Pallas attention
+    # must lower through shard_map on multi-device meshes (GSPMD cannot
+    # partition pallas_call). SCOPED to this epoch — restored on return, so
+    # the engine neither leaks its mesh into unrelated later traces nor
+    # clobbers a mesh the caller declared via attention_mesh().
+    from nkbx.ops.attention import attention_mesh
+
+    with attention_mesh(mesh):
+        return _train_epoch_inner(
+            state, train_loader, train_step, epoch, key, lr_factor,
+            freeze_scale, epoch_logger, mesh, progress, cfg)
+
+
+def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
+                       freeze_scale, epoch_logger, mesh, progress, cfg):
     import jax as _jax
 
     from nkbx.core import Throughput
-
-    # declare the mesh BEFORE the step traces: the fused Pallas attention
-    # must lower through shard_map on multi-device meshes (GSPMD cannot
-    # partition pallas_call — see nkbx.ops.attention.set_attention_mesh).
-    # Unconditional so a mesh=None epoch clears a previous epoch's mesh.
-    from nkbx.ops.attention import set_attention_mesh
-
-    set_attention_mesh(mesh)
 
     task = getattr(cfg, "task", "single") if cfg is not None else "single"
     logger = epoch_logger if epoch_logger is not None else EpochCollector(task)
@@ -717,9 +724,8 @@ def val_epoch(
     progress: bool = True,
     task: str = "single",
 ):
-    from nkbx.ops.attention import set_attention_mesh
+    from nkbx.ops.attention import attention_mesh
 
-    set_attention_mesh(mesh)  # see train_epoch — Pallas needs shard_map
     logger = epoch_logger if epoch_logger is not None else EpochCollector(task)
     logger.init_iter_logs()
     it = val_loader.epoch(epoch)
@@ -728,14 +734,17 @@ def val_epoch(
 
         it = tqdm(it, leave=False, desc="Evaluating", total=len(val_loader))
     first = True
-    for batch in it:
-        dev = _put_batch(batch, mesh)
-        metrics = eval_step(state, dev["image"], dev["label"], dev["mask"])
-        if first:
-            # sync BEFORE the logger's fold dispatch (see train_epoch)
-            float(metrics["loss"])
-        logger.log_iter(metrics)
-        if first:
-            logger.log_images_if_needed(batch["image"])
-            first = False
+    # scoped like train_epoch — Pallas fused attention needs shard_map on
+    # multi-device meshes, and the declaration must not leak past the epoch
+    with attention_mesh(mesh):
+        for batch in it:
+            dev = _put_batch(batch, mesh)
+            metrics = eval_step(state, dev["image"], dev["label"], dev["mask"])
+            if first:
+                # sync BEFORE the logger's fold dispatch (see train_epoch)
+                float(metrics["loss"])
+            logger.log_iter(metrics)
+            if first:
+                logger.log_images_if_needed(batch["image"])
+                first = False
     return logger.get_epoch_results()

@@ -167,10 +167,12 @@ def _apply_motion_blur(t: S.MotionBlur, x, key):
     dy, dx = jnp.sin(theta), jnp.cos(theta)  # (B,)
     half = (length.astype(jnp.float32) - 1.0) / 2.0
     if getattr(t, "allow_shifted", True):
-        # albumentations allow_shifted: the line center may sit off the kernel
-        # center, bounded so both endpoints stay inside the kernel square
-        lim_y = jnp.maximum((kmax - 1) / 2.0 - half * jnp.abs(dy), 0.0)
-        lim_x = jnp.maximum((kmax - 1) / 2.0 - half * jnp.abs(dx), 0.0)
+        # albumentations allow_shifted: the line may sit off-center INSIDE the
+        # SAMPLED k×k kernel (not the kmax canvas) — bound the center offset so
+        # both endpoints stay within the sampled kernel box around the canvas
+        # center: per-axis limit = (k-1)/2 − half·|direction| = half·(1−|d|)
+        lim_y = half * (1.0 - jnp.abs(dy))
+        lim_x = half * (1.0 - jnp.abs(dx))
         off = jax.random.uniform(k_off, (bsz, 2), minval=-1.0, maxval=1.0)
         oy = off[:, 0] * lim_y
         ox = off[:, 1] * lim_x

@@ -57,6 +57,7 @@ def migrate_text(src: str):
     """Returns (migrated_text, warnings: list[str])."""
     warnings: list[str] = []
     alias = None
+    from_imports: set[str] = set()  # names from `from albumentations import X, Y`
     out_lines = []
     known = _transform_names()
 
@@ -75,6 +76,20 @@ def migrate_text(src: str):
         if re.match(r"from\s+albumentations\.pytorch\s+import\s+ToTensorV2", stripped):
             out_lines.append("# [nkbx-migrate] dropped: " + stripped +
                              "  (T.ToTensorV2 is built in)")
+            continue
+        m = re.match(r"from\s+albumentations\s+import\s+(.+?)\s*$", stripped)
+        if m:
+            if "*" in m.group(1):
+                warnings.append(
+                    f"line {lineno}: 'from albumentations import *' cannot be "
+                    f"migrated mechanically — import nkbx.transforms as T and "
+                    f"prefix the op names")
+                out_lines.append(line)
+            else:
+                from_imports.update(
+                    n.strip() for n in m.group(1).split(",") if n.strip())
+                out_lines.append("import nkbx.transforms as T  # [nkbx-migrate] was: "
+                                 + stripped)
             continue
         if re.match(r"(import\s+torch(\.\w+)*(\s+as\s+\w+)?|from\s+torch[.\w]*\s+import\s+.*)$",
                     stripped):
@@ -104,6 +119,8 @@ def migrate_text(src: str):
 
         if alias:
             line = re.sub(rf"\b{alias}\.(\w+)", r"T.\1", line)
+        for name in from_imports:
+            line = re.sub(rf"(?<![\w.]){name}\(", f"T.{name}(", line)
         line = re.sub(r"(?<![\w.])ToTensorV2\(", "T.ToTensorV2(", line)
         out_lines.append(line)
 

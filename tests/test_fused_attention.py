@@ -369,12 +369,13 @@ class TestMeshSharded:
                 err_msg=jax.tree_util.keystr(path))
 
 
-def test_epoch_with_none_mesh_clears_declared_mesh():
-    """train_epoch/val_epoch declare their mesh unconditionally: an epoch run
-    with mesh=None must clear a mesh left by a previous multi-device epoch,
-    or later single-device steps would lower through a stale shard_map."""
+def test_epoch_scopes_the_attention_mesh():
+    """train_epoch declares its mesh SCOPED to the epoch: a mesh=None epoch
+    runs the plain single-device path even while the caller has a mesh
+    declared, a meshed epoch does not leak its mesh into later traces, and
+    in both cases the caller's own declaration is restored on return."""
     from nkbx.models import get_model
-    from nkbx.ops.attention import _active_mesh, set_attention_mesh
+    from nkbx.ops.attention import _active_mesh, attention_mesh
     from nkbx.parallel import make_mesh
     from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
     from nkbx.train.engine import train_epoch
@@ -390,20 +391,25 @@ def test_epoch_with_none_mesh_clears_declared_mesh():
     class Loader:
         def epoch(self, e):
             r = np.random.default_rng(0)
-            yield {"image": r.integers(0, 255, (4, 32, 32, 3)).astype(np.uint8),
-                   "label": np.zeros(4, np.int64), "mask": np.ones(4, bool)}
+            yield {"image": r.integers(0, 255, (8, 32, 32, 3)).astype(np.uint8),
+                   "label": np.zeros(8, np.int64), "mask": np.ones(8, bool)}
 
         def __len__(self):
             return 1
 
-    set_attention_mesh(make_mesh(n_data=8))  # stale mesh from a previous run
-    assert _active_mesh() is not None
-    try:
-        train_epoch(state, Loader(), step, 0, jax.random.PRNGKey(0), 1.0, 1.0,
+    mesh = make_mesh(n_data=8)
+
+    # a meshed epoch must not leak its mesh
+    state, _ = train_epoch(state, Loader(), step, 0, jax.random.PRNGKey(0),
+                           1.0, 1.0, mesh=mesh, progress=False)
+    assert _active_mesh() is None
+
+    # ... and must restore (not clobber) a mesh the caller declared
+    with attention_mesh(mesh):
+        train_epoch(state, Loader(), step, 1, jax.random.PRNGKey(1), 1.0, 1.0,
                     mesh=None, progress=False)
-        assert _active_mesh() is None
-    finally:
-        set_attention_mesh(None)
+        assert _active_mesh() is not None
+    assert _active_mesh() is None
 
 
 def _swin_engine_fixture():

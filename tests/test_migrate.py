@@ -179,3 +179,17 @@ class TestLegacyConfigs:
         cfg.write_text("criterion = 5\n")
         problems = check_config(cfg)
         assert any("criterion" in p for p in problems)
+
+
+class TestFromImports:
+    def test_from_albumentations_import(self):
+        src = ("from albumentations import Compose, HorizontalFlip\n"
+               "p = Compose([HorizontalFlip(p=0.5)])\n")
+        out, warnings = migrate_text(src)
+        assert "import nkbx.transforms as T" in out
+        assert "p = T.Compose([T.HorizontalFlip(p=0.5)])" in out
+        assert warnings == []
+
+    def test_star_import_warns(self):
+        out, warnings = migrate_text("from albumentations import *\n")
+        assert any("cannot be migrated" in w for w in warnings)

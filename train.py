@@ -20,7 +20,7 @@ def main():
     from nkbx.data import get_dataset
     from nkbx.logging import get_comet_experiment, get_local_experiment
     from nkbx.models import get_model
-    from nkbx.parallel import make_mesh
+    from nkbx.parallel import mesh_from_cfg
     from nkbx.train import get_loss, train
     from nkbx.utils import load_config
 
@@ -46,8 +46,7 @@ def main():
         cfg.val_data = {**cfg.val_data, "classes": classes}
     val_loader = get_dataset(cfg.val_data, cfg.val_pipeline)
 
-    mesh_cfg = getattr(cfg, "mesh", None) or {}
-    mesh = make_mesh(n_data=mesh_cfg.get("data"), n_model=mesh_cfg.get("model", 1))
+    mesh = mesh_from_cfg(cfg, default_all_devices=True)  # DP spans all chips
 
     import jax.numpy as jnp
 
