@@ -191,3 +191,25 @@ class SqueezeExcite(nn.Module):
         s = self.act(s)
         s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
         return x * self.gate(s)
+
+
+class DenseParams(nn.Module):
+    """Declare an ``nn.Dense``-identical param pair without running it.
+
+    Used by fused-MLP call sites (nkbx/ops/mlp.py): the fused kernel
+    subsumes two Dense layers, but their params must keep the exact
+    ``<name>/kernel`` + ``<name>/bias`` tree paths, shapes, and default
+    inits so checkpoints and converters are flag-agnostic. The plain-XLA
+    fallback applies them as ``x @ kernel + bias`` in the compute dtype —
+    exactly what ``nn.Dense`` computes.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias

@@ -9,16 +9,31 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nkbx.models.common import global_avg_pool
+from nkbx.models.common import DenseParams, global_avg_pool
+
+
+def _use_fused_mlp(flag, rows, c, f, itemsize):
+    """None = auto: fused Pallas MLP on TPU where the kernel's backward fits
+    VMEM (C ≤ 384 at ratio 4 — ConvNeXt stages 1-3, where the (rows, 4C)
+    GELU intermediates dominate HBM traffic; see PERF.md round 3). Export
+    tracing force-disables (nkbx.ops.attention disable_fused — shared ops
+    state)."""
+    from nkbx.ops.mlp import fused_mlp_viable, resolve_fused_mlp
+
+    auto = jax.default_backend() == "tpu"
+    return (resolve_fused_mlp(flag, auto)
+            and fused_mlp_viable(rows, c, f, itemsize))
 
 
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
     dtype: Any = jnp.float32
+    fused_mlp: Any = None  # None=auto (TPU) | True | False — see nkbx/ops/mlp.py
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -27,9 +42,22 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
         y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.Dense(4 * self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.gelu(y, approximate=False)  # timm uses exact GELU
-        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        # the two mixing Denses: params declared Dense-identically either
+        # way (checkpoint/converter-compatible), compute either fused in
+        # VMEM (Pallas) or as the plain flax-Dense program.
+        w0, b0 = DenseParams(4 * self.dim, name="Dense_0")(self.dim)
+        w1, b1 = DenseParams(self.dim, name="Dense_1")(4 * self.dim)
+        rows = y.shape[0] * y.shape[1] * y.shape[2]
+        if _use_fused_mlp(self.fused_mlp, rows, self.dim, 4 * self.dim,
+                          jnp.dtype(self.dtype).itemsize):
+            from nkbx.ops.mlp import fused_mlp
+
+            y = fused_mlp(y, w0.astype(self.dtype), b0,
+                          w1.astype(self.dtype), b1)
+        else:
+            y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
+            y = nn.gelu(y, approximate=False)  # timm uses exact GELU
+            y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
         gamma = self.param("layer_scale", nn.initializers.constant(self.layer_scale_init), (self.dim,))
         return x + y * gamma.astype(y.dtype)
 
@@ -39,6 +67,12 @@ class ConvNeXt(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
+    # Stage indices whose blocks run under jax.checkpoint (nn.remat): trades
+    # recompute FLOPs for saved-activation HBM traffic. ConvNeXt stores 2x
+    # (4*dim)-wide GELU intermediates per block for the backward, so remat is
+    # a bigger lever here than for ResNet (r3 convnext remat sweep, PERF.md).
+    remat_stages: Sequence[int] = ()
+    fused_mlp: Any = None  # None=auto (TPU) | True | False — see nkbx/ops/mlp.py
 
     @property
     def num_features(self):
@@ -49,12 +83,21 @@ class ConvNeXt(nn.Module):
         # patchify stem: 4x4 conv stride 4 + LN
         x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+        # blocks keep the un-wrapped class's auto-name pattern so param paths
+        # (and checkpoints) are identical across remat_stages settings; train
+        # (arg 2) is static under remat
+        remat_cls = (nn.remat(ConvNeXtBlock, static_argnums=(2,))
+                     if self.remat_stages else None)
+        block_i = 0
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:
                 x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
                 x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype, param_dtype=jnp.float32)(x)
+            cls = remat_cls if stage in self.remat_stages else ConvNeXtBlock
             for _ in range(depth):
-                x = ConvNeXtBlock(dim, dtype=self.dtype)(x, train)
+                x = cls(dim, dtype=self.dtype, fused_mlp=self.fused_mlp,
+                        name=f"ConvNeXtBlock_{block_i}")(x, train)
+                block_i += 1
         x = global_avg_pool(x)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="head_norm")(x)
         if self.drop_rate > 0:

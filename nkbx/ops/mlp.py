@@ -1,0 +1,357 @@
+"""Fused MLP (Dense -> exact GELU -> Dense) Pallas kernel.
+
+Motivation (round-3 convnext attribution, PERF.md): the two mixing Denses
+dominate the ConvNeXt train step — 31.6 of 50 ms against a ~12.8 ms MXU
+bound — because XLA materializes the (rows, 4C) pre-GELU and post-GELU
+intermediates in HBM for the backward (2 x 147 MB per stage-1 block at
+bs=64 @224). The same structure exists in every transformer MLP in the zoo
+(vit.py:75-79, swin.py:168-172; all use exact GELU, matching timm).
+
+This kernel computes ``y = gelu(x @ w0 + b0) @ w1 + b1`` tile-by-tile in
+VMEM: forward reads x and writes y only — the (rows, F) intermediates never
+touch HBM. The backward (custom VJP) re-computes u = x@w0+b0 and g=gelu(u)
+per row tile (flash-attention-style recompute: ~1 extra matmul unit on the
+otherwise idle MXU) and accumulates dw0/dw1/db0/db1 in resident f32 VMEM
+buffers across the row grid, so backward traffic is x, dy in / dx out.
+
+Numerics: matmuls accumulate in f32 (``preferred_element_type``) and the
+GELU and its derivative are evaluated in f32; the XLA path rounds u to the
+compute dtype before the GELU, so the kernel is slightly MORE precise in
+bf16 mode and bit-comparable in f32 mode (same story as
+nkbx/ops/attention.py).
+
+VMEM sizing: the single-kernel backward keeps w0, w1 (compute dtype) and
+dw0, dw1 (f32) resident — 12 (C·F) bytes in bf16 — which fits the ~16 MB
+VMEM for C ≤ 384 at mlp_ratio 4 (ConvNeXt/Swin stages 1-3, exactly where
+the traffic lives). ``fused_mlp_viable`` gates call sites; larger layers
+stay on XLA.
+
+Mesh: ``pallas_call`` has no GSPMD partitioning rule, so under a declared
+multi-device mesh (nkbx.ops.attention.set_attention_mesh — shared ops-mesh
+state) the kernel runs per-shard inside ``jax.shard_map``, rows sharded on
+the data axis; dw/db are summed across shards outside the map (same
+pattern as the fused-attention bias gradient).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nkbx.ops import attention as _attn
+
+_SQRT_HALF = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+# XLA's f32 erf rational approximation (openxla math.cc ErfImpl32): Mosaic
+# has no erf primitive, and this is bit-wise what lax.erf lowers to for f32
+# on TPU — so the kernel's "exact" GELU matches the XLA path's.
+_ERF_ALPHA = (0.00022905065861350646, 0.0034082910107109506,
+              0.050955695062380861, 0.18520832239976145, 1.128379143519084)
+_ERF_BETA = (-1.1791602954361697e-7, 2.3547966471313185e-5,
+             0.0010179625278914885, 0.014070470171167667,
+             0.11098505178285362, 0.49746925110067538, 1.0)
+
+
+def _erf_f32(x):
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.float32(_ERF_ALPHA[0])
+    for c in _ERF_ALPHA[1:]:
+        p = p * x2 + c
+    q = jnp.float32(_ERF_BETA[0])
+    for c in _ERF_BETA[1:]:
+        q = q * x2 + c
+    return x * p / q
+
+
+def _gelu_f32(u):
+    """Exact GELU, f32 in / f32 out (timm semantics, approximate=False)."""
+    return 0.5 * u * (1.0 + _erf_f32(u * _SQRT_HALF))
+
+
+def _gelu_grad_f32(u):
+    """d/du of exact GELU: Phi(u) + u * phi(u)."""
+    cdf = 0.5 * (1.0 + _erf_f32(u * _SQRT_HALF))
+    pdf = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
+    return cdf + u * pdf
+
+
+_VMEM_BUDGET = 12_000_000  # bytes; ~16 MB VMEM minus head-room for Mosaic
+                           # temporaries and double-buffered row streams.
+
+
+def _pad(x, t):
+    return -(-x // t) * t
+
+
+def _resident_bytes(c, f, itemsize, bwd):
+    """VMEM held across the whole grid (weights + f32 grad accumulators)."""
+    cf = _pad(c, 128) * _pad(f, 8)  # (F, C) and (C, F) pad the same total
+    w = 2 * cf * itemsize
+    if bwd:
+        w += 2 * cf * 4 + (_pad(f, 128) + _pad(c, 128)) * 8 * 4
+    return w
+
+
+def _per_row_bytes(c, f, itemsize, bwd):
+    """Per-row VMEM: streamed tiles (double-buffered) + f32 intermediates."""
+    streams = (3 if bwd else 1) * _pad(c, 128) * itemsize + _pad(c, 128) * itemsize
+    inter = _pad(f, 128) * (4 + itemsize) + (_pad(f, 128) * 4 if bwd else 0)
+    return 2 * streams + inter
+
+
+def _pick_rows(r, c, f, itemsize, bwd):
+    """Largest row tile ≤ cap that divides r (multiple of 8), or None."""
+    budget = _VMEM_BUDGET - _resident_bytes(c, f, itemsize, bwd)
+    if budget <= 0:
+        return None
+    cap = min(1024, budget // _per_row_bytes(c, f, itemsize, bwd), r)
+    for tr in range(cap - cap % 8, 0, -8):
+        if r % tr == 0:
+            return tr if tr >= 128 else None
+    return None
+
+
+def fused_mlp_viable(rows: int, c: int, f: int, itemsize: int = 2) -> bool:
+    """True when the fused kernel (incl. its backward) fits this geometry."""
+    return (_pick_rows(rows, c, f, itemsize, bwd=True) is not None
+            and _pick_rows(rows, c, f, itemsize, bwd=False) is not None)
+
+
+def resolve_fused_mlp(flag, auto: bool) -> bool:
+    """Trace-time resolution of a model's fused-mlp flag.
+
+    Precedence mirrors nkbx.ops.attention.resolve_fused: the export
+    disable_fused() context > ``NKBX_FUSED_MLP=0|1`` env override > the
+    module flag (True/False) > ``auto`` (the family's measured default)."""
+    if _attn.fused_force_disabled():
+        return False
+    env = os.environ.get("NKBX_FUSED_MLP", "")
+    if env:
+        return env not in ("0", "false", "False")
+    if flag is not None:
+        return bool(flag)
+    return auto
+
+
+# --- kernels -----------------------------------------------------------------
+
+
+def _fwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, y_ref, *, out_dtype):
+    u = jax.lax.dot_general(x_ref[:], w0_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b0_ref[:].astype(jnp.float32)
+    g = _gelu_f32(u).astype(out_dtype)
+    y = jax.lax.dot_general(g, w1_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y_ref[:] = (y + b1_ref[:].astype(jnp.float32)).astype(out_dtype)
+
+
+def _bwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, dy_ref,
+                dx_ref, dw0_ref, db0_ref, dw1_ref, db1_ref, *, out_dtype):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw0_ref[:] = jnp.zeros_like(dw0_ref)
+        db0_ref[:] = jnp.zeros_like(db0_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+
+    x = x_ref[:]
+    dy = dy_ref[:]
+    # recompute the forward intermediates for this row tile (never stored)
+    u = jax.lax.dot_general(x, w0_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b0_ref[:].astype(jnp.float32)
+    g = _gelu_f32(u).astype(out_dtype)
+    # second-dense grads: dw1 += gᵀ dy, db1 += Σ dy
+    dw1_ref[:] += jax.lax.dot_general(g, dy, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+    # through the GELU: du = (dy w1ᵀ) ∘ gelu'(u)
+    dg = jax.lax.dot_general(dy, w1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    du = dg * _gelu_grad_f32(u)
+    dub = du.astype(out_dtype)
+    # first-dense grads and dx
+    dw0_ref[:] += jax.lax.dot_general(x, dub, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db0_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dx_ref[:] = jax.lax.dot_general(
+        dub, w0_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+# --- pallas_call plumbing ----------------------------------------------------
+
+
+def _specs(tr, c, f):
+    row = lambda last: pl.BlockSpec((tr, last), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    const = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    return row(c), const(c, f), const(1, f), const(f, c), const(1, c)
+
+
+def _interp(interpret):
+    return jax.default_backend() != "tpu" if interpret is None else interpret
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused2d(x, w0, b0, w1, b1, interpret=None):
+    return _fwd(x, w0, b0, w1, b1, interpret)
+
+
+def _no_tile(r, c, f):
+    raise ValueError(
+        f"fused_mlp: no viable row tile for rows={r}, C={c}, F={f} — gate "
+        f"call sites with fused_mlp_viable()")
+
+
+def _fwd(x, w0, b0, w1, b1, interpret):
+    r, c = x.shape
+    f = w0.shape[1]
+    tr = _pick_rows(r, c, f, x.dtype.itemsize, bwd=False) or _no_tile(r, c, f)
+    xspec, w0s, b0s, w1s, b1s = _specs(tr, c, f)
+    kern = functools.partial(_fwd_kernel, out_dtype=x.dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(r // tr,),
+        in_specs=[xspec, w0s, b0s, w1s, b1s],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
+        interpret=_interp(interpret),
+    )(x, w0, b0.reshape(1, f), w1, b1.reshape(1, c))
+
+
+def _vjp_fwd(x, w0, b0, w1, b1, interpret):
+    return _fwd(x, w0, b0, w1, b1, interpret), (x, w0, b0, w1, b1)
+
+
+def _bwd_raw(x, w0, b0, w1, b1, dy, interpret):
+    """(dx, dw0_f32, db0_f32, dw1_f32, db1_f32) for one (per-shard) block."""
+    r, c = x.shape
+    f = w0.shape[1]
+    tr = _pick_rows(r, c, f, x.dtype.itemsize, bwd=True) or _no_tile(r, c, f)
+    xspec, w0s, b0s, w1s, b1s = _specs(tr, c, f)
+    kern = functools.partial(_bwd_kernel, out_dtype=x.dtype)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kern,
+        grid=(r // tr,),
+        in_specs=[xspec, w0s, b0s, w1s, b1s, xspec],
+        out_specs=(xspec,
+                   pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((f, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((r, c), x.dtype),
+                   jax.ShapeDtypeStruct((c, f), f32),
+                   jax.ShapeDtypeStruct((1, f), f32),
+                   jax.ShapeDtypeStruct((f, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32)),
+        interpret=_interp(interpret),
+    )(x, w0, b0.reshape(1, f), w1, b1.reshape(1, c), dy)
+
+
+def _vjp_bwd(interpret, res, dy):
+    x, w0, b0, w1, b1 = res
+    dx, dw0, db0, dw1, db1 = _bwd_raw(x, w0, b0, w1, b1, dy, interpret)
+    return (dx, dw0.astype(w0.dtype), db0.reshape(b0.shape).astype(b0.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype))
+
+
+_fused2d.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --- mesh-sharded twin (see nkbx.ops.attention.set_attention_mesh) ----------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused2d_sharded(x, w0, b0, w1, b1, interpret, mesh, axis):
+    return _sharded_fwd(x, w0, b0, w1, b1, interpret, mesh, axis)[0]
+
+
+def _check_rows_shardable(r, mesh, axis):
+    ndev = mesh.shape[axis]
+    if r % ndev:
+        raise ValueError(
+            f"fused MLP under a {ndev}-way '{axis}' mesh needs the row count "
+            f"R={r} divisible by the axis size")
+
+
+def _sharded_fwd(x, w0, b0, w1, b1, interpret, mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _check_rows_shardable(x.shape[0], mesh, axis)
+
+    def fn(x_, w0_, b0_, w1_, b1_):
+        return _fwd(x_, w0_, b0_, w1_, b1_, interpret)
+
+    shmap = jax.shard_map(fn, mesh=mesh,
+                          in_specs=(P(axis), P(), P(), P(), P()),
+                          out_specs=P(axis), check_vma=False)
+    return shmap(x, w0, b0, w1, b1), (x, w0, b0, w1, b1)
+
+
+def _sharded_bwd(interpret, mesh, axis, res, dy):
+    from jax.sharding import PartitionSpec as P
+
+    x, w0, b0, w1, b1 = res
+
+    def fn(x_, w0_, b0_, w1_, b1_, dy_):
+        dx, dw0, db0, dw1, db1 = _bwd_raw(x_, w0_, b0_, w1_, b1_, dy_, interpret)
+        return dx, dw0[None], db0[None], dw1[None], db1[None]
+
+    shmap = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False)
+    dx, dw0, db0, dw1, db1 = shmap(x, w0, b0, w1, b1, dy)
+    return (dx,
+            jnp.sum(dw0, axis=0).astype(w0.dtype),
+            jnp.sum(db0, axis=0).reshape(b0.shape).astype(b0.dtype),
+            jnp.sum(dw1, axis=0).astype(w1.dtype),
+            jnp.sum(db1, axis=0).reshape(b1.shape).astype(b1.dtype))
+
+
+_fused2d_sharded.defvjp(_sharded_fwd, _sharded_bwd)
+
+
+# --- public entry points -----------------------------------------------------
+
+
+def fused_mlp(x, w0, b0, w1, b1, interpret=None):
+    """``gelu(x @ w0 + b0, exact) @ w1 + b1`` fused in VMEM.
+
+    x: (..., C); w0: (C, F); b0: (F,); w1: (F, C); b1: (C,). Weights are
+    expected pre-cast to the compute dtype (biases may stay f32 — they are
+    consumed in f32 inside the kernel). Leading dims are flattened to rows;
+    under a declared multi-device ops mesh the rows are sharded on the data
+    axis (leading-dim-major, so a batch-sharded NHWC tensor shards
+    consistently). Gate call sites with :func:`fused_mlp_viable`.
+    """
+    c = x.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, c)
+    ctx = _attn._active_mesh()
+    if ctx is not None:
+        y = _fused2d_sharded(x2, w0, b0, w1, b1, interpret, *ctx)
+    else:
+        y = _fused2d(x2, w0, b0, w1, b1, interpret)
+    return y.reshape(*lead, c)
+
+
+def reference_mlp(x, w0, b0, w1, b1):
+    """Plain-XLA twin (flax-Dense semantics: bias added in compute dtype) —
+    used by the equality tests and as the fallback path shape reference."""
+    dt = x.dtype
+    u = x @ w0 + b0.astype(dt)
+    g = jax.nn.gelu(u, approximate=False)
+    return g @ w1 + b1.astype(dt)

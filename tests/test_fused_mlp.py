@@ -1,0 +1,202 @@
+"""Fused Pallas MLP (nkbx/ops/mlp.py) vs the plain-XLA path.
+
+Runs the kernel in interpreter mode on the forced-CPU backend (conftest);
+on TPU the same code compiles via Mosaic. Covers forward/gradients against
+the flax-Dense reference program, leading-dim flattening, the VMEM
+viability gate, the mesh-sharded twin, and the ConvNeXt model-level flag
+(same function, same gradients, same param paths)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nkbx.ops.mlp import (
+    fused_mlp,
+    fused_mlp_viable,
+    reference_mlp,
+)
+
+
+def _inputs(r, c, f, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(r, c), dtype)
+    w0 = jnp.asarray(rng.randn(c, f) * (c ** -0.5), dtype)
+    b0 = jnp.asarray(rng.randn(f) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(f, c) * (f ** -0.5), dtype)
+    b1 = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    return x, w0, b0, w1, b1
+
+
+CASES = [
+    # (rows, C, F) — F = 4C mixing shape and a non-4x ratio
+    (256, 32, 128),
+    (384, 48, 192),
+    (512, 16, 24),
+]
+
+
+@pytest.mark.parametrize("r,c,f", CASES)
+def test_forward_matches_reference(r, c, f):
+    x, w0, b0, w1, b1 = _inputs(r, c, f)
+    got = fused_mlp(x, w0, b0, w1, b1, True)
+    want = reference_mlp(x, w0, b0, w1, b1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("r,c,f", CASES)
+def test_gradients_match_reference(r, c, f):
+    x, w0, b0, w1, b1 = _inputs(r, c, f, seed=1)
+    co = jnp.asarray(np.random.RandomState(2).randn(r, c), jnp.float32)
+
+    def loss_fused(x, w0, b0, w1, b1):
+        return jnp.sum(fused_mlp(x, w0, b0, w1, b1, True) * co)
+
+    def loss_ref(x, w0, b0, w1, b1):
+        return jnp.sum(reference_mlp(x, w0, b0, w1, b1) * co)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w0, b0, w1, b1)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w0, b0, w1, b1)
+    for name, a, b in zip("x w0 b0 w1 b1".split(), got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_leading_dims_flattened():
+    x, w0, b0, w1, b1 = _inputs(2 * 8 * 16, 32, 128, seed=3)
+    x4 = x.reshape(2, 8, 16, 32)
+    got = fused_mlp(x4, w0, b0, w1, b1, True)
+    assert got.shape == (2, 8, 16, 32)
+    np.testing.assert_allclose(got.reshape(-1, 32),
+                               fused_mlp(x, w0, b0, w1, b1, True),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_grad_dtypes_match_primals():
+    x, w0, b0, w1, b1 = _inputs(256, 32, 128, seed=4, dtype=jnp.bfloat16)
+
+    def loss(x, w0, b0, w1, b1):
+        return jnp.sum(fused_mlp(x, w0, b0, w1, b1, True).astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w0, b0, w1, b1)
+    for a, p in zip(g, (x, w0, b0, w1, b1)):
+        assert a.dtype == p.dtype and a.shape == p.shape
+
+
+class TestViabilityGate:
+    def test_stage_geometries(self):
+        # ConvNeXt stages 1-3 at bs=64 @224 fit; stage 4 / ViT-B (C=768,
+        # F=3072) blow the resident dW VMEM budget and must route to XLA.
+        assert fused_mlp_viable(64 * 56 * 56, 96, 384)
+        assert fused_mlp_viable(64 * 28 * 28, 192, 768)
+        assert fused_mlp_viable(64 * 14 * 14, 384, 1536)
+        assert not fused_mlp_viable(64 * 7 * 7, 768, 3072)
+
+    def test_indivisible_rows_not_viable(self):
+        assert not fused_mlp_viable(127, 96, 384)  # no row tile ≥128 divides
+
+    def test_unviable_call_raises(self):
+        x, w0, b0, w1, b1 = _inputs(127, 32, 128)
+        with pytest.raises(ValueError, match="fused_mlp_viable"):
+            fused_mlp(x, w0, b0, w1, b1, True)
+
+
+class TestMeshSharded:
+    """Under a declared ops mesh the kernel runs per-shard inside
+    jax.shard_map (rows on the data axis); dw/db are summed across shards.
+    Must equal the single-device fused op exactly (the op is purely batched
+    over rows)."""
+
+    def _mesh(self):
+        from nkbx.parallel import make_mesh
+
+        return make_mesh(n_data=8)
+
+    def test_sharded_matches_local(self):
+        from nkbx.ops.attention import attention_mesh
+        from nkbx.parallel import batch_sharding
+
+        mesh = self._mesh()
+        r, c, f = 8 * 256, 32, 128
+        x, w0, b0, w1, b1 = _inputs(r, c, f, seed=11)
+        co = jnp.asarray(np.random.RandomState(12).randn(r, c), jnp.float32)
+
+        def loss(x, w0, b0, w1, b1):
+            return jnp.sum(fused_mlp(x, w0, b0, w1, b1, True) * co)
+
+        want_out = fused_mlp(x, w0, b0, w1, b1, True)
+        want_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w0, b0, w1, b1)
+
+        xs = jax.device_put(x, batch_sharding(mesh))
+        with attention_mesh(mesh):
+            got_out = fused_mlp(xs, w0, b0, w1, b1, True)
+            got_g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(xs, w0, b0, w1, b1)
+        np.testing.assert_allclose(got_out, want_out, rtol=2e-5, atol=2e-5)
+        for name, a, b in zip("x w0 b0 w1 b1".split(), got_g, want_g):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=name)
+
+    def test_indivisible_rows_error(self):
+        from nkbx.ops.attention import attention_mesh
+
+        mesh = self._mesh()
+        x, w0, b0, w1, b1 = _inputs(8 * 256 + 4, 32, 128)
+        with attention_mesh(mesh):
+            with pytest.raises(ValueError, match="divisible"):
+                fused_mlp(x, w0, b0, w1, b1, True)
+
+
+class TestConvNeXtIntegration:
+    """fused_mlp=True must be a pure reparametrization of the block: same
+    param tree, same outputs/gradients (up to kernel-vs-XLA rounding)."""
+
+    def _models(self):
+        from nkbx.models.convnext import ConvNeXt
+
+        base = ConvNeXt(depths=(1, 1), dims=(16, 32), dtype=jnp.float32,
+                        fused_mlp=False)
+        fused = ConvNeXt(depths=(1, 1), dims=(16, 32), dtype=jnp.float32,
+                         fused_mlp=True)
+        return base, fused
+
+    def test_same_params_outputs_grads(self):
+        base, fused = self._models()
+        rng = np.random.default_rng(0)
+        # 64x64 input -> stage rows 2*16*16=512 and 2*8*8=128, both viable
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        vf = fused.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(v)
+        for a, b in zip(jax.tree_util.tree_leaves(vf), jax.tree_util.tree_leaves(v)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        y0 = base.apply(v, x, train=False)
+        y1 = fused.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=5e-5, atol=5e-5)
+
+        def grads(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p}, x, train=True) ** 2)
+            return jax.grad(f)(v["params"])
+
+        g0, g1 = grads(base), grads(fused)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_auto_is_off_on_cpu(self):
+        from nkbx.models.convnext import _use_fused_mlp
+
+        assert not _use_fused_mlp(None, 64 * 56 * 56, 96, 384, 2)
+
+    def test_env_override_forces_off(self, monkeypatch):
+        from nkbx.models.convnext import _use_fused_mlp
+
+        monkeypatch.setenv("NKBX_FUSED_MLP", "0")
+        assert not _use_fused_mlp(True, 64 * 56 * 56, 96, 384, 2)
+
+    def test_export_context_forces_off(self):
+        from nkbx.models.convnext import _use_fused_mlp
+        from nkbx.ops.attention import disable_fused
+
+        with disable_fused():
+            assert not _use_fused_mlp(True, 64 * 56 * 56, 96, 384, 2)

@@ -188,3 +188,34 @@ class TestResNetR3Options:
         with pytest.raises(ValueError, match="s2d"):
             m.init({"params": jax.random.PRNGKey(0)},
                    jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+class TestConvNeXtRematOption:
+    """Round-3 perf hook: ConvNeXt remat_stages must be an exact
+    reparametrization (same function, same gradients, same param paths)."""
+
+    def test_remat_stages_same_params_outputs_grads(self):
+        from nkbx.models.convnext import ConvNeXt
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        base = ConvNeXt(depths=(1, 1), dims=(16, 32), dtype=jnp.float32)
+        remat = ConvNeXt(depths=(1, 1), dims=(16, 32), dtype=jnp.float32,
+                         remat_stages=(0, 1))
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        # identical param tree paths (checkpoint-compatible)
+        vr = remat.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(v)
+        np.testing.assert_array_equal(
+            np.asarray(remat.apply(v, x, train=False)),
+            np.asarray(base.apply(v, x, train=False)))
+
+        def grads(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p}, x, train=True) ** 2)
+            return jax.grad(f)(v["params"])
+
+        g0, g1 = grads(base), grads(remat)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
