@@ -48,9 +48,10 @@ def parse_args():
                         help="tflite only: dynamic-range int8 weight quantization")
     parser.add_argument("--fused-attention", type=str2bool, nargs="?", const=True,
                         default=False,
-                        help="serving only: keep the Pallas fused-attention "
-                             "kernel in the bundle (+44%% Swin serving on TPU; "
-                             "TPU-only artifact, requires --dynamic none)")
+                        help="serving only: keep the fused Pallas kernels "
+                             "(window attention + fused MLP) in the bundle "
+                             "(+44%% Swin serving on TPU; TPU-only artifact, "
+                             "requires --dynamic none)")
     args = parser.parse_args()
     assert args.to in ("serving", "stablehlo", "savedmodel", "tflite", "onnx")
     assert args.dynamic in ("batch", "none", "all")

@@ -56,15 +56,17 @@ def export_model(model, input_shape, save_path, metadata=None, dynamic_batch=Tru
             embeddings pin the spatial size, as they do for the reference's
             ONNX dynamic axes).
         dynamic_batch: legacy bool form of ``dynamic`` ('batch' when True).
-        fused_attention: keep the Pallas fused-attention lowering in the
-            bundle (+44% serving throughput for Swin on TPU, PERF.md) instead
-            of force-disabling it. The resulting bundle embeds a
-            ``tpu_custom_call`` — it is TPU-ONLY and carries no cross-release
-            compatibility guarantee (the default, portable bundle has both).
-            Requires ``dynamic='none'``: the kernel's block picker needs a
-            concrete window count. Traced on a non-TPU backend the model's
-            auto mode skips the kernel anyway, so this flag only changes the
-            artifact when exporting on the TPU host that will serve it.
+        fused_attention: keep the fused Pallas lowerings — window attention
+            AND the fused MLP (nkbx/ops/mlp.py) — in the bundle (+44%
+            serving throughput for Swin attention alone on TPU, PERF.md)
+            instead of force-disabling them. The resulting bundle embeds
+            ``tpu_custom_call``s — it is TPU-ONLY and carries no
+            cross-release compatibility guarantee (the default, portable
+            bundle has neither). Requires ``dynamic='none'``: the kernels'
+            block pickers need concrete row/window counts. Traced on a
+            non-TPU backend the models' auto modes skip the kernels anyway,
+            so this flag only changes the artifact when exporting on the
+            TPU host that will serve it.
     """
     from jax import export as jexp
 

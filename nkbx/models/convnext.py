@@ -9,7 +9,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -22,11 +21,9 @@ def _use_fused_mlp(flag, rows, c, f, itemsize):
     GELU intermediates dominate HBM traffic; see PERF.md round 3). Export
     tracing force-disables (nkbx.ops.attention disable_fused — shared ops
     state)."""
-    from nkbx.ops.mlp import fused_mlp_viable, resolve_fused_mlp
+    from nkbx.ops.mlp import use_fused_mlp
 
-    auto = jax.default_backend() == "tpu"
-    return (resolve_fused_mlp(flag, auto)
-            and fused_mlp_viable(rows, c, f, itemsize))
+    return use_fused_mlp(flag, rows, c, f, itemsize)
 
 
 class ConvNeXtBlock(nn.Module):

@@ -137,6 +137,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
     fused: Any = None
+    fused_mlp: Any = None  # None=auto (TPU) | True | False — see nkbx/ops/mlp.py
 
     @nn.compact
     def __call__(self, x):
@@ -165,11 +166,26 @@ class SwinBlock(nn.Module):
         x = shortcut + x
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc1")(y)
-        y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc2")(y)
+        # MLP: params declared nn.Dense-identically either way (same fc1/fc2
+        # paths, checkpoint/converter-compatible); compute fused in VMEM
+        # (Pallas, the TPU default — avoids storing the (rows, 4C) GELU
+        # intermediates for the backward) or as the plain Dense program.
+        from nkbx.models.common import DenseParams
+        from nkbx.ops.mlp import use_fused_mlp
+
+        w0, b0 = DenseParams(self.dim * self.mlp_ratio, name="fc1")(self.dim)
+        w1, b1 = DenseParams(self.dim, name="fc2")(self.dim * self.mlp_ratio)
+        if use_fused_mlp(self.fused_mlp, b * h * w, self.dim,
+                         self.dim * self.mlp_ratio,
+                         jnp.dtype(self.dtype).itemsize):
+            from nkbx.ops.mlp import fused_mlp
+
+            y = fused_mlp(y, w0.astype(self.dtype), b0,
+                          w1.astype(self.dtype), b1)
+        else:
+            y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
+            y = nn.gelu(y, approximate=False)
+            y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
         return x + y
 
 
@@ -199,6 +215,7 @@ class SwinTransformer(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
     fused_attention: Any = None  # None=auto (TPU): fused Pallas window attention
+    fused_mlp: Any = None  # None=auto (TPU, where VMEM-viable) — nkbx/ops/mlp.py
 
     @property
     def num_features(self):
@@ -218,6 +235,7 @@ class SwinTransformer(nn.Module):
                               shift=(self.window // 2) if j % 2 else 0,
                               mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                               fused=self.fused_attention,
+                              fused_mlp=self.fused_mlp,
                               name=f"stage{i}_block{j}")(x)
             if i != len(self.depths) - 1:
                 x = PatchMerging(dim, dtype=self.dtype, name=f"downsample{i}")(x)

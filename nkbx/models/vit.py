@@ -57,6 +57,7 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     ln_eps: float = 1e-6  # timm passes eps=1e-6; unicom keeps torch default 1e-5
     fused: Any = None  # None=XLA (fused measured -7% for ViT; see _use_fused)
+    fused_mlp: Any = None  # None=XLA (fused measured non-win for ViT); True opts in
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -72,11 +73,34 @@ class TransformerBlock(nn.Module):
         )(y, y)
         x = x + y
         y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = nn.gelu(y, approximate=False)  # timm uses exact GELU
-        if self.drop_rate > 0:
-            y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
-        y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
+        # MLP: params declared nn.Dense-identically either way (auto-named
+        # Dense_0/Dense_1 paths, checkpoint/converter-compatible). Default is
+        # the XLA program: the fused VMEM kernel is a MEASURED non-win for
+        # ViT (PERF.md round 3 — vit_small/16 flat, vit_tiny/16 −10%,
+        # vit_small/32 flat; vit_base C=768 is MXU-bound and VMEM-gated out
+        # anyway), unlike Swin/ConvNeXt whose early stages are
+        # intermediate-traffic-bound. Opt in with fused_mlp=True; the fused
+        # path additionally requires the mid-MLP Dropout inactive.
+        from nkbx.models.common import DenseParams
+        from nkbx.ops.mlp import use_fused_mlp
+
+        f = int(self.dim * self.mlp_ratio)
+        w0, b0 = DenseParams(f, name="Dense_0")(self.dim)
+        w1, b1 = DenseParams(self.dim, name="Dense_1")(f)
+        rows = y.shape[0] * y.shape[1]
+        if (not (self.drop_rate > 0 and train)
+                and use_fused_mlp(self.fused_mlp, rows, self.dim, f,
+                                  jnp.dtype(self.dtype).itemsize, auto=False)):
+            from nkbx.ops.mlp import fused_mlp
+
+            y = fused_mlp(y, w0.astype(self.dtype), b0,
+                          w1.astype(self.dtype), b1)
+        else:
+            y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
+            y = nn.gelu(y, approximate=False)  # timm uses exact GELU
+            if self.drop_rate > 0:
+                y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
+            y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
         return x + y
 
 
@@ -91,6 +115,7 @@ class ViT(nn.Module):
     projection_dim: Optional[int] = None  # unicom-style feature head -> 512
     dtype: Any = jnp.float32
     fused_attention: Any = None  # None=XLA; True opts into the Pallas kernel
+    fused_mlp: Any = None  # None=XLA (fused measured non-win for ViT); True opts in
 
     @property
     def num_features(self):
@@ -120,7 +145,8 @@ class ViT(nn.Module):
             x = nn.Dropout(self.drop_rate)(x, deterministic=not train)
         for _ in range(self.depth):
             x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio, self.drop_rate,
-                                 self.dtype, fused=self.fused_attention)(x, train)
+                                 self.dtype, fused=self.fused_attention,
+                                 fused_mlp=self.fused_mlp)(x, train)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = x[:, 0] if self.pool == "cls" else jnp.mean(x, axis=1)
         if self.projection_dim:
@@ -159,6 +185,7 @@ class UnicomViT(nn.Module):
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
     fused_attention: Any = None
+    fused_mlp: Any = None  # None=XLA (fused measured non-win for ViT); True opts in
 
     @property
     def num_features(self):
@@ -184,7 +211,8 @@ class UnicomViT(nn.Module):
         for _ in range(self.depth):
             x = TransformerBlock(self.dim, self.n_heads, self.mlp_ratio,
                                  self.drop_rate, self.dtype, ln_eps=1e-5,
-                                 fused=self.fused_attention)(x, train)
+                                 fused=self.fused_attention,
+                                 fused_mlp=self.fused_mlp)(x, train)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         x = x.reshape(b, n * self.dim)  # token-major flatten, as torch reshape
         bn_mask = mask.reshape(b, 1) if mask is not None else None

@@ -24,7 +24,16 @@ VMEM sizing: the single-kernel backward keeps w0, w1 (compute dtype) and
 dw0, dw1 (f32) resident — 12 (C·F) bytes in bf16 — which fits the ~16 MB
 VMEM for C ≤ 384 at mlp_ratio 4 (ConvNeXt/Swin stages 1-3, exactly where
 the traffic lives). ``fused_mlp_viable`` gates call sites; larger layers
-stay on XLA.
+stay on XLA. That VMEM boundary coincides with the PROFITABILITY
+boundary: the XLA intermediates' traffic time equals the MLP's MXU time
+at C ≈ 284 (4·F·itemsize/BW vs 12·C·F/peak at delivered 462 GB/s /
+197 TFLOP/s) — below it the MLP is intermediate-traffic-bound and fusing
+wins; at C = 768 (ViT-B, stage 4) the MLP is already MXU-bound and the
+kernel's flash-style recompute (+~50% MLP matmul work) would cost more
+than the saved bytes. Don't chase an F-chunked C=768 variant without new
+evidence. Row counts need not divide the tile — the final partial tile is
+masked (padded rows zeroed before any accumulation), so ViT's B·197 token
+rows work.
 
 Mesh: ``pallas_call`` has no GSPMD partitioning rule, so under a declared
 multi-device mesh (nkbx.ops.attention.set_attention_mesh — shared ops-mesh
@@ -107,15 +116,23 @@ def _per_row_bytes(c, f, itemsize, bwd):
 
 
 def _pick_rows(r, c, f, itemsize, bwd):
-    """Largest row tile ≤ cap that divides r (multiple of 8), or None."""
+    """Row tile ≤ cap (multiple of 8, ≥128), or None.
+
+    Prefers a tile that divides r exactly (no boundary masking); otherwise
+    the largest aligned tile — the kernels mask the final partial tile
+    (rows beyond r are zeroed before any accumulation), so any row count
+    ≥128 works (e.g. ViT's B·197 token rows)."""
     budget = _VMEM_BUDGET - _resident_bytes(c, f, itemsize, bwd)
     if budget <= 0:
         return None
     cap = min(1024, budget // _per_row_bytes(c, f, itemsize, bwd), r)
-    for tr in range(cap - cap % 8, 0, -8):
+    cap -= cap % 8
+    if cap < 128:
+        return None
+    for tr in range(cap, 127, -8):
         if r % tr == 0:
-            return tr if tr >= 128 else None
-    return None
+            return tr
+    return cap
 
 
 def fused_mlp_viable(rows: int, c: int, f: int, itemsize: int = 2) -> bool:
@@ -140,11 +157,39 @@ def resolve_fused_mlp(flag, auto: bool) -> bool:
     return auto
 
 
+def use_fused_mlp(flag, rows, c, f, itemsize, auto=None):
+    """Shared model-level gate: flag resolution AND VMEM/geometry viability.
+
+    ``auto=None`` defaults to "on TPU" — the measured default for every
+    family wired so far (ConvNeXt +26%, Swin; PERF.md round 3). Call sites
+    pass the flattened row count so non-tileable geometries (e.g. ViT's
+    B·197 token rows) fall back to XLA automatically."""
+    if auto is None:
+        auto = jax.default_backend() == "tpu"
+    return (resolve_fused_mlp(flag, auto)
+            and fused_mlp_viable(rows, c, f, itemsize))
+
+
 # --- kernels -----------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, y_ref, *, out_dtype):
-    u = jax.lax.dot_general(x_ref[:], w0_ref[:], (((1,), (0,)), ((), ())),
+def _row_mask(rows, tr):
+    """(tr, 1) bool mask of valid rows in this grid step, or None when the
+    grid divides evenly (loads beyond the array edge are undefined — they
+    must be zeroed before any cross-row accumulation)."""
+    if rows % tr == 0:
+        return None
+    left = rows - pl.program_id(0) * tr
+    return jax.lax.broadcasted_iota(jnp.int32, (tr, 1), 0) < left
+
+
+def _fwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, y_ref, *,
+                out_dtype, rows, tr):
+    x = x_ref[:]
+    mask = _row_mask(rows, tr)
+    if mask is not None:
+        x = jnp.where(mask, x, 0)  # keep padded rows finite (store is clipped)
+    u = jax.lax.dot_general(x, w0_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     u = u + b0_ref[:].astype(jnp.float32)
     g = _gelu_f32(u).astype(out_dtype)
@@ -154,7 +199,8 @@ def _fwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, y_ref, *, out_dtype):
 
 
 def _bwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, dy_ref,
-                dx_ref, dw0_ref, db0_ref, dw1_ref, db1_ref, *, out_dtype):
+                dx_ref, dw0_ref, db0_ref, dw1_ref, db1_ref, *,
+                out_dtype, rows, tr):
     @pl.when(pl.program_id(0) == 0)
     def _():
         dw0_ref[:] = jnp.zeros_like(dw0_ref)
@@ -164,6 +210,13 @@ def _bwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, dy_ref,
 
     x = x_ref[:]
     dy = dy_ref[:]
+    mask = _row_mask(rows, tr)
+    if mask is not None:
+        # zero BOTH streams: padded rows then contribute exact zeros to
+        # every dW/db accumulation (and u stays finite, so du = 0 * gelu'(u)
+        # cannot produce NaN).
+        x = jnp.where(mask, x, 0)
+        dy = jnp.where(mask, dy, 0)
     # recompute the forward intermediates for this row tile (never stored)
     u = jax.lax.dot_general(x, w0_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -218,10 +271,10 @@ def _fwd(x, w0, b0, w1, b1, interpret):
     f = w0.shape[1]
     tr = _pick_rows(r, c, f, x.dtype.itemsize, bwd=False) or _no_tile(r, c, f)
     xspec, w0s, b0s, w1s, b1s = _specs(tr, c, f)
-    kern = functools.partial(_fwd_kernel, out_dtype=x.dtype)
+    kern = functools.partial(_fwd_kernel, out_dtype=x.dtype, rows=r, tr=tr)
     return pl.pallas_call(
         kern,
-        grid=(r // tr,),
+        grid=(pl.cdiv(r, tr),),
         in_specs=[xspec, w0s, b0s, w1s, b1s],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
@@ -239,11 +292,11 @@ def _bwd_raw(x, w0, b0, w1, b1, dy, interpret):
     f = w0.shape[1]
     tr = _pick_rows(r, c, f, x.dtype.itemsize, bwd=True) or _no_tile(r, c, f)
     xspec, w0s, b0s, w1s, b1s = _specs(tr, c, f)
-    kern = functools.partial(_bwd_kernel, out_dtype=x.dtype)
+    kern = functools.partial(_bwd_kernel, out_dtype=x.dtype, rows=r, tr=tr)
     f32 = jnp.float32
     return pl.pallas_call(
         kern,
-        grid=(r // tr,),
+        grid=(pl.cdiv(r, tr),),
         in_specs=[xspec, w0s, b0s, w1s, b1s, xspec],
         out_specs=(xspec,
                    pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -33,6 +33,10 @@ CASES = [
     (256, 32, 128),
     (384, 48, 192),
     (512, 16, 24),
+    # rows with no >=128 divisor tile (2^2·5·13 and 2^6·197 / 32 — the ViT
+    # B·197-token shape): exercises the masked final tile
+    (260, 32, 128),
+    (394, 48, 192),
 ]
 
 
@@ -91,8 +95,13 @@ class TestViabilityGate:
         assert fused_mlp_viable(64 * 14 * 14, 384, 1536)
         assert not fused_mlp_viable(64 * 7 * 7, 768, 3072)
 
-    def test_indivisible_rows_not_viable(self):
-        assert not fused_mlp_viable(127, 96, 384)  # no row tile ≥128 divides
+    def test_small_rows_not_viable(self):
+        assert not fused_mlp_viable(127, 96, 384)  # under the 128-row floor
+
+    def test_indivisible_rows_viable_via_masking(self):
+        # ViT-B/16 token rows at bs=64: 64·197 has no ≥128 divisor — the
+        # masked final tile makes it viable anyway (C=384 = vit_small).
+        assert fused_mlp_viable(64 * 197, 384, 1536)
 
     def test_unviable_call_raises(self):
         x, w0, b0, w1, b1 = _inputs(127, 32, 128)
@@ -200,3 +209,108 @@ class TestConvNeXtIntegration:
 
         with disable_fused():
             assert not _use_fused_mlp(True, 64 * 56 * 56, 96, 384, 2)
+
+
+class TestSwinIntegration:
+    """Swin fc1/fc2 fused_mlp=True must be a pure reparametrization."""
+
+    def _models(self):
+        from nkbx.models.swin import SwinTransformer
+
+        kw = dict(embed_dim=16, depths=(1, 1), n_heads=(2, 4), window=7,
+                  dtype=jnp.float32)
+        return (SwinTransformer(fused_mlp=False, **kw),
+                SwinTransformer(fused_mlp=True, **kw))
+
+    def test_same_params_outputs_grads(self):
+        base, fused = self._models()
+        rng = np.random.default_rng(0)
+        # 56x56 input -> 14x14 then 7x7 token grids; rows 2*196=392, 2*49=98
+        # (stage 2's 98 rows fail the >=128 tile rule and stay XLA — the
+        # mixed program must still be exact)
+        x = jnp.asarray(rng.standard_normal((2, 56, 56, 3)).astype(np.float32))
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        vf = fused.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(v)
+
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(v, x, train=False)),
+            np.asarray(base.apply(v, x, train=False)), rtol=5e-5, atol=5e-5)
+
+        def grads(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p}, x, train=True) ** 2)
+            return jax.grad(f)(v["params"])
+
+        g0, g1 = grads(base), grads(fused)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+
+class TestViTIntegration:
+    """ViT Dense_0/Dense_1 fused_mlp=True must be a pure reparametrization;
+    dropout in the MLP (train only) must force the XLA path."""
+
+    def _models(self, drop=0.0):
+        from nkbx.models.vit import ViT
+
+        kw = dict(patch_size=8, dim=32, depth=1, n_heads=2,
+                  drop_rate=drop, dtype=jnp.float32)
+        return ViT(fused_mlp=False, **kw), ViT(fused_mlp=True, **kw)
+
+    def test_same_params_outputs_grads(self):
+        # 8x8 grid + cls = 65 tokens -> rows=4*65=260 has no >=128 divisor:
+        # exercises the masked-final-tile path at the model level.
+        from nkbx.models.vit import ViT
+
+        rng = np.random.default_rng(0)
+        kw = dict(patch_size=8, dim=32, depth=1, n_heads=2,
+                  dtype=jnp.float32)
+        base, fused = ViT(fused_mlp=False, **kw), ViT(fused_mlp=True, **kw)
+        x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        vf = fused.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(v)
+
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(v, x, train=False)),
+            np.asarray(base.apply(v, x, train=False)), rtol=5e-5, atol=5e-5)
+
+        def grads(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p}, x, train=True) ** 2)
+            return jax.grad(f)(v["params"])
+
+        g0, g1 = grads(base), grads(fused)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4)
+
+    def test_dropout_train_forces_xla_path(self):
+        # with drop_rate>0 the fused program must not be used in train mode:
+        # the traced train-mode module must contain a Dropout RNG use and
+        # still match param structure. (On CPU auto is off anyway, so force
+        # fused=True and check apply() with dropout doesn't raise and
+        # consumes the dropout rng.)
+        base, fused = self._models(drop=0.5)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+        v = fused.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        y0 = fused.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+        y1 = fused.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+    def test_unicom_threads_flag(self):
+        from nkbx.models.vit import UnicomViT
+
+        m = UnicomViT(patch_size=8, dim=32, depth=1, n_heads=2,
+                      input_size=64, embedding_size=16, fused_mlp=True,
+                      dtype=jnp.float32)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+        v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        m0 = m.clone(fused_mlp=False)
+        np.testing.assert_allclose(
+            np.asarray(m.apply(v, x, train=False)),
+            np.asarray(m0.apply(v, x, train=False)), rtol=5e-5, atol=5e-5)
