@@ -193,6 +193,21 @@ class SqueezeExcite(nn.Module):
         return x * self.gate(s)
 
 
+class LayerNormParams(nn.Module):
+    """Declare ``nn.LayerNorm``-identical scale/bias params without running
+    it — the LN-fused MLP kernel (nkbx/ops/mlp.py) consumes them directly
+    while keeping the exact ``<name>/scale`` + ``<name>/bias`` tree paths,
+    shapes, and inits, so checkpoints and converters are flag-agnostic."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (features,), jnp.float32)
+        return scale, bias
+
+
 class DenseParams(nn.Module):
     """Declare an ``nn.Dense``-identical param pair without running it.
 

@@ -15,17 +15,6 @@ from flax import linen as nn
 from nkbx.models.common import DenseParams, global_avg_pool
 
 
-def _use_fused_mlp(flag, rows, c, f, itemsize):
-    """None = auto: fused Pallas MLP on TPU where the kernel's backward fits
-    VMEM (C ≤ 384 at ratio 4 — ConvNeXt stages 1-3, where the (rows, 4C)
-    GELU intermediates dominate HBM traffic; see PERF.md round 3). Export
-    tracing force-disables (nkbx.ops.attention disable_fused — shared ops
-    state)."""
-    from nkbx.ops.mlp import use_fused_mlp
-
-    return use_fused_mlp(flag, rows, c, f, itemsize)
-
-
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
@@ -34,19 +23,33 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from nkbx.ops.mlp import fused_mlp_mode
+
         y = nn.Conv(
             self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
             dtype=self.dtype, param_dtype=jnp.float32,
         )(x)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(y)
-        # the two mixing Denses: params declared Dense-identically either
-        # way (checkpoint/converter-compatible), compute either fused in
-        # VMEM (Pallas) or as the plain flax-Dense program.
+        # LN + mixing Denses + layer-scale + residual: params declared
+        # flax-identically either way (checkpoint/converter-compatible);
+        # on TPU the whole tail lowers to ONE fused VMEM kernel per pass
+        # (nkbx/ops/mlp.py fused_ln_mlp: LN stats, GELU intermediates, and
+        # the residual never make separate HBM round trips — PERF.md r3).
         w0, b0 = DenseParams(4 * self.dim, name="Dense_0")(self.dim)
         w1, b1 = DenseParams(self.dim, name="Dense_1")(4 * self.dim)
+        gamma = self.param("layer_scale", nn.initializers.constant(self.layer_scale_init), (self.dim,))
         rows = y.shape[0] * y.shape[1] * y.shape[2]
-        if _use_fused_mlp(self.fused_mlp, rows, self.dim, 4 * self.dim,
-                          jnp.dtype(self.dtype).itemsize):
+        mode = fused_mlp_mode(self.fused_mlp, rows, self.dim, 4 * self.dim,
+                              jnp.dtype(self.dtype).itemsize)
+        if mode == "ln":
+            from nkbx.models.common import LayerNormParams
+            from nkbx.ops.mlp import fused_ln_mlp
+
+            ls, lb = LayerNormParams(name="LayerNorm_0")(self.dim)
+            return fused_ln_mlp(y, ls, lb, w0.astype(self.dtype), b0,
+                                w1.astype(self.dtype), b1, shortcut=x,
+                                gamma=gamma, eps=1e-6)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(y)
+        if mode == "mlp":
             from nkbx.ops.mlp import fused_mlp
 
             y = fused_mlp(y, w0.astype(self.dtype), b0,
@@ -55,7 +58,6 @@ class ConvNeXtBlock(nn.Module):
             y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
             y = nn.gelu(y, approximate=False)  # timm uses exact GELU
             y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
-        gamma = self.param("layer_scale", nn.initializers.constant(self.layer_scale_init), (self.dim,))
         return x + y * gamma.astype(y.dtype)
 
 

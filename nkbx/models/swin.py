@@ -165,19 +165,29 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        # MLP: params declared nn.Dense-identically either way (same fc1/fc2
-        # paths, checkpoint/converter-compatible); compute fused in VMEM
-        # (Pallas, the TPU default — avoids storing the (rows, 4C) GELU
-        # intermediates for the backward) or as the plain Dense program.
+        # MLP half (norm2 + fc1/gelu/fc2 + residual): params declared
+        # flax-identically either way (checkpoint/converter-compatible); on
+        # TPU the whole half lowers to ONE fused VMEM kernel per pass
+        # (nkbx/ops/mlp.py — LN stats, GELU intermediates, and the residual
+        # never make separate HBM round trips).
         from nkbx.models.common import DenseParams
-        from nkbx.ops.mlp import use_fused_mlp
+        from nkbx.ops.mlp import fused_mlp_mode
 
         w0, b0 = DenseParams(self.dim * self.mlp_ratio, name="fc1")(self.dim)
         w1, b1 = DenseParams(self.dim, name="fc2")(self.dim * self.mlp_ratio)
-        if use_fused_mlp(self.fused_mlp, b * h * w, self.dim,
-                         self.dim * self.mlp_ratio,
-                         jnp.dtype(self.dtype).itemsize):
+        mode = fused_mlp_mode(self.fused_mlp, b * h * w, self.dim,
+                              self.dim * self.mlp_ratio,
+                              jnp.dtype(self.dtype).itemsize)
+        if mode == "ln":
+            from nkbx.models.common import LayerNormParams
+            from nkbx.ops.mlp import fused_ln_mlp
+
+            ns, nb = LayerNormParams(name="norm2")(self.dim)
+            return fused_ln_mlp(x, ns, nb, w0.astype(self.dtype), b0,
+                                w1.astype(self.dtype), b1, shortcut=x,
+                                eps=1e-5)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        if mode == "mlp":
             from nkbx.ops.mlp import fused_mlp
 
             y = fused_mlp(y, w0.astype(self.dtype), b0,

@@ -67,6 +67,15 @@ _ERF_BETA = (-1.1791602954361697e-7, 2.3547966471313185e-5,
              0.11098505178285362, 0.49746925110067538, 1.0)
 
 
+def _recip_f32(q):
+    """1/q via the VPU's approximate reciprocal + two Newton steps (4 madds)
+    — f32-accurate, and measured ~2.3 ms/step cheaper than the hardware
+    divide across convnext_tiny's fused MLPs (experiments/r3_gelu_headroom)."""
+    r = pl.reciprocal(q, approx=True)
+    r = r * (2.0 - q * r)
+    return r * (2.0 - q * r)
+
+
 def _erf_f32(x):
     x = jnp.clip(x, -4.0, 4.0)
     x2 = x * x
@@ -76,7 +85,7 @@ def _erf_f32(x):
     q = jnp.float32(_ERF_BETA[0])
     for c in _ERF_BETA[1:]:
         q = q * x2 + c
-    return x * p / q
+    return x * p * _recip_f32(q)
 
 
 def _gelu_f32(u):
@@ -84,11 +93,14 @@ def _gelu_f32(u):
     return 0.5 * u * (1.0 + _erf_f32(u * _SQRT_HALF))
 
 
-def _gelu_grad_f32(u):
-    """d/du of exact GELU: Phi(u) + u * phi(u)."""
+def _gelu_and_grad_f32(u):
+    """(gelu(u), gelu'(u)) sharing ONE erf evaluation — the kernels are
+    VPU-transcendental-bound (PERF.md r3 post-fusion profile), so the
+    backward computes the CDF once for both the recomputed activation and
+    its derivative Phi(u) + u*phi(u)."""
     cdf = 0.5 * (1.0 + _erf_f32(u * _SQRT_HALF))
     pdf = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
-    return cdf + u * pdf
+    return u * cdf, cdf + u * pdf
 
 
 _VMEM_BUDGET = 12_000_000  # bytes; ~16 MB VMEM minus head-room for Mosaic
@@ -108,14 +120,18 @@ def _resident_bytes(c, f, itemsize, bwd):
     return w
 
 
-def _per_row_bytes(c, f, itemsize, bwd):
+def _per_row_bytes(c, f, itemsize, bwd, ln=False):
     """Per-row VMEM: streamed tiles (double-buffered) + f32 intermediates."""
     streams = (3 if bwd else 1) * _pad(c, 128) * itemsize + _pad(c, 128) * itemsize
     inter = _pad(f, 128) * (4 + itemsize) + (_pad(f, 128) * 4 if bwd else 0)
+    if ln:
+        # extra stream (shortcut / dout) + f32 xf/xhat/h intermediates
+        streams += _pad(c, 128) * itemsize
+        inter += _pad(c, 128) * (4 + 4 + itemsize)
     return 2 * streams + inter
 
 
-def _pick_rows(r, c, f, itemsize, bwd):
+def _pick_rows(r, c, f, itemsize, bwd, ln=False):
     """Row tile ≤ cap (multiple of 8, ≥128), or None.
 
     Prefers a tile that divides r exactly (no boundary masking); otherwise
@@ -125,7 +141,7 @@ def _pick_rows(r, c, f, itemsize, bwd):
     budget = _VMEM_BUDGET - _resident_bytes(c, f, itemsize, bwd)
     if budget <= 0:
         return None
-    cap = min(1024, budget // _per_row_bytes(c, f, itemsize, bwd), r)
+    cap = min(1024, budget // _per_row_bytes(c, f, itemsize, bwd, ln), r)
     cap -= cap % 8
     if cap < 128:
         return None
@@ -135,10 +151,14 @@ def _pick_rows(r, c, f, itemsize, bwd):
     return cap
 
 
-def fused_mlp_viable(rows: int, c: int, f: int, itemsize: int = 2) -> bool:
-    """True when the fused kernel (incl. its backward) fits this geometry."""
-    return (_pick_rows(rows, c, f, itemsize, bwd=True) is not None
-            and _pick_rows(rows, c, f, itemsize, bwd=False) is not None)
+def fused_mlp_viable(rows: int, c: int, f: int, itemsize: int = 2,
+                     ln: bool = False) -> bool:
+    """True when the fused kernel (incl. its backward) fits this geometry.
+
+    ``ln=True`` sizes the LN-fused variant (:func:`fused_ln_mlp`), which
+    streams one extra (rows, C) operand and keeps f32 LN intermediates."""
+    return (_pick_rows(rows, c, f, itemsize, bwd=True, ln=ln) is not None
+            and _pick_rows(rows, c, f, itemsize, bwd=False, ln=ln) is not None)
 
 
 def resolve_fused_mlp(flag, auto: bool) -> bool:
@@ -168,6 +188,22 @@ def use_fused_mlp(flag, rows, c, f, itemsize, auto=None):
         auto = jax.default_backend() == "tpu"
     return (resolve_fused_mlp(flag, auto)
             and fused_mlp_viable(rows, c, f, itemsize))
+
+
+def fused_mlp_mode(flag, rows, c, f, itemsize, auto=None):
+    """Resolve a block's MLP lowering: ``"ln"`` (LN+MLP+residual fused,
+    :func:`fused_ln_mlp`), ``"mlp"`` (MLP-only, :func:`fused_mlp`), or
+    ``None`` (plain XLA).
+
+    Prefers the LN-fused kernel where its (slightly larger) VMEM footprint
+    fits; ``NKBX_FUSED_LN_MLP=0`` drops back to the MLP-only kernel for
+    A/B measurements without disabling fusion entirely."""
+    if not use_fused_mlp(flag, rows, c, f, itemsize, auto):
+        return None
+    ln_ok = (fused_mlp_viable(rows, c, f, itemsize, ln=True)
+             and os.environ.get("NKBX_FUSED_LN_MLP", "")
+             not in ("0", "false", "False"))
+    return "ln" if ln_ok else "mlp"
 
 
 # --- kernels -----------------------------------------------------------------
@@ -221,7 +257,8 @@ def _bwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, dy_ref,
     u = jax.lax.dot_general(x, w0_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     u = u + b0_ref[:].astype(jnp.float32)
-    g = _gelu_f32(u).astype(out_dtype)
+    gf, ggrad = _gelu_and_grad_f32(u)
+    g = gf.astype(out_dtype)
     # second-dense grads: dw1 += gᵀ dy, db1 += Σ dy
     dw1_ref[:] += jax.lax.dot_general(g, dy, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
@@ -229,7 +266,7 @@ def _bwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, dy_ref,
     # through the GELU: du = (dy w1ᵀ) ∘ gelu'(u)
     dg = jax.lax.dot_general(dy, w1_ref[:], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    du = dg * _gelu_grad_f32(u)
+    du = dg * ggrad
     dub = du.astype(out_dtype)
     # first-dense grads and dx
     dw0_ref[:] += jax.lax.dot_general(x, dub, (((0,), (0,)), ((), ())),
@@ -408,3 +445,281 @@ def reference_mlp(x, w0, b0, w1, b1):
     u = x @ w0 + b0.astype(dt)
     g = jax.nn.gelu(u, approximate=False)
     return g @ w1 + b1.astype(dt)
+
+
+# --- LN-fused variant: shortcut + gamma * MLP(LN(x)) --------------------------
+#
+# Absorbs the whole transformer-block MLP half into ONE kernel per pass:
+# the post-fusion convnext/swin profiles (experiments/r3_postfusion_profile)
+# show the remaining per-block cost is LayerNorm — its lane-dim stat
+# reductions force {0,2,1} relayout copies, and LN fwd/bwd plus the
+# layer-scale and residual fusions each make full (rows, C) HBM round
+# trips. Computing LN per row tile in VMEM (f32 stats, flax fast-variance
+# semantics) eliminates all of them: forward reads x + shortcut and writes
+# out; backward re-derives everything tile-wise and emits dx plus
+# C-sized dscale/dbias/dgamma from resident f32 accumulators.
+
+
+def _ln_f32(x_ref, s_ref, b_ref, eps, mask):
+    """flax LayerNorm (fast variance) in f32: returns (xhat, h, rstd)."""
+    xf = x_ref[:].astype(jnp.float32)
+    if mask is not None:
+        xf = jnp.where(mask, xf, 0)
+    inv_c = 1.0 / x_ref.shape[1]
+    mu = jnp.sum(xf, axis=1, keepdims=True) * inv_c
+    var = jnp.maximum(jnp.sum(xf * xf, axis=1, keepdims=True) * inv_c - mu * mu, 0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    return xhat, xhat * s_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32), rstd
+
+
+def _lnmlp_fwd_kernel(x_ref, s_ref, b_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+                      g_ref, sc_ref, y_ref, *, out_dtype, rows, tr, eps):
+    mask = _row_mask(rows, tr)
+    _, h, _ = _ln_f32(x_ref, s_ref, b_ref, eps, mask)
+    h = h.astype(out_dtype)
+    u = jax.lax.dot_general(h, w0_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b0_ref[:].astype(jnp.float32)
+    g = _gelu_f32(u).astype(out_dtype)
+    y = jax.lax.dot_general(g, w1_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = (y + b1_ref[:].astype(jnp.float32)).astype(out_dtype)
+    # mirror the XLA program's dtype staging: bf16 y * bf16 gamma + bf16 x
+    y_ref[:] = sc_ref[:] + y * g_ref[:].astype(out_dtype)
+
+
+def _lnmlp_bwd_kernel(x_ref, s_ref, b_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+                      g_ref, dy_ref,
+                      dx_ref, ds_ref, db_ref, dw0_ref, db0_ref, dw1_ref,
+                      db1_ref, dg_ref, *, out_dtype, rows, tr, eps):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for ref in (ds_ref, db_ref, dw0_ref, db0_ref, dw1_ref, db1_ref, dg_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    mask = _row_mask(rows, tr)
+    dout = dy_ref[:]
+    if mask is not None:
+        dout = jnp.where(mask, dout, 0)
+    scale = s_ref[:].astype(jnp.float32)
+    # recompute the forward for this row tile (never stored)
+    xhat, h, rstd = _ln_f32(x_ref, s_ref, b_ref, eps, mask)
+    h = h.astype(out_dtype)
+    u = jax.lax.dot_general(h, w0_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = u + b0_ref[:].astype(jnp.float32)
+    gf, ggrad = _gelu_and_grad_f32(u)
+    g = gf.astype(out_dtype)
+    y = jax.lax.dot_general(g, w1_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = (y + b1_ref[:].astype(jnp.float32)).astype(out_dtype)
+    # layer-scale: dgamma += sum(dout * y); dy2 = dout * gamma (bf16 like fwd)
+    dg_ref[:] += jnp.sum((dout * y).astype(jnp.float32), axis=0, keepdims=True)
+    dy2 = dout * g_ref[:].astype(out_dtype)
+    # second dense
+    dw1_ref[:] += jax.lax.dot_general(g, dy2, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db1_ref[:] += jnp.sum(dy2.astype(jnp.float32), axis=0, keepdims=True)
+    # through the GELU
+    dgl = jax.lax.dot_general(dy2, w1_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    du = dgl * ggrad
+    dub = du.astype(out_dtype)
+    # first dense
+    dw0_ref[:] += jax.lax.dot_general(h, dub, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    db0_ref[:] += jnp.sum(du, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(dub, w0_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # LayerNorm backward (dh is f32)
+    ds_ref[:] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * scale
+    inv_c = 1.0 / x_ref.shape[1]
+    m1 = jnp.sum(dxhat, axis=1, keepdims=True) * inv_c
+    m2 = jnp.sum(dxhat * xhat, axis=1, keepdims=True) * inv_c
+    dx_ref[:] = (rstd * (dxhat - m1 - xhat * m2)).astype(out_dtype)
+
+
+def _ln_specs(tr, c, f):
+    row = pl.BlockSpec((tr, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec_c = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vec_f = pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat0 = pl.BlockSpec((c, f), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat1 = pl.BlockSpec((f, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return row, vec_c, vec_f, mat0, mat1
+
+
+def _lnmlp_fwd(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps):
+    r, c = x.shape
+    f = w0.shape[1]
+    tr = (_pick_rows(r, c, f, x.dtype.itemsize, bwd=False, ln=True)
+          or _no_tile(r, c, f))
+    row, vec_c, vec_f, mat0, mat1 = _ln_specs(tr, c, f)
+    kern = functools.partial(_lnmlp_fwd_kernel, out_dtype=x.dtype,
+                             rows=r, tr=tr, eps=eps)
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(r, tr),),
+        in_specs=[row, vec_c, vec_c, mat0, vec_f, mat1, vec_c, vec_c, row],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
+        interpret=_interp(interpret),
+    )(x, s.reshape(1, c), b.reshape(1, c), w0, b0.reshape(1, f), w1,
+      b1.reshape(1, c), gamma.reshape(1, c), sc)
+
+
+def _lnmlp_bwd_raw(x, s, b, w0, b0, w1, b1, gamma, dy, interpret, eps):
+    r, c = x.shape
+    f = w0.shape[1]
+    tr = (_pick_rows(r, c, f, x.dtype.itemsize, bwd=True, ln=True)
+          or _no_tile(r, c, f))
+    row, vec_c, vec_f, mat0, mat1 = _ln_specs(tr, c, f)
+    kern = functools.partial(_lnmlp_bwd_kernel, out_dtype=x.dtype,
+                             rows=r, tr=tr, eps=eps)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(r, tr),),
+        in_specs=[row, vec_c, vec_c, mat0, vec_f, mat1, vec_c, vec_c, row],
+        out_specs=(row, vec_c, vec_c, mat0, vec_f, mat1, vec_c, vec_c),
+        out_shape=(jax.ShapeDtypeStruct((r, c), x.dtype),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, f), f32),
+                   jax.ShapeDtypeStruct((1, f), f32),
+                   jax.ShapeDtypeStruct((f, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32)),
+        interpret=_interp(interpret),
+    )(x, s.reshape(1, c), b.reshape(1, c), w0, b0.reshape(1, f), w1,
+      b1.reshape(1, c), gamma.reshape(1, c), dy)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _lnmlp2d(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps):
+    return _lnmlp_fwd(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps)
+
+
+def _lnmlp_vjp_fwd(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps):
+    out = _lnmlp_fwd(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps)
+    return out, (x, s, b, w0, b0, w1, b1, gamma)
+
+
+def _lnmlp_vjp_bwd(interpret, eps, res, dy):
+    x, s, b, w0, b0, w1, b1, gamma = res
+    dx, ds, db, dw0, db0, dw1, db1, dgamma = _lnmlp_bwd_raw(
+        x, s, b, w0, b0, w1, b1, gamma, dy, interpret, eps)
+    return (dx, ds.reshape(s.shape).astype(s.dtype),
+            db.reshape(b.shape).astype(b.dtype),
+            dw0.astype(w0.dtype), db0.reshape(b0.shape).astype(b0.dtype),
+            dw1.astype(w1.dtype), db1.reshape(b1.shape).astype(b1.dtype),
+            dgamma.reshape(gamma.shape).astype(gamma.dtype),
+            dy)  # d(shortcut): identity pass-through
+
+
+_lnmlp2d.defvjp(_lnmlp_vjp_fwd, _lnmlp_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def _lnmlp2d_sharded(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps,
+                     mesh, axis):
+    return _lnmlp_sharded_fwd(x, s, b, w0, b0, w1, b1, gamma, sc,
+                              interpret, eps, mesh, axis)[0]
+
+
+def _lnmlp_sharded_fwd(x, s, b, w0, b0, w1, b1, gamma, sc, interpret, eps,
+                       mesh, axis):
+    from jax.sharding import PartitionSpec as P
+
+    _check_rows_shardable(x.shape[0], mesh, axis)
+
+    def fn(x_, s_, b_, w0_, b0_, w1_, b1_, g_, sc_):
+        return _lnmlp_fwd(x_, s_, b_, w0_, b0_, w1_, b1_, g_, sc_,
+                          interpret, eps)
+
+    shmap = jax.shard_map(fn, mesh=mesh,
+                          in_specs=(P(axis),) + (P(),) * 7 + (P(axis),),
+                          out_specs=P(axis), check_vma=False)
+    return shmap(x, s, b, w0, b0, w1, b1, gamma, sc), (x, s, b, w0, b0, w1,
+                                                       b1, gamma)
+
+
+def _lnmlp_sharded_bwd(interpret, eps, mesh, axis, res, dy):
+    from jax.sharding import PartitionSpec as P
+
+    x, s, b, w0, b0, w1, b1, gamma = res
+
+    def fn(x_, s_, b_, w0_, b0_, w1_, b1_, g_, dy_):
+        outs = _lnmlp_bwd_raw(x_, s_, b_, w0_, b0_, w1_, b1_, g_, dy_,
+                              interpret, eps)
+        return (outs[0],) + tuple(o[None] for o in outs[1:])
+
+    shmap = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis),) + (P(),) * 7 + (P(axis),),
+        out_specs=(P(axis),) + (P(axis),) * 7, check_vma=False)
+    dx, ds, db, dw0, db0, dw1, db1, dgamma = shmap(
+        x, s, b, w0, b0, w1, b1, gamma, dy)
+    return (dx,
+            jnp.sum(ds, axis=0).reshape(s.shape).astype(s.dtype),
+            jnp.sum(db, axis=0).reshape(b.shape).astype(b.dtype),
+            jnp.sum(dw0, axis=0).astype(w0.dtype),
+            jnp.sum(db0, axis=0).reshape(b0.shape).astype(b0.dtype),
+            jnp.sum(dw1, axis=0).astype(w1.dtype),
+            jnp.sum(db1, axis=0).reshape(b1.shape).astype(b1.dtype),
+            jnp.sum(dgamma, axis=0).reshape(gamma.shape).astype(gamma.dtype),
+            dy)
+
+
+_lnmlp2d_sharded.defvjp(_lnmlp_sharded_fwd, _lnmlp_sharded_bwd)
+
+
+def fused_ln_mlp(x, ln_scale, ln_bias, w0, b0, w1, b1, shortcut,
+                 gamma=None, eps=1e-6, interpret=None):
+    """``shortcut + gamma * MLP(LayerNorm(x))`` fused in VMEM.
+
+    The transformer-block MLP half as ONE kernel per pass: LayerNorm (flax
+    fast-variance semantics, f32 stats), Dense -> exact GELU -> Dense (f32
+    accumulation), optional layer-scale ``gamma`` (ConvNeXt), residual add.
+    Forward reads x and shortcut and writes the block output only; the
+    backward recomputes everything per row tile and returns dx plus
+    parameter grads from resident f32 VMEM accumulators (d(shortcut) is
+    the incoming cotangent, passed through for free).
+
+    x/shortcut: (..., C) — for a self-residual block (Swin) pass the same
+    array as both; JAX sums the two cotangents automatically. gamma: (C,)
+    layer-scale or None (identity — bf16 multiply by 1 is exact).
+    Gate call sites with ``fused_mlp_viable(..., ln=True)``.
+    """
+    c = x.shape[-1]
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, c)
+    sc2 = shortcut.reshape(-1, c)
+    if gamma is None:
+        gamma = jnp.ones((c,), jnp.float32)
+    ctx = _attn._active_mesh()
+    if ctx is not None:
+        y = _lnmlp2d_sharded(x2, ln_scale, ln_bias, w0, b0, w1, b1, gamma,
+                             sc2, interpret, eps, *ctx)
+    else:
+        y = _lnmlp2d(x2, ln_scale, ln_bias, w0, b0, w1, b1, gamma, sc2,
+                     interpret, eps)
+    return y.reshape(*lead, c)
+
+
+def reference_ln_mlp(x, ln_scale, ln_bias, w0, b0, w1, b1, shortcut,
+                     gamma=None, eps=1e-6):
+    """Plain-XLA twin with flax LayerNorm/Dense dtype staging (equality
+    tests + fallback shape reference)."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0)
+    h = ((xf - mu) * jax.lax.rsqrt(var + eps)
+         * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32))
+    y = reference_mlp(h.astype(dt), w0, b0, w1, b1)
+    if gamma is not None:
+        y = y * gamma.astype(dt)
+    return shortcut + y

@@ -12,8 +12,10 @@ import numpy as np
 import pytest
 
 from nkbx.ops.mlp import (
+    fused_ln_mlp,
     fused_mlp,
     fused_mlp_viable,
+    reference_ln_mlp,
     reference_mlp,
 )
 
@@ -193,22 +195,134 @@ class TestConvNeXtIntegration:
                                        rtol=5e-4, atol=5e-4)
 
     def test_auto_is_off_on_cpu(self):
-        from nkbx.models.convnext import _use_fused_mlp
+        from nkbx.ops.mlp import fused_mlp_mode
 
-        assert not _use_fused_mlp(None, 64 * 56 * 56, 96, 384, 2)
+        assert fused_mlp_mode(None, 64 * 56 * 56, 96, 384, 2) is None
 
     def test_env_override_forces_off(self, monkeypatch):
-        from nkbx.models.convnext import _use_fused_mlp
+        from nkbx.ops.mlp import fused_mlp_mode
 
         monkeypatch.setenv("NKBX_FUSED_MLP", "0")
-        assert not _use_fused_mlp(True, 64 * 56 * 56, 96, 384, 2)
+        assert fused_mlp_mode(True, 64 * 56 * 56, 96, 384, 2) is None
 
     def test_export_context_forces_off(self):
-        from nkbx.models.convnext import _use_fused_mlp
         from nkbx.ops.attention import disable_fused
+        from nkbx.ops.mlp import fused_mlp_mode
 
         with disable_fused():
-            assert not _use_fused_mlp(True, 64 * 56 * 56, 96, 384, 2)
+            assert fused_mlp_mode(True, 64 * 56 * 56, 96, 384, 2) is None
+
+
+class TestLnFused:
+    """LN+MLP+layer-scale+residual fused kernel vs the plain-XLA twin."""
+
+    def _inputs(self, r, c, f, seed=0):
+        rng = np.random.RandomState(seed)
+        return (jnp.asarray(rng.randn(r, c), jnp.float32),
+                jnp.asarray(1 + 0.1 * rng.randn(c), jnp.float32),
+                jnp.asarray(0.1 * rng.randn(c), jnp.float32),
+                jnp.asarray(rng.randn(c, f) * c ** -0.5, jnp.float32),
+                jnp.asarray(0.1 * rng.randn(f), jnp.float32),
+                jnp.asarray(rng.randn(f, c) * f ** -0.5, jnp.float32),
+                jnp.asarray(0.1 * rng.randn(c), jnp.float32),
+                jnp.asarray(rng.randn(r, c), jnp.float32),
+                jnp.asarray(1e-2 * rng.randn(c), jnp.float32))
+
+    # divisible and masked-final-tile row counts
+    @pytest.mark.parametrize("r,c,f", [(256, 32, 128), (260, 32, 128)])
+    def test_forward_and_grads_match_reference(self, r, c, f):
+        x, s, b, w0, b0, w1, b1, sc, g = self._inputs(r, c, f)
+        co = jnp.asarray(np.random.RandomState(9).randn(r, c), jnp.float32)
+
+        got = fused_ln_mlp(x, s, b, w0, b0, w1, b1, sc, gamma=g,
+                           interpret=True)
+        want = reference_ln_mlp(x, s, b, w0, b0, w1, b1, sc, gamma=g)
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+        def lf(*a):
+            return jnp.sum(fused_ln_mlp(*a[:8], gamma=a[8], interpret=True) * co)
+
+        def lr(*a):
+            return jnp.sum(reference_ln_mlp(*a[:8], gamma=a[8]) * co)
+
+        ga = jax.grad(lf, argnums=tuple(range(9)))(x, s, b, w0, b0, w1, b1, sc, g)
+        gw = jax.grad(lr, argnums=tuple(range(9)))(x, s, b, w0, b0, w1, b1, sc, g)
+        for name, a_, b_ in zip("x s b w0 b0 w1 b1 sc gamma".split(), ga, gw):
+            np.testing.assert_allclose(a_, b_, rtol=3e-4, atol=3e-4,
+                                       err_msg=name)
+
+    def test_self_residual_cotangents_sum(self):
+        # Swin-style: the same array as x and shortcut — JAX must sum the
+        # dx and d(shortcut) cotangents (checked against the XLA twin).
+        x, s, b, w0, b0, w1, b1, _, _ = self._inputs(392, 16, 64, seed=3)
+        co = jnp.asarray(np.random.RandomState(4).randn(392, 16), jnp.float32)
+
+        def lf(x):
+            return jnp.sum(fused_ln_mlp(x, s, b, w0, b0, w1, b1, x,
+                                        eps=1e-5, interpret=True) * co)
+
+        def lr(x):
+            return jnp.sum(reference_ln_mlp(x, s, b, w0, b0, w1, b1, x,
+                                            eps=1e-5) * co)
+
+        np.testing.assert_allclose(jax.grad(lf)(x), jax.grad(lr)(x),
+                                   rtol=3e-4, atol=3e-4)
+
+    def test_mode_resolution(self, monkeypatch):
+        from nkbx.ops.mlp import fused_mlp_mode
+
+        assert fused_mlp_mode(True, 64 * 3136, 96, 384, 2) == "ln"
+        monkeypatch.setenv("NKBX_FUSED_LN_MLP", "0")
+        assert fused_mlp_mode(True, 64 * 3136, 96, 384, 2) == "mlp"
+        assert fused_mlp_mode(False, 64 * 3136, 96, 384, 2) is None
+
+    def test_mesh_sharded_matches_local(self):
+        from nkbx.ops.attention import attention_mesh
+        from nkbx.parallel import batch_sharding, make_mesh
+
+        mesh = make_mesh(n_data=8)
+        r, c, f = 8 * 256, 32, 128
+        x, s, b, w0, b0, w1, b1, sc, g = self._inputs(r, c, f, seed=11)
+        co = jnp.asarray(np.random.RandomState(12).randn(r, c), jnp.float32)
+
+        def loss(x, s, b, w0, b0, w1, b1, sc, g):
+            return jnp.sum(fused_ln_mlp(x, s, b, w0, b0, w1, b1, sc,
+                                        gamma=g, interpret=True) * co)
+
+        want_out = fused_ln_mlp(x, s, b, w0, b0, w1, b1, sc, gamma=g,
+                                interpret=True)
+        want_g = jax.grad(loss, argnums=tuple(range(9)))(
+            x, s, b, w0, b0, w1, b1, sc, g)
+
+        xs = jax.device_put(x, batch_sharding(mesh))
+        scs = jax.device_put(sc, batch_sharding(mesh))
+        with attention_mesh(mesh):
+            got_out = fused_ln_mlp(xs, s, b, w0, b0, w1, b1, scs, gamma=g,
+                                   interpret=True)
+            got_g = jax.grad(loss, argnums=tuple(range(9)))(
+                xs, s, b, w0, b0, w1, b1, scs, g)
+        np.testing.assert_allclose(got_out, want_out, rtol=2e-5, atol=2e-5)
+        for name, a_, b_ in zip("x s b w0 b0 w1 b1 sc gamma".split(),
+                                got_g, want_g):
+            np.testing.assert_allclose(a_, b_, rtol=3e-4, atol=3e-4,
+                                       err_msg=name)
+
+    def test_model_mlp_only_mode_still_exact(self, monkeypatch):
+        # NKBX_FUSED_LN_MLP=0 keeps the MLP-only kernel path alive — the
+        # model must still be an exact reparametrization through it.
+        from nkbx.models.convnext import ConvNeXt
+
+        monkeypatch.setenv("NKBX_FUSED_LN_MLP", "0")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        base = ConvNeXt(depths=(1, 1), dims=(16, 32), dtype=jnp.float32,
+                        fused_mlp=False)
+        fused = ConvNeXt(depths=(1, 1), dims=(16, 32), dtype=jnp.float32,
+                         fused_mlp=True)
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(v, x, train=False)),
+            np.asarray(base.apply(v, x, train=False)), rtol=5e-5, atol=5e-5)
 
 
 class TestSwinIntegration:
