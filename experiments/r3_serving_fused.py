@@ -8,13 +8,16 @@ side win (+44% swin_tiny, PERF.md) over to serving compute throughput.
 Measures TPUServingModule compute-only p50 (the tunnel-independent tier of
 serving.benchmark) for swin_tiny bundles exported both ways.
 
-Usage: python experiments/r3_serving_fused.py {fused|xla} [bs]
+Usage: python experiments/r3_serving_fused.py {fused|xla} [bs] [family]
 one variant per invocation, chip idle (CLAUDE.md).
 
 Measured (2026-08-17, PERF.md "fused-attention serving bundles"), bs=32:
   xla   compute p50 47.7 ms -> 671 img/s
   fused compute p50 43.3 ms -> 739 img/s (+10% through the tunnel's ~25 ms
   per-dispatch round trip; net device forward ~23 -> ~18 ms, ~+25%)
+
+Re-measured after the LN+MLP fusion landed (the fused bundle embeds every
+Pallas kernel, not just attention) — see PERF.md "LN-fusion" section.
 """
 
 import json
@@ -25,6 +28,7 @@ import time
 import numpy as np
 
 BS = 32
+FAMILY = "swin_tiny_patch4_window7_224"
 
 
 def run(variant):
@@ -33,10 +37,10 @@ def run(variant):
 
     from nkbx.export.serving import TPUServingModule
     from nkbx.export.stablehlo import export_model
-    from nkbx.models import swin as swin_mod
     from nkbx.models.classifier import ClassificationModel, SingletaskClassifier
+    from nkbx.models.registry import _REGISTRY
 
-    backbone = swin_mod.swin_tiny_patch4_window7_224(dtype=jnp.bfloat16)
+    backbone = _REGISTRY[FAMILY](dtype=jnp.bfloat16)
     module = SingletaskClassifier(backbone=backbone, n_classes=1000)
     init = jax.jit(lambda rng: module.init(
         {"params": rng}, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False))
@@ -52,10 +56,13 @@ def run(variant):
         mod = TPUServingModule(path, warm_up_on_load=False)
         out = mod.benchmark(batch_size=BS, iters=30)
     out["variant"] = variant
+    out["family"] = FAMILY
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2:
         BS = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        FAMILY = sys.argv[3]
     run(sys.argv[1])
