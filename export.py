@@ -46,6 +46,9 @@ def parse_args():
                         help="bf16 inference I/O (TPU-native half precision)")
     parser.add_argument("--quantize", type=str, default=None, choices=["dynamic"],
                         help="tflite only: dynamic-range int8 weight quantization")
+    parser.add_argument("--opset", type=int, default=17,
+                        help="onnx only: ONNX opset version (reference "
+                             "export.py --opset)")
     parser.add_argument("--fused-attention", type=str2bool, nargs="?", const=True,
                         default=False,
                         help="serving only: keep the fused Pallas kernels "
@@ -118,7 +121,8 @@ def main(args):
                   "H/W stay static (use --to serving for --dynamic all)")
         out = save_dir / f"{stem}.onnx"
         path, _ = export_onnx(model, args.input_shape, out, metadata=metadata,
-                              dynamic_batch=(args.dynamic != "none"), dtype=dtype)
+                              dynamic_batch=(args.dynamic != "none"), dtype=dtype,
+                              opset=args.opset)
         print(f"onnx export success, saved as {path}")
     elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel

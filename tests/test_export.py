@@ -256,6 +256,22 @@ class TestOnnxExport:
         assert (sm / "saved_model.pb").exists()
         assert (sm / "metadata.json").exists()
 
+    def test_opset_plumbs_into_recipe(self, tiny_model, tmp_path):
+        """``opset`` (export.py --opset, reference export.py --opset) must
+        reach the tf2onnx command — here visible in the finish-elsewhere
+        recipe since tf2onnx is absent."""
+        pytest.importorskip("tensorflow")
+        try:
+            import tf2onnx  # noqa: F401
+
+            pytest.skip("tf2onnx installed; graceful path not reachable")
+        except ImportError:
+            pass
+        from nkbx.export import export_onnx
+
+        with pytest.raises(RuntimeError, match="--opset 13"):
+            export_onnx(tiny_model, (2, 32, 32, 3), tmp_path / "m.onnx", opset=13)
+
     def test_formats_table_lists_all(self):
         from nkbx.utils.misc import export_formats
 
