@@ -96,9 +96,9 @@ def run_all():
                                capture_output=True, text=True, timeout=1800)
             line = next((ln for ln in p.stdout.splitlines()
                          if ln.startswith("{")), None)
-            print(line if line else
-                  f'{{"family": "{family}", "fused_mlp": {flag}, '
-                  f'"error": {p.stderr.splitlines()[-1:]!r}}}')
+            print(line if line else json.dumps(
+                {"family": family, "fused_mlp": flag,
+                 "error": p.stderr.splitlines()[-1:]}))
 
 
 if __name__ == "__main__":

@@ -107,8 +107,8 @@ def run_all():
                            capture_output=True, text=True, timeout=1200)
         line = next((ln for ln in p.stdout.splitlines()
                      if ln.startswith("{")), None)
-        print(line if line else
-              f'{{"model": {name!r}, "error": {p.stderr.splitlines()[-1:]!r}}}')
+        print(line if line else json.dumps(
+            {"model": name, "error": p.stderr.splitlines()[-1:]}))
 
 
 if __name__ == "__main__":

@@ -208,6 +208,58 @@ class LayerNormParams(nn.Module):
         return scale, bias
 
 
+def mlp_tail(x, shortcut, hidden, *, ln_name, fc_names, eps, dtype, flag,
+             auto=None, gamma=None, drop_rate=0.0, train=False):
+    """Transformer-block MLP half with ONE fused/XLA dispatch point, shared
+    by ConvNeXt/Swin/ViT blocks: ``shortcut + [gamma *] MLP(LN(x))``.
+
+    Declares params flax-identically across lowerings — the LN under
+    ``ln_name`` (scale/bias) and the two Denses under ``fc_names``
+    (kernel/bias) — so checkpoints and converters are flag-agnostic, then
+    routes per :func:`nkbx.ops.mlp.fused_mlp_mode`: the whole half as one
+    Pallas VMEM kernel per pass (``"ln"``), the MLP-only kernel after an XLA
+    LayerNorm (``"mlp"``), or the plain XLA program (``None``). ``gamma`` is
+    an optional layer-scale param (ConvNeXt); ``drop_rate``/``train`` add the
+    torch-parity mid-MLP Dropout (ViT) — when it is active the fused paths
+    are disabled (the kernel has no RNG). Must be called from a compact
+    module method (params attach to the caller's scope).
+    """
+    from nkbx.ops.mlp import fused_ln_mlp, fused_mlp, fused_mlp_mode
+
+    dim = x.shape[-1]
+    w0, b0 = DenseParams(hidden, name=fc_names[0])(dim)
+    w1, b1 = DenseParams(dim, name=fc_names[1])(hidden)
+    # under jax.export symbolic shapes the leading dims aren't ints — the
+    # fused kernels are static-shape only, so rows=None routes to XLA
+    # (export paths force-disable fusion anyway, but the gate must not do
+    # arithmetic on symbolic dims).
+    lead = x.shape[:-1]
+    rows = (int(np.prod(lead))
+            if all(isinstance(d, (int, np.integer)) for d in lead) else None)
+    drop_active = drop_rate > 0 and train
+    mode = (None if drop_active else
+            fused_mlp_mode(flag, rows, dim, hidden,
+                           jnp.dtype(dtype).itemsize, auto=auto))
+    if mode == "ln":
+        ns, nb = LayerNormParams(name=ln_name)(dim)
+        return fused_ln_mlp(x, ns, nb, w0.astype(dtype), b0,
+                            w1.astype(dtype), b1, shortcut=shortcut,
+                            gamma=gamma, eps=eps)
+    y = nn.LayerNorm(epsilon=eps, dtype=dtype, param_dtype=jnp.float32,
+                     name=ln_name)(x)
+    if mode == "mlp":
+        y = fused_mlp(y, w0.astype(dtype), b0, w1.astype(dtype), b1)
+    else:
+        y = y @ w0.astype(dtype) + b0.astype(dtype)
+        y = nn.gelu(y, approximate=False)  # timm uses exact GELU
+        if drop_rate > 0:
+            y = nn.Dropout(drop_rate)(y, deterministic=not train)
+        y = y @ w1.astype(dtype) + b1.astype(dtype)
+    if gamma is not None:
+        y = y * gamma.astype(y.dtype)
+    return shortcut + y
+
+
 class DenseParams(nn.Module):
     """Declare an ``nn.Dense``-identical param pair without running it.
 

@@ -12,7 +12,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from nkbx.models.common import DenseParams, global_avg_pool
+from nkbx.models.common import global_avg_pool, mlp_tail
 
 
 class ConvNeXtBlock(nn.Module):
@@ -23,8 +23,6 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from nkbx.ops.mlp import fused_mlp_mode
-
         y = nn.Conv(
             self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
             dtype=self.dtype, param_dtype=jnp.float32,
@@ -34,31 +32,10 @@ class ConvNeXtBlock(nn.Module):
         # on TPU the whole tail lowers to ONE fused VMEM kernel per pass
         # (nkbx/ops/mlp.py fused_ln_mlp: LN stats, GELU intermediates, and
         # the residual never make separate HBM round trips — PERF.md r3).
-        w0, b0 = DenseParams(4 * self.dim, name="Dense_0")(self.dim)
-        w1, b1 = DenseParams(self.dim, name="Dense_1")(4 * self.dim)
         gamma = self.param("layer_scale", nn.initializers.constant(self.layer_scale_init), (self.dim,))
-        rows = y.shape[0] * y.shape[1] * y.shape[2]
-        mode = fused_mlp_mode(self.fused_mlp, rows, self.dim, 4 * self.dim,
-                              jnp.dtype(self.dtype).itemsize)
-        if mode == "ln":
-            from nkbx.models.common import LayerNormParams
-            from nkbx.ops.mlp import fused_ln_mlp
-
-            ls, lb = LayerNormParams(name="LayerNorm_0")(self.dim)
-            return fused_ln_mlp(y, ls, lb, w0.astype(self.dtype), b0,
-                                w1.astype(self.dtype), b1, shortcut=x,
-                                gamma=gamma, eps=1e-6)
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(y)
-        if mode == "mlp":
-            from nkbx.ops.mlp import fused_mlp
-
-            y = fused_mlp(y, w0.astype(self.dtype), b0,
-                          w1.astype(self.dtype), b1)
-        else:
-            y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
-            y = nn.gelu(y, approximate=False)  # timm uses exact GELU
-            y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
-        return x + y * gamma.astype(y.dtype)
+        return mlp_tail(y, x, 4 * self.dim, ln_name="LayerNorm_0",
+                        fc_names=("Dense_0", "Dense_1"), eps=1e-6,
+                        dtype=self.dtype, flag=self.fused_mlp, gamma=gamma)
 
 
 class ConvNeXt(nn.Module):

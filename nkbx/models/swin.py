@@ -170,33 +170,11 @@ class SwinBlock(nn.Module):
         # TPU the whole half lowers to ONE fused VMEM kernel per pass
         # (nkbx/ops/mlp.py — LN stats, GELU intermediates, and the residual
         # never make separate HBM round trips).
-        from nkbx.models.common import DenseParams
-        from nkbx.ops.mlp import fused_mlp_mode
+        from nkbx.models.common import mlp_tail
 
-        w0, b0 = DenseParams(self.dim * self.mlp_ratio, name="fc1")(self.dim)
-        w1, b1 = DenseParams(self.dim, name="fc2")(self.dim * self.mlp_ratio)
-        mode = fused_mlp_mode(self.fused_mlp, b * h * w, self.dim,
-                              self.dim * self.mlp_ratio,
-                              jnp.dtype(self.dtype).itemsize)
-        if mode == "ln":
-            from nkbx.models.common import LayerNormParams
-            from nkbx.ops.mlp import fused_ln_mlp
-
-            ns, nb = LayerNormParams(name="norm2")(self.dim)
-            return fused_ln_mlp(x, ns, nb, w0.astype(self.dtype), b0,
-                                w1.astype(self.dtype), b1, shortcut=x,
-                                eps=1e-5)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        if mode == "mlp":
-            from nkbx.ops.mlp import fused_mlp
-
-            y = fused_mlp(y, w0.astype(self.dtype), b0,
-                          w1.astype(self.dtype), b1)
-        else:
-            y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
-            y = nn.gelu(y, approximate=False)
-            y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
-        return x + y
+        return mlp_tail(x, x, self.dim * self.mlp_ratio, ln_name="norm2",
+                        fc_names=("fc1", "fc2"), eps=1e-5, dtype=self.dtype,
+                        flag=self.fused_mlp)
 
 
 class PatchMerging(nn.Module):

@@ -74,43 +74,20 @@ class TransformerBlock(nn.Module):
         x = x + y
         # MLP half: params declared flax-identically either way (auto-named
         # LayerNorm_1 + Dense_0/Dense_1 paths, checkpoint/converter-
-        # compatible). Default is the XLA program: the fused VMEM kernel is
-        # a MEASURED non-win for ViT (PERF.md round 3 — vit_small/16 flat,
-        # vit_tiny/16 −10%, vit_small/32 flat; vit_base C=768 is MXU-bound
-        # and VMEM-gated out anyway), unlike Swin/ConvNeXt whose early
-        # stages are intermediate-traffic-bound. Opt in with fused_mlp=True;
-        # the fused path additionally requires the mid-MLP Dropout inactive.
-        from nkbx.models.common import DenseParams
-        from nkbx.ops.mlp import fused_mlp_mode
+        # compatible). Default is the XLA program (auto=False): the fused
+        # VMEM kernel is a MEASURED non-win for ViT (PERF.md round 3 —
+        # vit_small/16 flat, vit_tiny/16 −10%, vit_small/32 flat; vit_base
+        # C=768 is MXU-bound and VMEM-gated out anyway), unlike Swin/ConvNeXt
+        # whose early stages are intermediate-traffic-bound. Opt in with
+        # fused_mlp=True; the fused path additionally requires the mid-MLP
+        # Dropout inactive (drop_rate/train routes to XLA).
+        from nkbx.models.common import mlp_tail
 
-        f = int(self.dim * self.mlp_ratio)
-        w0, b0 = DenseParams(f, name="Dense_0")(self.dim)
-        w1, b1 = DenseParams(self.dim, name="Dense_1")(f)
-        rows = x.shape[0] * x.shape[1]
-        mode = (None if (self.drop_rate > 0 and train) else
-                fused_mlp_mode(self.fused_mlp, rows, self.dim, f,
-                               jnp.dtype(self.dtype).itemsize, auto=False))
-        if mode == "ln":
-            from nkbx.models.common import LayerNormParams
-            from nkbx.ops.mlp import fused_ln_mlp
-
-            ns, nb = LayerNormParams(name="LayerNorm_1")(self.dim)
-            return fused_ln_mlp(x, ns, nb, w0.astype(self.dtype), b0,
-                                w1.astype(self.dtype), b1, shortcut=x,
-                                eps=self.ln_eps)
-        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        if mode == "mlp":
-            from nkbx.ops.mlp import fused_mlp
-
-            y = fused_mlp(y, w0.astype(self.dtype), b0,
-                          w1.astype(self.dtype), b1)
-        else:
-            y = y @ w0.astype(self.dtype) + b0.astype(self.dtype)
-            y = nn.gelu(y, approximate=False)  # timm uses exact GELU
-            if self.drop_rate > 0:
-                y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
-            y = y @ w1.astype(self.dtype) + b1.astype(self.dtype)
-        return x + y
+        return mlp_tail(x, x, int(self.dim * self.mlp_ratio),
+                        ln_name="LayerNorm_1",
+                        fc_names=("Dense_0", "Dense_1"), eps=self.ln_eps,
+                        dtype=self.dtype, flag=self.fused_mlp, auto=False,
+                        drop_rate=self.drop_rate, train=train)
 
 
 class ViT(nn.Module):

@@ -113,10 +113,12 @@ def _pad(x, t):
 
 def _resident_bytes(c, f, itemsize, bwd):
     """VMEM held across the whole grid (weights + f32 grad accumulators)."""
-    cf = _pad(c, 128) * _pad(f, 8)  # (F, C) and (C, F) pad the same total
-    w = 2 * cf * itemsize
+    # (C, F) pads sublane-C/lane-F; (F, C) the transpose — NOT the same total
+    # when only one of C, F is a multiple of 128 (e.g. fractional mlp_ratio).
+    cf = _pad(c, 8) * _pad(f, 128) + _pad(f, 8) * _pad(c, 128)
+    w = cf * itemsize
     if bwd:
-        w += 2 * cf * 4 + (_pad(f, 128) + _pad(c, 128)) * 8 * 4
+        w += cf * 4 + (_pad(f, 128) + _pad(c, 128)) * 8 * 4
     return w
 
 
@@ -177,17 +179,39 @@ def resolve_fused_mlp(flag, auto: bool) -> bool:
     return auto
 
 
+def _gate_rows(rows):
+    """Rows each kernel invocation actually sees: under a declared ops mesh
+    the kernel runs per-shard on rows/ndev (see the Mesh note in the module
+    docstring), so the viability gate must size THAT geometry — a globally
+    viable row count can be per-shard non-tileable. Returns None when the
+    rows don't divide the axis (the sharded entry would raise) or when the
+    caller couldn't produce a static count (symbolic export shapes)."""
+    if rows is None:
+        return None
+    ctx = _attn._active_mesh()
+    if ctx is None:
+        return rows
+    mesh, axis = ctx
+    ndev = mesh.shape[axis]
+    if rows % ndev:
+        return None
+    return rows // ndev
+
+
 def use_fused_mlp(flag, rows, c, f, itemsize, auto=None):
     """Shared model-level gate: flag resolution AND VMEM/geometry viability.
 
     ``auto=None`` defaults to "on TPU" — the measured default for every
     family wired so far (ConvNeXt +26%, Swin; PERF.md round 3). Call sites
-    pass the flattened row count so non-tileable geometries (e.g. ViT's
-    B·197 token rows) fall back to XLA automatically."""
+    pass the flattened GLOBAL row count; the gate accounts for the active
+    ops mesh (per-shard rows) so non-tileable or non-shardable geometries
+    (e.g. ViT's B·197 token rows) fall back to XLA automatically."""
     if auto is None:
         auto = jax.default_backend() == "tpu"
-    return (resolve_fused_mlp(flag, auto)
-            and fused_mlp_viable(rows, c, f, itemsize))
+    if not resolve_fused_mlp(flag, auto):
+        return False
+    rows = _gate_rows(rows)
+    return rows is not None and fused_mlp_viable(rows, c, f, itemsize)
 
 
 def fused_mlp_mode(flag, rows, c, f, itemsize, auto=None):
@@ -200,7 +224,7 @@ def fused_mlp_mode(flag, rows, c, f, itemsize, auto=None):
     A/B measurements without disabling fusion entirely."""
     if not use_fused_mlp(flag, rows, c, f, itemsize, auto):
         return None
-    ln_ok = (fused_mlp_viable(rows, c, f, itemsize, ln=True)
+    ln_ok = (fused_mlp_viable(_gate_rows(rows), c, f, itemsize, ln=True)
              and os.environ.get("NKBX_FUSED_LN_MLP", "")
              not in ("0", "false", "False"))
     return "ln" if ln_ok else "mlp"

@@ -154,6 +154,38 @@ class TestMeshSharded:
             with pytest.raises(ValueError, match="divisible"):
                 fused_mlp(x, w0, b0, w1, b1, True)
 
+    def test_gate_accounts_for_per_shard_rows(self):
+        # the kernel runs per-shard under the mesh, so the model-level gate
+        # must size rows/ndev, not the global row count: 288 rows are viable
+        # single-device (row tile 144) but 288/8 = 36 is under the 128-row
+        # floor; 260 rows don't divide the 8-way axis at all. Both must
+        # resolve to the XLA path (gate False/None), not raise at trace time
+        # inside jax.shard_map.
+        from nkbx.ops.attention import attention_mesh
+        from nkbx.ops.mlp import fused_mlp_mode, use_fused_mlp
+
+        mesh = self._mesh()
+        assert fused_mlp_viable(288, 384, 1536)
+        assert use_fused_mlp(True, 288, 384, 1536, 2)
+        with attention_mesh(mesh):
+            assert not use_fused_mlp(True, 288, 384, 1536, 2)
+            assert fused_mlp_mode(True, 260, 32, 128, 2) is None
+            # a shardable, per-shard-viable geometry stays fused
+            assert use_fused_mlp(True, 8 * 256, 32, 128, 2)
+
+    def test_gate_symbolic_rows_fall_back(self):
+        # jax.export symbolic leading dims can't produce a static row count:
+        # mlp_tail passes rows=None, which must resolve to the XLA path
+        # everywhere (gate False, mode None) instead of doing arithmetic on
+        # a symbolic dim — regression for the --dynamic export trace.
+        from nkbx.ops.attention import attention_mesh
+        from nkbx.ops.mlp import fused_mlp_mode, use_fused_mlp
+
+        assert not use_fused_mlp(True, None, 384, 1536, 2)
+        assert fused_mlp_mode(True, None, 384, 1536, 2) is None
+        with attention_mesh(self._mesh()):
+            assert not use_fused_mlp(True, None, 384, 1536, 2)
+
 
 class TestConvNeXtIntegration:
     """fused_mlp=True must be a pure reparametrization of the block: same
