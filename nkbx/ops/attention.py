@@ -49,6 +49,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def recip_f32(q):
+    """1/q via the VPU's approximate reciprocal + two Newton steps (4 madds)
+    — f32-accurate, and measured cheaper than the hardware divide on the
+    fused-MLP erf (experiments/r3_gelu_headroom.py: ~2.3 ms/step across
+    convnext_tiny's MLPs). Shared by the kernels here and nkbx.ops.mlp."""
+    r = pl.reciprocal(q, approx=True)
+    r = r * (2.0 - q * r)
+    return r * (2.0 - q * r)
+
+
+def _softmax_rows(s):
+    """Row softmax of f32 scores. One reciprocal per ROW via recip_f32 then
+    an elementwise multiply, instead of jax.nn.softmax's elementwise divide
+    of every probability by the row sum — the kernels are VPU-bound, and
+    the hardware divide is many-cycle against the multiply's one."""
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    return e * recip_f32(jnp.sum(e, axis=-1, keepdims=True))
+
+
 _FORCE_DISABLED = False
 
 
@@ -209,7 +228,7 @@ def _core_fwd(get_qkv, bias_ref, mask_ref, put_o, *, heads, hd, w, m, n,
     for h in range(heads):
         q, k, v = get_qkv(h * d, d)
         s = _scores(q, k, bias_ref[min(h, bh - 1)], mask_ref, w, m, n, scale)
-        p = jax.nn.softmax(s, axis=-1).astype(out_dtype)
+        p = _softmax_rows(s).astype(out_dtype)
         o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         put_o(h * d, d, o.astype(out_dtype))
@@ -228,7 +247,7 @@ def _core_bwd(get_qkv, bias_ref, mask_ref, g_ref, put_dq, put_dk, put_dv,
         q, k, v = get_qkv(lo, d)
         g = g_ref[:, :, lo:lo + d]
         s = _scores(q, k, bias_ref[min(h, bh - 1)], mask_ref, w, m, n, scale)
-        p = jax.nn.softmax(s, axis=-1)
+        p = _softmax_rows(s)
         # dV = Pᵀ g
         dv = jax.lax.dot_general(p.astype(out_dtype), g,
                                  (((1,), (1,)), ((0,), (0,))),

@@ -67,13 +67,10 @@ _ERF_BETA = (-1.1791602954361697e-7, 2.3547966471313185e-5,
              0.11098505178285362, 0.49746925110067538, 1.0)
 
 
-def _recip_f32(q):
-    """1/q via the VPU's approximate reciprocal + two Newton steps (4 madds)
-    — f32-accurate, and measured ~2.3 ms/step cheaper than the hardware
-    divide across convnext_tiny's fused MLPs (experiments/r3_gelu_headroom)."""
-    r = pl.reciprocal(q, approx=True)
-    r = r * (2.0 - q * r)
-    return r * (2.0 - q * r)
+# 1/q via approximate reciprocal + two Newton steps; measured ~2.3 ms/step
+# cheaper than the hardware divide across convnext_tiny's fused MLPs
+# (experiments/r3_gelu_headroom.py). Shared with the attention kernels.
+_recip_f32 = _attn.recip_f32
 
 
 def _erf_f32(x):
