@@ -182,7 +182,14 @@ def _gate_rows(rows):
     docstring), so the viability gate must size THAT geometry — a globally
     viable row count can be per-shard non-tileable. Returns None when the
     rows don't divide the axis (the sharded entry would raise) or when the
-    caller couldn't produce a static count (symbolic export shapes)."""
+    caller couldn't produce a static count (symbolic export shapes).
+
+    Row divisibility is a PROXY for batch shardability (same contract as
+    the sharded entries' _check_rows_shardable): if the batch itself does
+    not divide the axis but B·H·W does, the kernel still runs correctly —
+    GSPMD reshards the batch-sharded activation into row shards around it —
+    at a collective cost. The shipped convention (CLAUDE.md) keeps per-chip
+    batches divisible, where row sharding coincides with batch sharding."""
     if rows is None:
         return None
     ctx = _attn._active_mesh()
@@ -203,12 +210,7 @@ def use_fused_mlp(flag, rows, c, f, itemsize, auto=None):
     pass the flattened GLOBAL row count; the gate accounts for the active
     ops mesh (per-shard rows) so non-tileable or non-shardable geometries
     (e.g. ViT's B·197 token rows) fall back to XLA automatically."""
-    if auto is None:
-        auto = jax.default_backend() == "tpu"
-    if not resolve_fused_mlp(flag, auto):
-        return False
-    rows = _gate_rows(rows)
-    return rows is not None and fused_mlp_viable(rows, c, f, itemsize)
+    return fused_mlp_mode(flag, rows, c, f, itemsize, auto) is not None
 
 
 def fused_mlp_mode(flag, rows, c, f, itemsize, auto=None):
@@ -219,9 +221,14 @@ def fused_mlp_mode(flag, rows, c, f, itemsize, auto=None):
     Prefers the LN-fused kernel where its (slightly larger) VMEM footprint
     fits; ``NKBX_FUSED_LN_MLP=0`` drops back to the MLP-only kernel for
     A/B measurements without disabling fusion entirely."""
-    if not use_fused_mlp(flag, rows, c, f, itemsize, auto):
+    if auto is None:
+        auto = jax.default_backend() == "tpu"
+    if not resolve_fused_mlp(flag, auto):
         return None
-    ln_ok = (fused_mlp_viable(_gate_rows(rows), c, f, itemsize, ln=True)
+    rows = _gate_rows(rows)  # per-shard rows under a mesh; None = XLA path
+    if rows is None or not fused_mlp_viable(rows, c, f, itemsize):
+        return None
+    ln_ok = (fused_mlp_viable(rows, c, f, itemsize, ln=True)
              and os.environ.get("NKBX_FUSED_LN_MLP", "")
              not in ("0", "false", "False"))
     return "ln" if ln_ok else "mlp"
