@@ -55,6 +55,16 @@ def parse_args():
                              "(window attention + fused MLP) in the bundle "
                              "(+44%% Swin serving on TPU; TPU-only artifact, "
                              "requires --dynamic none)")
+    parser.add_argument("--sim", action="store_true",
+                        help="onnx only: run onnxsim on the exported model if "
+                             "installed (reference export.py --sim; the other "
+                             "formats are already XLA-simplified)")
+    parser.add_argument("--device", type=str, default=None,
+                        help="accepted for reference-CLI compatibility and "
+                             "ignored — the JAX backend picks the device")
+    parser.add_argument("-v", "--verbose", type=str2bool, nargs="?", const=True,
+                        default=False,
+                        help="print export metadata and artifact sizes")
     args = parser.parse_args()
     assert args.to in ("serving", "stablehlo", "savedmodel", "tflite", "onnx")
     assert args.dynamic in ("batch", "none", "all")
@@ -67,6 +77,12 @@ def parse_args():
 
 def main(args):
     print(f"Export to {args.to}")
+    if args.device:
+        print(f"NOTE: --device {args.device!r} is ignored on nkbx "
+              "(the JAX backend picks the device)")
+    if args.sim and args.to != "onnx":
+        print("NOTE: --sim applies to --to onnx only (StableHLO/SavedModel/"
+              "TFLite artifacts are already XLA-simplified)")
     import jax.numpy as jnp
 
     from nkbx.data import get_dataset
@@ -122,7 +138,7 @@ def main(args):
         out = save_dir / f"{stem}.onnx"
         path, _ = export_onnx(model, args.input_shape, out, metadata=metadata,
                               dynamic_batch=(args.dynamic != "none"), dtype=dtype,
-                              opset=args.opset)
+                              opset=args.opset, simplify=args.sim)
         print(f"onnx export success, saved as {path}")
     elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel
@@ -146,6 +162,15 @@ def main(args):
         out = save_dir / f"{stem}.stablehlo"
         save_stablehlo_text(model, args.input_shape, out, dtype=dtype)
         print(f"stablehlo export success, saved as {out}")
+
+    if args.verbose:
+        import json
+
+        print(json.dumps(metadata, indent=2, default=str))
+        for p in sorted(save_dir.glob(f"{stem}*")):
+            size = (sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+                    if p.is_dir() else p.stat().st_size)
+            print(f"  {p}  {size / 1e6:.2f} MB")
 
 
 if __name__ == "__main__":

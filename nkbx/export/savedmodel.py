@@ -61,7 +61,8 @@ def export_savedmodel(model, input_shape, save_dir, metadata=None,
 
 
 def export_onnx(model, input_shape, out_path, metadata=None,
-                dynamic_batch: bool = True, dtype=None, opset: int = 17):
+                dynamic_batch: bool = True, dtype=None, opset: int = 17,
+                simplify: bool = False):
     """Export a ClassificationModel to ``.onnx`` via SavedModel -> tf2onnx
     (the reference's primary interchange artifact, export.py:146-206 there).
 
@@ -92,6 +93,23 @@ def export_onnx(model, input_shape, out_path, metadata=None,
         ) from e
     model_proto, _ = t2o_convert.from_saved_model(  # pragma: no cover - needs tf2onnx
         str(sm_dir), output_path=str(out_path), opset=opset)
+    if simplify:  # pragma: no cover - needs onnxsim
+        # reference export.py --sim (onnxsim over the emitted graph); optional
+        # like tf2onnx — print the recipe instead of failing when absent
+        try:
+            import onnx
+            from onnxsim import simplify as _onnxsim
+        except ImportError:
+            print(f"NOTE: --sim skipped ('onnxsim' not installed); run\n"
+                  f"  pip install onnxsim && "
+                  f"python -m onnxsim {out_path} {out_path}")
+        else:
+            simplified, ok = _onnxsim(onnx.load(str(out_path)))
+            if ok:
+                onnx.save(simplified, str(out_path))
+            else:
+                print("NOTE: onnxsim could not validate the simplified "
+                      "model; keeping the unsimplified export")
     out_path.with_suffix(out_path.suffix + ".json").write_text(json.dumps(meta))
     return out_path, meta
 

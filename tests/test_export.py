@@ -1,6 +1,8 @@
 """Export round-trip: StableHLO bundle must reproduce training-model logits
 (SURVEY.md §4: 'export, reload, compare logits at tolerance ~0')."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -277,3 +279,33 @@ class TestOnnxExport:
 
         args = set(export_formats()["Argument"])
         assert {"stablehlo", "serving", "savedmodel", "tflite", "onnx"} <= args
+
+
+class TestExportCLIArgs:
+    """The export CLI must accept the reference's full argument surface
+    (reference export.py:25-85) so migrated shell scripts run unchanged:
+    --sim / --device / -v are accepted everywhere (--device is ignored with
+    a note; --sim only acts on --to onnx)."""
+
+    def _parse(self, monkeypatch, extra):
+        import importlib
+        import sys
+
+        spec = importlib.util.spec_from_file_location(
+            "export_cli", str(Path(__file__).parent.parent / "export.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(sys, "argv",
+                            ["export.py", "-cfg", "c.py", "--to", "stablehlo",
+                             "-w", "weights/best"] + extra)
+        return mod.parse_args()
+
+    def test_reference_flags_accepted(self, monkeypatch):
+        args = self._parse(monkeypatch,
+                           ["--sim", "--device", "cuda:0", "-v", "--opset", "13"])
+        assert args.sim and args.device == "cuda:0" and args.verbose
+        assert args.opset == 13
+
+    def test_defaults(self, monkeypatch):
+        args = self._parse(monkeypatch, [])
+        assert not args.sim and args.device is None and not args.verbose
