@@ -460,3 +460,56 @@ class TestViTIntegration:
         np.testing.assert_allclose(
             np.asarray(m.apply(v, x, train=False)),
             np.asarray(m0.apply(v, x, train=False)), rtol=5e-5, atol=5e-5)
+
+
+def test_fsdp_with_mesh_and_fused_convnext():
+    """FSDP-scattered params train through the fused LN+MLP kernel under a
+    declared mesh and match the replicated run — the MLP-kernel twin of
+    test_fused_attention.test_fsdp_with_mesh_and_fused_swin. Geometry sized
+    so the PER-SHARD rows clear the kernel's 128-row floor (batch 16 x 8x8
+    tokens = 1024 rows -> 128/shard on the 8-way axis)."""
+    from nkbx.models.classifier import ClassificationModel, SingletaskClassifier
+    from nkbx.models.convnext import ConvNeXt
+    from nkbx.ops.attention import set_attention_mesh
+    from nkbx.parallel import make_mesh, state_shardings
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+    from nkbx.train.engine import train_epoch
+
+    bb = ConvNeXt(depths=(1,), dims=(16,), dtype=jnp.float32, fused_mlp=True)
+    module = SingletaskClassifier(backbone=bb, n_classes=3)
+    variables = dict(module.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, 32, 32, 3)), train=False))
+    model = ClassificationModel(module, variables, ["a", "b", "c"], "single", 16)
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+
+    rng = np.random.default_rng(0)
+    X = np.stack([np.full((32, 32, 3), (i % 3) * 0.3, np.float32)
+                  + rng.normal(0, .05, (32, 32, 3)) for i in range(32)]
+                 ).astype(np.float32)
+    Y = (np.arange(32) % 3).astype(np.int64)
+
+    class Loader:
+        def epoch(self, e):
+            for b in range(2):
+                sl = slice(b * 16, (b + 1) * 16)
+                yield {"image": X[sl], "label": Y[sl],
+                       "mask": np.ones(16, bool)}
+
+    mesh = make_mesh(n_data=8)
+    try:
+        losses = []
+        for fsdp in (True, False):
+            bundle = get_optimizer(model.params, {"type": "adam", "lr": 5e-3})
+            step = build_train_step(model, criterion, bundle)
+            state = TrainState.create(model.params, model.batch_stats,
+                                      bundle.tx)
+            if fsdp:
+                state = jax.device_put(
+                    state, state_shardings(mesh, state, fsdp=True))
+            state, res = train_epoch(state, Loader(), step, 0,
+                                     jax.random.PRNGKey(0), 1.0, 1.0,
+                                     mesh=mesh, progress=False)
+            losses.append(float(np.mean(res["running_loss"])))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    finally:
+        set_attention_mesh(None)
