@@ -513,3 +513,54 @@ def test_fsdp_with_mesh_and_fused_convnext():
         np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
     finally:
         set_attention_mesh(None)
+
+
+def test_grad_accum_with_mesh_and_fused_convnext():
+    """grad_accum_steps=2 halves the microbatch, halving the kernel's
+    per-shard rows (1024 -> 512 rows -> 64/shard, under the 128-row floor):
+    the gate must re-evaluate per trace and silently route the microbatched
+    step to XLA while the unaccumulated step stays fused — and the two runs
+    must still match (ConvNeXt has no BatchNorm, so accumulation is exact)."""
+    from nkbx.models.classifier import ClassificationModel, SingletaskClassifier
+    from nkbx.models.convnext import ConvNeXt
+    from nkbx.ops.attention import set_attention_mesh
+    from nkbx.parallel import make_mesh
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+    from nkbx.train.engine import train_epoch
+
+    bb = ConvNeXt(depths=(1,), dims=(16,), dtype=jnp.float32, fused_mlp=True)
+    module = SingletaskClassifier(backbone=bb, n_classes=3)
+    variables = dict(module.init({"params": jax.random.PRNGKey(0)},
+                                 jnp.zeros((1, 32, 32, 3)), train=False))
+    model = ClassificationModel(module, variables, ["a", "b", "c"], "single", 16)
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+
+    rng = np.random.default_rng(1)
+    X = np.stack([np.full((32, 32, 3), (i % 3) * 0.3, np.float32)
+                  + rng.normal(0, .05, (32, 32, 3)) for i in range(32)]
+                 ).astype(np.float32)
+    Y = (np.arange(32) % 3).astype(np.int64)
+
+    class Loader:
+        def epoch(self, e):
+            for b in range(2):
+                sl = slice(b * 16, (b + 1) * 16)
+                yield {"image": X[sl], "label": Y[sl],
+                       "mask": np.ones(16, bool)}
+
+    mesh = make_mesh(n_data=8)
+    try:
+        losses = []
+        for accum in (2, 1):
+            bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+            step = build_train_step(model, criterion, bundle,
+                                    grad_accum_steps=accum)
+            state = TrainState.create(model.params, model.batch_stats,
+                                      bundle.tx)
+            state, res = train_epoch(state, Loader(), step, 0,
+                                     jax.random.PRNGKey(0), 1.0, 1.0,
+                                     mesh=mesh, progress=False)
+            losses.append(float(np.mean(res["running_loss"])))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    finally:
+        set_attention_mesh(None)
