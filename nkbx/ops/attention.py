@@ -18,10 +18,12 @@ FLOPs ride the otherwise idle MXU — the op is bandwidth-bound.
 Reference parity: this implements exactly the math of
 ``nkbx/models/swin.py::WindowAttention`` (microsoft Swin semantics, the
 architecture the torch reference reaches via timm — reference
-model.py:82-83) and ``flax.linen.dot_product_attention`` for ViT; the only
-numeric difference is that scores stay in f32 between the two matmuls (the
-XLA path rounds them to the compute dtype once), i.e. the kernel is
-slightly MORE precise in bf16 mode and bit-comparable in f32 mode.
+model.py:82-83) and ``flax.linen.dot_product_attention`` for ViT; the
+numeric differences are that scores stay in f32 between the two matmuls
+(the XLA path rounds them to the compute dtype once — the kernel is
+slightly MORE precise in bf16 mode) and that the softmax denominator is
+inverted via Newton-refined approximate reciprocal (f32-accurate to ~1 ulp,
+not bit-identical to the hardware divide; equality tests use tolerances).
 
 Layout contract (chosen to avoid narrow-lane HBM padding):
   q, k, v, o : (G, N, H*D)    — heads packed in the minor dim, head-major
