@@ -76,14 +76,17 @@ def _gconv_kernel(x_ref, w_ref, o_ref, xp_ref, *, H, W, C, gw):
     # Zero-pad into VMEM scratch (halo of 1 on both spatial dims).
     xp_ref[:] = jnp.zeros((H + 2, W + 2, C), x_ref.dtype)
     xp_ref[1:H + 1, 1:W + 1, :] = x_ref[0]
-    xp = xp_ref[:]
+    # f32 before the rotations: Mosaic's tpu.dynamic_rotate rejects bf16
+    # ("Rotate with non-32-bit data" on the chip), and the FMA accumulator
+    # is f32 regardless.
+    xp = xp_ref[:].astype(jnp.float32)
     acc = jnp.zeros((H, W, C), jnp.float32)
     for r in range(gw):
         xr = _rotate_within_groups(xp, r, gw)
         for ty in range(3):
             for tx in range(3):
                 w_row = w_ref[(ty * 3 + tx) * gw + r, :].astype(jnp.float32)
-                acc = acc + (xr[ty:ty + H, tx:tx + W, :].astype(jnp.float32)
+                acc = acc + (xr[ty:ty + H, tx:tx + W, :]
                              * w_row[None, None, :])
     o_ref[0] = acc.astype(o_ref.dtype)
 
