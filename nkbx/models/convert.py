@@ -627,22 +627,60 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(
         description="Convert torch pretrained backbone weights to nkbx msgpack "
-                    "(loaded by model.pretrained=True via $NKBX_PRETRAINED_DIR)."
+                    "(loaded by model.pretrained=True via $NKBX_PRETRAINED_DIR), "
+                    "or — with --to-torch — export nkbx-trained weights BACK to "
+                    "the torch layouts (timm backbone state_dict, or the full "
+                    "reference classifier checkpoint when the weights hold a "
+                    "backbone+head tree)."
     )
     ap.add_argument("--model", required=True,
                     help="backbone name, e.g. resnet50 or 'unicom ViT-B/32'")
     ap.add_argument("--weights",
-                    help="torch checkpoint file (.pth/.pt/.bin). Omit to fetch "
+                    help="torch checkpoint file (.pth/.pt/.bin); with "
+                         "--to-torch: an nkbx weights artifact (orbax dir "
+                         "weights/best|last, or a flax .msgpack). Omit to fetch "
                          "via timm/unicom (requires those packages + network).")
     ap.add_argument("--out",
                     help="output .msgpack path (default: "
-                         "$NKBX_PRETRAINED_DIR/<name>.msgpack)")
+                         "$NKBX_PRETRAINED_DIR/<name>.msgpack); with "
+                         "--to-torch: the output .pth path (required)")
     ap.add_argument("--reference-checkpoint", action="store_true",
                     help="the weights file is a FULL reference-trained "
                          "classifier (emb_model.* + classifier.*): convert "
                          "backbone AND head; load the output via the config's "
                          "model.checkpoint key")
+    ap.add_argument("--to-torch", action="store_true",
+                    help="reverse direction: nkbx weights -> torch state_dict "
+                         "(.pth). A full classifier tree (params.backbone + "
+                         "head) becomes a reference-layout checkpoint "
+                         "(emb_model.* + classifier.*); a bare backbone tree "
+                         "becomes a timm-layout backbone state_dict. Load "
+                         "with strict=False (heads/buffers/counters nkbx "
+                         "replaces or recomputes are not emitted; they are "
+                         "printed).")
     args = ap.parse_args(argv)
+
+    if args.to_torch:
+        import torch
+
+        from nkbx.models.reverse import (load_nkbx_weights,
+                                         reverse_reference_checkpoint,
+                                         reverse_torch_state_dict)
+
+        if not args.weights or not args.out:
+            raise SystemExit("--to-torch requires --weights (orbax dir or "
+                             ".msgpack) and --out (.pth path)")
+        variables = load_nkbx_weights(args.weights)
+        if "backbone" in variables["params"]:
+            sd, skipped = reverse_reference_checkpoint(args.model, variables)
+        else:
+            sd, skipped = reverse_torch_state_dict(args.model, variables)
+        torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                    for k, v in sd.items()}, args.out)
+        print(f"wrote {args.out} ({len(sd)} tensors; load with strict=False)")
+        if skipped:
+            print(f"not emitted (torch keeps its own): {', '.join(skipped)}")
+        return args.out
 
     if args.weights:
         sd = _load_torch_checkpoint(args.weights)
@@ -713,7 +751,7 @@ def convert_swin_state_dict(state_dict, depths):
     # layout probe must be GLOBAL: in the timm >= 0.9 layout layers.{i}.downsample
     # EXISTS for every i >= 1 (it is stage i's INPUT merge), so a per-index
     # existence check would misread stages >= 1 of a 0.9 checkpoint as the
-    # pre-0.9 layout (bug found by tests/torch_replicas.py swin replicas)
+    # pre-0.9 layout (bug found by nkbx/models/torch_ref.py swin replicas)
     pre09 = "layers.0.downsample.reduction.weight" in sd
     for i, depth in enumerate(depths):
         for j in range(depth):

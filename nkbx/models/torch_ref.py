@@ -1,5 +1,5 @@
 """torch ``nn.Module`` replicas emitting timm/torchvision/unicom-layout
-``state_dict()``s for EVERY nkbx registry backbone (VERDICT r2 item 6).
+``state_dict()``s for EVERY nkbx registry backbone.
 
 These are independent re-derivations of the upstream key layouts (timm's
 efficientnet-builder naming, torchvision densenet's Sequential-of-OrderedDict,
@@ -10,9 +10,16 @@ the state_dict KEYS come out of torch's own auto-naming mechanics
 key-layout evidence available without network access to the real packages
 (see MIGRATING.md for the one-command validation to run on a networked host).
 
+Two consumers: the converter parity tests (tests/test_convert.py pins every
+registry name's layout against :func:`nkbx.models.convert.convert_torch_state_dict`)
+and :mod:`nkbx.models.reverse`, which uses :func:`build_replica` as the
+torch-side template when exporting TPU-trained nkbx weights BACK to the
+torch/reference layouts.
+
 Sizing arithmetic (channel rounding) is imported from the nkbx models so the
 replicas produce the exact shapes the converters must map; the LAYOUT is the
-thing under test.
+pinned contract. Requires torch (baked in here; an optional dep in
+production — everything else in nkbx.models imports without it).
 """
 
 from __future__ import annotations

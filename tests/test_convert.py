@@ -1260,7 +1260,7 @@ class TestReferenceCheckpointConversion:
 
 class TestAllRegistryNamesConvert:
     """VERDICT r2 item 6: for EVERY registry backbone name, a torch nn.Module
-    replica with the upstream key layout (tests/torch_replicas.py) must
+    replica with the upstream key layout (nkbx/models/torch_ref.py) must
     convert into exactly the nkbx model's param/batch_stats tree (paths AND
     shapes), with every non-classifier tensor consumed."""
 
@@ -1298,7 +1298,7 @@ class TestAllRegistryNamesConvert:
     def test_replica_state_dict_converts_exactly(self, name):
         import torch
 
-        from tests.torch_replicas import build_replica
+        from nkbx.models.torch_ref import build_replica
         from nkbx.models.registry import create_backbone
 
         with torch.no_grad():
