@@ -658,6 +658,11 @@ def main(argv=None):
                          "with strict=False (heads/buffers/counters nkbx "
                          "replaces or recomputes are not emitted; they are "
                          "printed).")
+    ap.add_argument("--ema", action="store_true",
+                    help="with --to-torch: export the EMA shadow "
+                         "(ema_params/ema_batch_stats — what a deployment "
+                         "normally serves when the run trained with "
+                         "model_ema_decay) instead of the raw params")
     args = ap.parse_args(argv)
 
     if args.to_torch:
@@ -670,7 +675,7 @@ def main(argv=None):
         if not args.weights or not args.out:
             raise SystemExit("--to-torch requires --weights (orbax dir or "
                              ".msgpack) and --out (.pth path)")
-        variables = load_nkbx_weights(args.weights)
+        variables = load_nkbx_weights(args.weights, ema=args.ema)
         if "backbone" in variables["params"]:
             sd, skipped = reverse_reference_checkpoint(args.model, variables)
         else:

@@ -186,10 +186,15 @@ def reverse_reference_checkpoint(backbone_name: str, variables):
     return out, [f"emb_model.{k}" for k in skipped]
 
 
-def load_nkbx_weights(path):
+def load_nkbx_weights(path, ema: bool = False):
     """Model variables from an nkbx weights artifact: an orbax checkpoint
     dir (``weights/best`` / ``weights/last``) or a flax msgpack file (the
-    portable dump train.py writes alongside, or a converted-backbone file)."""
+    portable dump train.py writes alongside, or a converted-backbone file).
+
+    ``ema=True`` selects the EMA shadow (``ema_params``/``ema_batch_stats``,
+    present when the run trained with ``model_ema_decay``) — the weights a
+    deployment normally wants; raises if the artifact has none.
+    """
     from pathlib import Path
 
     p = Path(path)
@@ -198,11 +203,17 @@ def load_nkbx_weights(path):
 
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(p.resolve())
-        return {"params": restored["params"],
-                "batch_stats": restored.get("batch_stats") or {}}
-    import flax.serialization
+    else:
+        import flax.serialization
 
-    with open(p, "rb") as f:
-        restored = flax.serialization.msgpack_restore(f.read())
+        with open(p, "rb") as f:
+            restored = flax.serialization.msgpack_restore(f.read())
+    if ema:
+        if not restored.get("ema_params"):
+            raise ValueError(
+                f"{path} holds no EMA shadow (ema_params) — was the run "
+                f"trained with model_ema_decay?")
+        return {"params": restored["ema_params"],
+                "batch_stats": restored.get("ema_batch_stats") or {}}
     return {"params": restored["params"],
             "batch_stats": restored.get("batch_stats") or {}}

@@ -162,6 +162,55 @@ def test_cli_to_torch(tmp_path):
                           sd["emb_model.conv1.weight"])
 
 
+def test_cli_to_torch_orbax_dir(tmp_path):
+    """CLI: an orbax checkpoint dir (what train.py's weights/best|last hold —
+    full train-state payload) reverses to a reference-layout .pth; the extra
+    state (opt_state, step, meta) is ignored by the weight extraction."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from nkbx.models.convert import main
+
+    sd = _reference_sd("resnet_tiny_test", {"classifier.1": 4})
+    variables = convert_reference_checkpoint("resnet_tiny_test", sd)
+    # an EMA shadow that differs from the raw params (shifted by 1)
+    shifted = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) + 1.0, variables["params"])
+    payload = {
+        "params": jax.tree_util.tree_map(jnp.asarray, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+            jnp.asarray, variables["batch_stats"]),
+        "ema_params": shifted,
+        "ema_batch_stats": jax.tree_util.tree_map(
+            jnp.asarray, variables["batch_stats"]),
+        "step": jnp.zeros((), jnp.int32),
+        "meta": {"epoch": 1, "best_val_acc": 0.0},
+    }
+    ckpt_dir = tmp_path / "weights" / "best"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_dir.resolve(), payload)
+
+    out = tmp_path / "ref.pth"
+    main(["--model", "resnet_tiny_test", "--to-torch",
+          "--weights", str(ckpt_dir), "--out", str(out)])
+
+    loaded = torch.load(str(out), map_location="cpu", weights_only=True)
+    assert np.array_equal(loaded["classifier.1.weight"].numpy(),
+                          sd["classifier.1.weight"])
+    assert np.array_equal(loaded["emb_model.conv1.weight"].numpy(),
+                          sd["emb_model.conv1.weight"])
+
+    # --ema exports the shadow instead
+    out_ema = tmp_path / "ref_ema.pth"
+    main(["--model", "resnet_tiny_test", "--to-torch", "--ema",
+          "--weights", str(ckpt_dir), "--out", str(out_ema)])
+    loaded_ema = torch.load(str(out_ema), map_location="cpu",
+                            weights_only=True)
+    assert np.array_equal(loaded_ema["emb_model.conv1.weight"].numpy(),
+                          sd["emb_model.conv1.weight"] + 1.0)
+
+
 def test_cli_to_torch_bare_backbone(tmp_path):
     """CLI: a converted-backbone msgpack reverses to a timm-layout .pth."""
     from nkbx.models.convert import main, save_params_msgpack
@@ -177,6 +226,19 @@ def test_cli_to_torch_bare_backbone(tmp_path):
 
     loaded = torch.load(str(out), map_location="cpu", weights_only=True)
     assert np.array_equal(loaded["conv1.weight"].numpy(), np_sd["conv1.weight"])
+
+
+def test_cli_to_torch_ema_missing(tmp_path):
+    """--ema on an artifact without an EMA shadow fails loudly."""
+    from nkbx.models.convert import main, save_params_msgpack
+
+    _, np_sd = _randomized_state_dict("resnet_tiny_test", seed=5)
+    converted = convert_torch_state_dict("resnet_tiny_test", np_sd)
+    src = tmp_path / "backbone.msgpack"
+    save_params_msgpack(converted, str(src))
+    with pytest.raises(ValueError, match="no EMA shadow"):
+        main(["--model", "resnet_tiny_test", "--to-torch", "--ema",
+              "--weights", str(src), "--out", str(tmp_path / "x.pth")])
 
 
 def test_synthesized_leaf_warns_when_trained():
