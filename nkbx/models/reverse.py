@@ -25,7 +25,15 @@ any future converter that stopped being a permutation fails loudly here
 Keys the forward conversion never consumes (classifier heads that nkbx
 replaces, ``num_batches_tracked`` counters, recomputed swin buffers) are NOT
 emitted; load the result with ``strict=False`` — the returned ``skipped``
-list is exactly torch's ``missing_keys``.
+list is torch's ``missing_keys`` (except ``num_batches_tracked`` entries,
+which torch's BatchNorm backward-compat loader fills with 0 silently
+instead of reporting).
+
+The emitted layout is the one the :mod:`nkbx.models.torch_ref` replicas pin
+— the CURRENT upstream layout per family (timm >= 0.9 swin ``downsample``
+placement, bias-free unicom patch embed). Forward conversion also accepts
+older variants (pre-0.9 swin, bias-carrying unicom); those reverse into the
+modern layout, not back into the variant they came from.
 
 CLI (see nkbx.models.convert.main): ``python -m nkbx.models.convert
 --to-torch --model resnet50 --weights runs/x/weights/best --out r50.pth``.
@@ -99,9 +107,20 @@ def reverse_torch_state_dict(name: str, converted):
         total += n
     traced = convert_torch_state_dict(name, trace_sd)
 
-    # 2. scatter the trained values back through the traced id placement
-    flat = np.zeros(total, dtype=np.float64)
+    # 2. scatter the trained values back through the traced id placement.
+    # float32 is lossless here: every leaf any forward converter consumes is
+    # a float32 torch tensor (integer buffers — num_batches_tracked, swin
+    # index buffers — are never consumed), asserted per-key in step 3.
+    flat = np.zeros(total, dtype=np.float32)
     written = np.zeros(total, dtype=bool)
+    traced_paths = {path for path, _ in _walk(traced)}
+    extra = [p for p, _ in _walk(converted) if p not in traced_paths]
+    if extra:
+        raise ValueError(
+            f"the converted tree holds leaves the {name!r} forward converter "
+            f"never produces ({', '.join('/'.join(p) for p in extra[:5])}"
+            f"{', ...' if len(extra) > 5 else ''}) — wrong --model for these "
+            f"weights? Silently dropping them would corrupt the export.")
     for path, ids in _walk(traced):
         ids = np.asarray(ids)
         val = np.asarray(_lookup(converted, path))
@@ -110,7 +129,7 @@ def reverse_torch_state_dict(name: str, converted):
                 f"shape mismatch at {'/'.join(path)}: converter produces "
                 f"{ids.shape}, converted tree holds {val.shape}")
         ids = ids.ravel()
-        val = val.astype(np.float64).ravel()
+        val = val.astype(np.float32).ravel()
         if not np.issubdtype(ids.dtype, np.integer):
             # a leaf the converter synthesized wholesale (e.g. a zeros bias
             # for a bias-free torch conv): nothing to carry back — but warn
@@ -126,6 +145,12 @@ def reverse_torch_state_dict(name: str, converted):
                     f"torch layout and are dropped", stacklevel=2)
             continue
         live = ids > 0
+        if written[ids[live]].any():
+            raise ValueError(
+                f"{'/'.join(path)} re-places torch elements another leaf "
+                f"already carried — the forward converter duplicates source "
+                f"elements (weight tying?) and is no longer a permutation; "
+                f"the generic reverse cannot decide which trained copy wins")
         flat[ids[live]] = val[live]
         written[ids[live]] = True
 
@@ -144,7 +169,13 @@ def reverse_torch_state_dict(name: str, converted):
                 f"forward converter ({int(w.sum())}/{hi - lo} elements) — "
                 f"the conversion is no longer a per-key permutation and the "
                 f"generic reverse cannot invert it")
-        out[k] = flat[lo:hi].reshape(tuple(v.shape)).astype(v.numpy().dtype)
+        dtype = v.numpy().dtype
+        if not np.issubdtype(dtype, np.floating):
+            raise ValueError(
+                f"template key {k!r} is {dtype} but was consumed by the "
+                f"forward converter — the float32 scatter path only supports "
+                f"floating-point weights")
+        out[k] = flat[lo:hi].reshape(tuple(v.shape)).astype(dtype)
     return out, skipped
 
 
@@ -211,8 +242,12 @@ def load_nkbx_weights(path, ema: bool = False):
     if ema:
         if not restored.get("ema_params"):
             raise ValueError(
-                f"{path} holds no EMA shadow (ema_params) — was the run "
-                f"trained with model_ema_decay?")
+                f"{path} holds no separate EMA shadow (ema_params). Full "
+                f"train-state artifacts (orbax weights/best|last) carry one "
+                f"when the run trained with model_ema_decay; the portable "
+                f"best/last.msgpack of an EMA run already holds the EMA "
+                f"weights AS its params (nkbx/train/trainer.py) — for those, "
+                f"drop --ema.")
         return {"params": restored["ema_params"],
                 "batch_stats": restored.get("ema_batch_stats") or {}}
     return {"params": restored["params"],

@@ -236,9 +236,21 @@ def test_cli_to_torch_ema_missing(tmp_path):
     converted = convert_torch_state_dict("resnet_tiny_test", np_sd)
     src = tmp_path / "backbone.msgpack"
     save_params_msgpack(converted, str(src))
-    with pytest.raises(ValueError, match="no EMA shadow"):
+    with pytest.raises(ValueError, match="no separate EMA shadow"):
         main(["--model", "resnet_tiny_test", "--to-torch", "--ema",
               "--weights", str(src), "--out", str(tmp_path / "x.pth")])
+
+
+def test_extra_leaves_fail_loudly():
+    """A converted tree holding params the named model's converter never
+    produces (wrong --model for the weights) must raise, not silently drop
+    the extras from the export."""
+    _, np_sd = _randomized_state_dict("resnet_tiny_test", seed=6)
+    converted = convert_torch_state_dict("resnet_tiny_test", np_sd)
+    converted["params"]["SEModule_0"] = {
+        "kernel": np.zeros((4, 4), np.float32)}
+    with pytest.raises(ValueError, match="wrong --model"):
+        reverse_torch_state_dict("resnet_tiny_test", converted)
 
 
 def test_synthesized_leaf_warns_when_trained():
