@@ -312,6 +312,10 @@ _VIT_SPECS = {
     "vit_base_patch16_224": (768, 12, 12),
     "vit_base_patch32_224": (768, 12, 12),
     "vit_large_patch16_224": (1024, 24, 16),
+    # deit non-distilled names: plain VisionTransformer, vit_* layout
+    "deit_tiny_patch16_224": (192, 12, 3),
+    "deit_small_patch16_224": (384, 12, 6),
+    "deit_base_patch16_224": (768, 12, 12),
 }
 
 _UNICOM_SPECS = {
@@ -423,6 +427,9 @@ _EFFNET_STAGES = {
     "efficientnet_b2": [2, 3, 3, 4, 4, 5, 2],
     "efficientnet_b3": [2, 3, 3, 5, 5, 6, 2],
     "efficientnet_b4": [2, 4, 4, 6, 6, 8, 2],
+    "efficientnet_b5": [3, 5, 5, 7, 7, 9, 3],
+    "efficientnet_b6": [3, 6, 6, 8, 8, 11, 3],
+    "efficientnet_b7": [4, 7, 7, 10, 10, 13, 4],
 }
 
 
@@ -483,6 +490,7 @@ _CONVNEXT_SPECS = {
     "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
     "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
     "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+    "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048)),
 }
 
 
@@ -789,12 +797,13 @@ def convert_swin_state_dict(state_dict, depths):
 
 def _effnetv2_spec(name: str):
     """Spec lives in nkbx.models.efficientnet (single source of truth)."""
-    from nkbx.models.efficientnet import V2_M_SPEC, V2_S_SPEC
+    from nkbx.models.efficientnet import V2_L_SPEC, V2_M_SPEC, V2_S_SPEC
 
-    return {"efficientnetv2_s": V2_S_SPEC, "efficientnetv2_m": V2_M_SPEC}[name]
+    return {"efficientnetv2_s": V2_S_SPEC, "efficientnetv2_m": V2_M_SPEC,
+            "efficientnetv2_l": V2_L_SPEC}[name]
 
 
-_EFFNETV2_SPECS = ("efficientnetv2_s", "efficientnetv2_m")
+_EFFNETV2_SPECS = ("efficientnetv2_s", "efficientnetv2_m", "efficientnetv2_l")
 
 
 def convert_efficientnetv2_state_dict(state_dict, spec):

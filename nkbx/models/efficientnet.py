@@ -88,6 +88,9 @@ efficientnet_b1 = partial(EfficientNet, width_mult=1.0, depth_mult=1.1)
 efficientnet_b2 = partial(EfficientNet, width_mult=1.1, depth_mult=1.2)
 efficientnet_b3 = partial(EfficientNet, width_mult=1.2, depth_mult=1.4)
 efficientnet_b4 = partial(EfficientNet, width_mult=1.4, depth_mult=1.8)
+efficientnet_b5 = partial(EfficientNet, width_mult=1.6, depth_mult=2.2)
+efficientnet_b6 = partial(EfficientNet, width_mult=1.8, depth_mult=2.6)
+efficientnet_b7 = partial(EfficientNet, width_mult=2.0, depth_mult=3.1)
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +114,15 @@ V2_M_SPEC: Sequence = (
     ("mb", 6, 3, 1, 14, 176, 0.25),
     ("mb", 6, 3, 2, 18, 304, 0.25),
     ("mb", 6, 3, 1, 5, 512, 0.25),
+)
+V2_L_SPEC: Sequence = (
+    ("fused", 1, 3, 1, 4, 32, 0.0),
+    ("fused", 4, 3, 2, 7, 64, 0.0),
+    ("fused", 4, 3, 2, 7, 96, 0.0),
+    ("mb", 4, 3, 2, 10, 192, 0.25),
+    ("mb", 6, 3, 1, 19, 224, 0.25),
+    ("mb", 6, 3, 2, 25, 384, 0.25),
+    ("mb", 6, 3, 1, 7, 640, 0.25),
 )
 
 
@@ -169,3 +181,4 @@ class EfficientNetV2(nn.Module):
 
 efficientnetv2_s = partial(EfficientNetV2, spec=V2_S_SPEC)
 efficientnetv2_m = partial(EfficientNetV2, spec=V2_M_SPEC)
+efficientnetv2_l = partial(EfficientNetV2, spec=V2_L_SPEC, stem_width=32)

@@ -38,8 +38,12 @@ _REGISTRY = {
     "efficientnet_b2": efficientnet.efficientnet_b2,
     "efficientnet_b3": efficientnet.efficientnet_b3,
     "efficientnet_b4": efficientnet.efficientnet_b4,
+    "efficientnet_b5": efficientnet.efficientnet_b5,
+    "efficientnet_b6": efficientnet.efficientnet_b6,
+    "efficientnet_b7": efficientnet.efficientnet_b7,
     "efficientnetv2_s": efficientnet.efficientnetv2_s,
     "efficientnetv2_m": efficientnet.efficientnetv2_m,
+    "efficientnetv2_l": efficientnet.efficientnetv2_l,
     "densenet121": densenet.densenet121,
     "densenet169": densenet.densenet169,
     "densenet201": densenet.densenet201,
@@ -47,6 +51,7 @@ _REGISTRY = {
     "convnext_small": convnext.convnext_small,
     "convnext_base": convnext.convnext_base,
     "convnext_large": convnext.convnext_large,
+    "convnext_xlarge": convnext.convnext_xlarge,
     "swin_tiny_patch4_window7_224": swin.swin_tiny_patch4_window7_224,
     "swin_small_patch4_window7_224": swin.swin_small_patch4_window7_224,
     "swin_base_patch4_window7_224": swin.swin_base_patch4_window7_224,
@@ -56,6 +61,9 @@ _REGISTRY = {
     "vit_base_patch16_224": vit.vit_base_patch16_224,
     "vit_base_patch32_224": vit.vit_base_patch32_224,
     "vit_large_patch16_224": vit.vit_large_patch16_224,
+    "deit_tiny_patch16_224": vit.deit_tiny_patch16_224,
+    "deit_small_patch16_224": vit.deit_small_patch16_224,
+    "deit_base_patch16_224": vit.deit_base_patch16_224,
 }
 
 _UNICOM = {

@@ -30,7 +30,7 @@ import torch
 from torch import nn
 
 from nkbx.models.common import make_divisible
-from nkbx.models.efficientnet import (_B0_SPEC, V2_M_SPEC, V2_S_SPEC,
+from nkbx.models.efficientnet import (_B0_SPEC, V2_L_SPEC, V2_M_SPEC, V2_S_SPEC,
                                       _round_channels, _round_repeats)
 from nkbx.models.mobilenetv3 import _LARGE_SPEC, _SMALL_SPEC
 
@@ -471,7 +471,8 @@ def build_replica(name: str) -> nn.Module:
         return TimmMobileNetV3(_SMALL_SPEC, [1, 2, 3, 2, 3], 576, 1024)
     effnets = {"efficientnet_b0": (1.0, 1.0), "efficientnet_b1": (1.0, 1.1),
                "efficientnet_b2": (1.1, 1.2), "efficientnet_b3": (1.2, 1.4),
-               "efficientnet_b4": (1.4, 1.8)}
+               "efficientnet_b4": (1.4, 1.8), "efficientnet_b5": (1.6, 2.2),
+               "efficientnet_b6": (1.8, 2.6), "efficientnet_b7": (2.0, 3.1)}
     if name in effnets:
         from nkbx.models.convert import _EFFNET_STAGES
 
@@ -481,6 +482,8 @@ def build_replica(name: str) -> nn.Module:
         return TimmEfficientNetV2(V2_S_SPEC)
     if name == "efficientnetv2_m":
         return TimmEfficientNetV2(V2_M_SPEC)
+    if name == "efficientnetv2_l":
+        return TimmEfficientNetV2(V2_L_SPEC, stem_width=32)
     densenets = {"densenet121": (6, 12, 24, 16), "densenet169": (6, 12, 32, 32),
                  "densenet201": (6, 12, 48, 32)}
     if name in densenets:
@@ -488,12 +491,15 @@ def build_replica(name: str) -> nn.Module:
     convnexts = {"convnext_tiny": ((3, 3, 9, 3), (96, 192, 384, 768)),
                  "convnext_small": ((3, 3, 27, 3), (96, 192, 384, 768)),
                  "convnext_base": ((3, 3, 27, 3), (128, 256, 512, 1024)),
-                 "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536))}
+                 "convnext_large": ((3, 3, 27, 3), (192, 384, 768, 1536)),
+                 "convnext_xlarge": ((3, 3, 27, 3), (256, 512, 1024, 2048))}
     if name in convnexts:
         return TimmConvNeXt(*convnexts[name])
     vits = {"vit_tiny_patch16_224": (192, 12, 16), "vit_small_patch16_224": (384, 12, 16),
             "vit_small_patch32_224": (384, 12, 32), "vit_base_patch16_224": (768, 12, 16),
-            "vit_base_patch32_224": (768, 12, 32), "vit_large_patch16_224": (1024, 24, 16)}
+            "vit_base_patch32_224": (768, 12, 32), "vit_large_patch16_224": (1024, 24, 16),
+            "deit_tiny_patch16_224": (192, 12, 16), "deit_small_patch16_224": (384, 12, 16),
+            "deit_base_patch16_224": (768, 12, 16)}
     if name in vits:
         return TimmViT(*vits[name])
     unicoms = {"unicom ViT-B/32": (768, 12, 32, 512),

@@ -222,6 +222,13 @@ vit_base_patch16_224 = partial(ViT, patch_size=16, dim=768, depth=12, n_heads=12
 vit_base_patch32_224 = partial(ViT, patch_size=32, dim=768, depth=12, n_heads=12)
 vit_large_patch16_224 = partial(ViT, patch_size=16, dim=1024, depth=24, n_heads=16)
 
+# timm's deit_{tiny,small,base}_patch16_224 (non-distilled) are plain
+# VisionTransformers — identical architecture and state-dict layout to the
+# vit_* geometries above, differing only in pretrained weights
+deit_tiny_patch16_224 = vit_tiny_patch16_224
+deit_small_patch16_224 = vit_small_patch16_224
+deit_base_patch16_224 = vit_base_patch16_224
+
 # unicom naming: "unicom ViT-B/32" etc. (reference model.py:77-79)
 unicom_vit_b32 = partial(UnicomViT, patch_size=32, dim=768, depth=12, n_heads=12, embedding_size=512)
 unicom_vit_b16 = partial(UnicomViT, patch_size=16, dim=768, depth=12, n_heads=12, embedding_size=768)

@@ -1285,12 +1285,17 @@ class TestAllRegistryNamesConvert:
         "resnext101_32x8d", "wide_resnet50_2", "seresnet50",
         "seresnext50_32x4d", "mobilenetv3_large_100", "mobilenetv3_small_100",
         "efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
-        "efficientnet_b3", "efficientnet_b4", "efficientnetv2_s",
-        "efficientnetv2_m", "densenet121", "densenet169", "densenet201",
+        "efficientnet_b3", "efficientnet_b4", "efficientnet_b5",
+        "efficientnet_b6", "efficientnet_b7", "efficientnetv2_s",
+        "efficientnetv2_m", "efficientnetv2_l",
+        "densenet121", "densenet169", "densenet201",
         "convnext_tiny", "convnext_small", "convnext_base", "convnext_large",
+        "convnext_xlarge",
         "vit_tiny_patch16_224", "vit_small_patch16_224",
         "vit_small_patch32_224", "vit_base_patch16_224",
         "vit_base_patch32_224", "vit_large_patch16_224",
+        "deit_tiny_patch16_224", "deit_small_patch16_224",
+        "deit_base_patch16_224",
         "unicom ViT-B/32", "unicom ViT-B/16", "unicom ViT-L/14",
         "swin_tiny_patch4_window7_224", "swin_small_patch4_window7_224",
         "swin_base_patch4_window7_224",

@@ -55,7 +55,12 @@ class TestRegistry:
         assert create_backbone("seresnet50").num_features == 2048
         assert create_backbone("efficientnet_b4").num_features == 1792
         assert create_backbone("convnext_large").num_features == 1536
+        assert create_backbone("convnext_xlarge").num_features == 2048
         assert create_backbone("vit_large_patch16_224").num_features == 1024
+        assert create_backbone("deit_base_patch16_224").num_features == 768
+        assert create_backbone("efficientnet_b5").num_features == 2048
+        assert create_backbone("efficientnet_b7").num_features == 2560
+        assert create_backbone("efficientnetv2_l").num_features == 1280
 
     def test_every_registry_name_initializes(self):
         """Abstract init (eval_shape: no FLOPs) of EVERY registry backbone:
