@@ -31,18 +31,113 @@ def load_params_msgpack(path, target):
         return flax.serialization.from_bytes(target, f.read())
 
 
+def resample_pos_embed(stored, n_new):
+    """Bicubically resample a ViT absolute position embedding to a new token
+    count — timm ``resample_abs_pos_embed`` semantics (F.interpolate bicubic,
+    antialias=True, align_corners=False; prefix/cls tokens pass through), so
+    224-grid pretrained weights fine-tune at any square input size exactly as
+    ``timm.create_model(name, img_size=...)`` would produce.
+
+    ``stored`` is (1, n_old, D); returns (1, n_new, D) float32. Both grids
+    must be square (the prefix length — 1 for cls-token ViTs, 0 for unicom —
+    is inferred as the one making BOTH token counts perfect squares).
+    """
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    stored = np.asarray(stored, dtype=np.float32)
+    _, n_old, d = stored.shape
+    for prefix in (1, 0):
+        g_old = math.isqrt(max(n_old - prefix, 0))
+        g_new = math.isqrt(max(n_new - prefix, 0))
+        if g_old ** 2 == n_old - prefix and g_new ** 2 == n_new - prefix:
+            break
+    else:
+        raise ValueError(
+            f"cannot resample pos_embed from {n_old} to {n_new} tokens: no "
+            f"prefix length makes both grids square (non-square input sizes "
+            f"are not supported for pretrained ViT resampling)")
+    grid = torch.from_numpy(stored[:, prefix:].copy()).reshape(1, g_old, g_old, d)
+    grid = grid.permute(0, 3, 1, 2)
+    grid = F.interpolate(grid, size=(g_new, g_new), mode="bicubic",
+                         antialias=True, align_corners=False)
+    grid = grid.permute(0, 2, 3, 1).reshape(1, g_new * g_new, d).numpy()
+    return np.concatenate([stored[:, :prefix], grid], axis=1)
+
+
+def adapt_variables_tree(loaded, target, where=()):
+    """Fit a restored weight tree onto a model's template tree.
+
+    Shape-equal leaves pass through untouched (no device transfer — only
+    ``.shape`` is read from the template, which may hold device arrays behind
+    a slow link). A ``pos_embed`` whose token count differs is resampled via
+    :func:`resample_pos_embed` (the timm img_size-change behavior, reference
+    model.py:75-85's ``timm.create_model``). Any other mismatch raises an
+    informative error — without this, flax's ``from_state_dict``/orbax graft
+    mismatched arrays silently and the failure surfaces later as an opaque
+    broadcast error deep inside the jitted step.
+    """
+    from collections.abc import Mapping
+
+    if isinstance(target, Mapping):
+        if not isinstance(loaded, Mapping):
+            raise ValueError(
+                f"checkpoint structure mismatch at {'/'.join(where) or '<root>'}: "
+                f"model expects a subtree, checkpoint holds a leaf")
+        missing = [k for k in target if k not in loaded]
+        if missing:
+            raise ValueError(
+                f"checkpoint is missing {'/'.join(where + (str(missing[0]),))} "
+                f"(and {len(missing) - 1} more) — was it saved from a "
+                f"different architecture?")
+        extra = [k for k in loaded if k not in target]
+        if extra:
+            raise ValueError(
+                f"checkpoint holds {'/'.join(where + (str(extra[0]),))} "
+                f"(and {len(extra) - 1} more) the model has no slot for — "
+                f"wrong backbone name for these weights?")
+        return {k: adapt_variables_tree(loaded[k], target[k], where + (k,))
+                for k in target}
+    lshape = tuple(getattr(loaded, "shape", ()))
+    tshape = tuple(getattr(target, "shape", ()))
+    if lshape == tshape:
+        return loaded
+    if (where and where[-1] == "pos_embed" and len(lshape) == 3
+            and len(tshape) == 3 and lshape[0] == tshape[0] == 1
+            and lshape[2] == tshape[2]):
+        return resample_pos_embed(loaded, tshape[1])
+    raise ValueError(
+        f"shape mismatch at {'/'.join(where)}: checkpoint holds {lshape}, "
+        f"model expects {tshape}. The checkpoint was made for a different "
+        f"input size or architecture variant (only ViT pos_embed token "
+        f"counts are adapted automatically; e.g. a unicom feature head is "
+        f"bound to its training input size).")
+
+
 def load_pretrained_into(variables, path):
     """Load a converted backbone param tree into a model's variables.
 
     The msgpack stores {'params': {...}, 'batch_stats': {...}} for the BACKBONE
     subtree only; the classifier head keeps its fresh init (matching the
     reference, where timm weights cover the backbone and the head is new).
+    A ViT ``pos_embed`` converted at the 224 grid is bicubically resampled to
+    the model's grid when ``input_size`` differs (timm img_size semantics).
     """
     target = {
         "params": variables["params"]["backbone"],
         "batch_stats": variables.get("batch_stats", {}).get("backbone", {}),
     }
-    loaded = load_params_msgpack(path, target)
+    # restore RAW (no template): the adapter below does the structural
+    # validation, so a pos_embed token-count difference reaches it instead of
+    # being rejected (or silently grafted) by from_state_dict
+    with open(path, "rb") as f:
+        loaded = flax.serialization.msgpack_restore(f.read())
+    if not loaded.get("batch_stats"):
+        loaded = dict(loaded)
+        loaded["batch_stats"] = {}
+    loaded = adapt_variables_tree(loaded, target)
     variables = dict(variables)
     variables["params"] = dict(variables["params"])
     variables["params"]["backbone"] = loaded["params"]
@@ -316,6 +411,16 @@ _VIT_SPECS = {
     "deit_tiny_patch16_224": (192, 12, 3),
     "deit_small_patch16_224": (384, 12, 6),
     "deit_base_patch16_224": (768, 12, 12),
+    # 384 fine-tune variants: same layout, 576-token pos_embed (the nkbx
+    # model builds pos_embed from the actual grid; mismatches resample on
+    # load — resample_pos_embed)
+    "vit_tiny_patch16_384": (192, 12, 3),
+    "vit_small_patch16_384": (384, 12, 6),
+    "vit_small_patch32_384": (384, 12, 6),
+    "vit_base_patch16_384": (768, 12, 12),
+    "vit_base_patch32_384": (768, 12, 12),
+    "vit_large_patch16_384": (1024, 24, 16),
+    "vit_large_patch32_384": (1024, 24, 16),
 }
 
 _UNICOM_SPECS = {
@@ -736,6 +841,11 @@ _SWIN_SPECS = {
     "swin_tiny_patch4_window7_224": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
     "swin_small_patch4_window7_224": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
     "swin_base_patch4_window7_224": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+    "swin_large_patch4_window7_224": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
+    # window-12 384 variants: same key layout, (23^2, heads) bias tables —
+    # the converter is window-agnostic (tables pass through by shape)
+    "swin_base_patch4_window12_384": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+    "swin_large_patch4_window12_384": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
 }
 
 

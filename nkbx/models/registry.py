@@ -55,6 +55,9 @@ _REGISTRY = {
     "swin_tiny_patch4_window7_224": swin.swin_tiny_patch4_window7_224,
     "swin_small_patch4_window7_224": swin.swin_small_patch4_window7_224,
     "swin_base_patch4_window7_224": swin.swin_base_patch4_window7_224,
+    "swin_large_patch4_window7_224": swin.swin_large_patch4_window7_224,
+    "swin_base_patch4_window12_384": swin.swin_base_patch4_window12_384,
+    "swin_large_patch4_window12_384": swin.swin_large_patch4_window12_384,
     "vit_tiny_patch16_224": vit.vit_tiny_patch16_224,
     "vit_small_patch16_224": vit.vit_small_patch16_224,
     "vit_small_patch32_224": vit.vit_small_patch32_224,
@@ -64,6 +67,13 @@ _REGISTRY = {
     "deit_tiny_patch16_224": vit.deit_tiny_patch16_224,
     "deit_small_patch16_224": vit.deit_small_patch16_224,
     "deit_base_patch16_224": vit.deit_base_patch16_224,
+    "vit_tiny_patch16_384": vit.vit_tiny_patch16_384,
+    "vit_small_patch16_384": vit.vit_small_patch16_384,
+    "vit_small_patch32_384": vit.vit_small_patch32_384,
+    "vit_base_patch16_384": vit.vit_base_patch16_384,
+    "vit_base_patch32_384": vit.vit_base_patch32_384,
+    "vit_large_patch16_384": vit.vit_large_patch16_384,
+    "vit_large_patch32_384": vit.vit_large_patch32_384,
 }
 
 _UNICOM = {

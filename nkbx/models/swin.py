@@ -241,3 +241,14 @@ swin_small_patch4_window7_224 = partial(
     SwinTransformer, embed_dim=96, depths=(2, 2, 18, 2), n_heads=(3, 6, 12, 24))
 swin_base_patch4_window7_224 = partial(
     SwinTransformer, embed_dim=128, depths=(2, 2, 18, 2), n_heads=(4, 8, 16, 32))
+swin_large_patch4_window7_224 = partial(
+    SwinTransformer, embed_dim=192, depths=(2, 2, 18, 2), n_heads=(6, 12, 24, 48))
+# the 384 fine-tune variants are genuinely different architectures (window 12
+# — a (23^2, heads) relative-position-bias table); the token grid must divide
+# by 12, i.e. inputs of 48k px (384, 192, ...)
+swin_base_patch4_window12_384 = partial(
+    SwinTransformer, embed_dim=128, depths=(2, 2, 18, 2), n_heads=(4, 8, 16, 32),
+    window=12)
+swin_large_patch4_window12_384 = partial(
+    SwinTransformer, embed_dim=192, depths=(2, 2, 18, 2), n_heads=(6, 12, 24, 48),
+    window=12)

@@ -401,16 +401,17 @@ class _SwinAttention(nn.Module):
 
 
 class _SwinBlock(nn.Module):
-    def __init__(self, dim, heads, shifted, n_windows=64):
+    def __init__(self, dim, heads, shifted, n_windows=64, window=7):
         super().__init__()
         self.norm1 = nn.LayerNorm(dim)
-        self.attn = _SwinAttention(dim, heads)
+        self.attn = _SwinAttention(dim, heads, window)
         self.norm2 = nn.LayerNorm(dim)
         self.mlp = nn.Module()
         self.mlp.fc1 = nn.Linear(dim, 4 * dim)
         self.mlp.fc2 = nn.Linear(4 * dim, dim)
         if shifted:  # recomputed by nkbx, must be SKIPPED by the converter
-            self.register_buffer("attn_mask", torch.zeros(n_windows, 49, 49))
+            self.register_buffer(
+                "attn_mask", torch.zeros(n_windows, window ** 2, window ** 2))
 
 
 class _SwinPatchMerging(nn.Module):
@@ -421,7 +422,7 @@ class _SwinPatchMerging(nn.Module):
 
 
 class TimmSwin(nn.Module):
-    def __init__(self, embed_dim, depths, n_heads):
+    def __init__(self, embed_dim, depths, n_heads, window=7):
         super().__init__()
         self.patch_embed = nn.Module()
         self.patch_embed.proj = nn.Conv2d(3, embed_dim, 4, 4, bias=True)
@@ -434,7 +435,8 @@ class TimmSwin(nn.Module):
                 stage.downsample = _SwinPatchMerging(dim)
                 dim *= 2
             stage.blocks = nn.Sequential(
-                *[_SwinBlock(dim, heads, shifted=bool(j % 2)) for j in range(depth)])
+                *[_SwinBlock(dim, heads, shifted=bool(j % 2), window=window)
+                  for j in range(depth)])
             layers.append(stage)
         self.layers = nn.Sequential(*layers)
         self.norm = nn.LayerNorm(dim)
@@ -499,7 +501,14 @@ def build_replica(name: str) -> nn.Module:
             "vit_small_patch32_224": (384, 12, 32), "vit_base_patch16_224": (768, 12, 16),
             "vit_base_patch32_224": (768, 12, 32), "vit_large_patch16_224": (1024, 24, 16),
             "deit_tiny_patch16_224": (192, 12, 16), "deit_small_patch16_224": (384, 12, 16),
-            "deit_base_patch16_224": (768, 12, 16)}
+            "deit_base_patch16_224": (768, 12, 16),
+            "vit_tiny_patch16_384": (192, 12, 16, 384),
+            "vit_small_patch16_384": (384, 12, 16, 384),
+            "vit_small_patch32_384": (384, 12, 32, 384),
+            "vit_base_patch16_384": (768, 12, 16, 384),
+            "vit_base_patch32_384": (768, 12, 32, 384),
+            "vit_large_patch16_384": (1024, 24, 16, 384),
+            "vit_large_patch32_384": (1024, 24, 32, 384)}
     if name in vits:
         return TimmViT(*vits[name])
     unicoms = {"unicom ViT-B/32": (768, 12, 32, 512),
@@ -509,7 +518,10 @@ def build_replica(name: str) -> nn.Module:
         return UnicomViTReplica(*unicoms[name])
     swins = {"swin_tiny_patch4_window7_224": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
              "swin_small_patch4_window7_224": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
-             "swin_base_patch4_window7_224": (128, (2, 2, 18, 2), (4, 8, 16, 32))}
+             "swin_base_patch4_window7_224": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+             "swin_large_patch4_window7_224": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
+             "swin_base_patch4_window12_384": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12),
+             "swin_large_patch4_window12_384": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12)}
     if name in swins:
         return TimmSwin(*swins[name])
     raise NotImplementedError(name)

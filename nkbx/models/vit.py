@@ -229,6 +229,20 @@ deit_tiny_patch16_224 = vit_tiny_patch16_224
 deit_small_patch16_224 = vit_small_patch16_224
 deit_base_patch16_224 = vit_base_patch16_224
 
+# timm's fixed-384 fine-tune variants: the architecture is input-size-
+# agnostic (pos_embed is built from the actual token grid; converted
+# checkpoints resample bicubically on load — nkbx/models/convert.py
+# resample_pos_embed), so the ctors alias the same geometries. The names
+# exist so their 576-token pretrained checkpoints convert under their own
+# timm identity.
+vit_tiny_patch16_384 = vit_tiny_patch16_224
+vit_small_patch16_384 = vit_small_patch16_224
+vit_small_patch32_384 = vit_small_patch32_224
+vit_base_patch16_384 = vit_base_patch16_224
+vit_base_patch32_384 = vit_base_patch32_224
+vit_large_patch16_384 = vit_large_patch16_224
+vit_large_patch32_384 = partial(ViT, patch_size=32, dim=1024, depth=24, n_heads=16)
+
 # unicom naming: "unicom ViT-B/32" etc. (reference model.py:77-79)
 unicom_vit_b32 = partial(UnicomViT, patch_size=32, dim=768, depth=12, n_heads=12, embedding_size=512)
 unicom_vit_b16 = partial(UnicomViT, patch_size=16, dim=768, depth=12, n_heads=12, embedding_size=768)

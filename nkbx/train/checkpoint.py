@@ -118,6 +118,8 @@ def load_model_variables(path, variables):
     Accepts an orbax checkpoint dir (best/ or last/) or a flax msgpack file;
     restores 'params' (+ 'batch_stats') into the given variables dict.
     """
+    from nkbx.models.convert import adapt_variables_tree
+
     path = Path(path)
     variables = dict(variables)
     if path.is_dir():
@@ -125,19 +127,25 @@ def load_model_variables(path, variables):
             # restore raw (no template) and graft only the weight subtrees;
             # opt_state in the ckpt is ignored for a warm start
             restored = ckptr.restore(path.resolve())
-        variables["params"] = restored["params"]
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
-        return variables
-    # msgpack fallback (nkbx.models.convert)
-    import flax.serialization
+    else:
+        # msgpack fallback (nkbx.models.convert) — restore raw; the adapter
+        # below does the structural/shape validation (and the ViT pos_embed
+        # resample for input-size changes), which from_state_dict would not
+        import flax.serialization
 
-    with open(path, "rb") as f:
-        restored = flax.serialization.from_bytes(
-            {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
-            f.read(),
-        )
-    variables.update(restored)
+        with open(path, "rb") as f:
+            restored = flax.serialization.msgpack_restore(f.read())
+    # fit onto the model's template: shape-equal leaves pass through, a ViT
+    # pos_embed saved at another input size is bicubically resampled (timm
+    # img_size semantics — fine-tune a 224 checkpoint at 384), anything else
+    # mismatched raises informatively instead of failing inside the jit
+    variables["params"] = adapt_variables_tree(
+        restored["params"], variables["params"], ("params",))
+    if restored.get("batch_stats") and variables.get("batch_stats"):
+        variables["batch_stats"] = adapt_variables_tree(
+            restored["batch_stats"], variables["batch_stats"], ("batch_stats",))
+    elif restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
     return variables
 
 

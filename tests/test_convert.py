@@ -1296,9 +1296,14 @@ class TestAllRegistryNamesConvert:
         "vit_base_patch32_224", "vit_large_patch16_224",
         "deit_tiny_patch16_224", "deit_small_patch16_224",
         "deit_base_patch16_224",
+        "vit_tiny_patch16_384", "vit_small_patch16_384",
+        "vit_small_patch32_384", "vit_base_patch16_384",
+        "vit_base_patch32_384", "vit_large_patch16_384",
+        "vit_large_patch32_384",
         "unicom ViT-B/32", "unicom ViT-B/16", "unicom ViT-L/14",
         "swin_tiny_patch4_window7_224", "swin_small_patch4_window7_224",
-        "swin_base_patch4_window7_224",
+        "swin_base_patch4_window7_224", "swin_large_patch4_window7_224",
+        "swin_base_patch4_window12_384", "swin_large_patch4_window12_384",
     ])
     def test_replica_state_dict_converts_exactly(self, name):
         import torch
@@ -1321,9 +1326,10 @@ class TestAllRegistryNamesConvert:
         out = convert_torch_state_dict(name, sd)
 
         module = create_backbone(name, dtype=jnp.float32)
+        size = 384 if "_384" in name else 224
         variables = jax.eval_shape(
             lambda: module.init(jax.random.PRNGKey(0),
-                                jnp.zeros((1, 224, 224, 3)), train=False))
+                                jnp.zeros((1, size, size, 3)), train=False))
 
         def paths(tree):
             return {jax.tree_util.keystr(p): tuple(v.shape)

@@ -67,9 +67,14 @@ class TestRegistry:
         constructor args are coherent and the embedding dim is positive."""
         for name in list_backbones():
             module = create_backbone(name)
-            # ViT/Swin need the real input size (pos-embed grid / 7-wide
-            # window divisibility); CNNs init fine at 32
-            size = 224 if ("vit" in name.lower() or "swin" in name) else 32
+            # ViT/Swin need the real input size (pos-embed grid / window
+            # divisibility); CNNs init fine at 32
+            if "_384" in name:
+                size = 384
+            elif "vit" in name.lower() or "swin" in name:
+                size = 224
+            else:
+                size = 32
             variables = jax.eval_shape(
                 lambda m=module, s=size: m.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3)), train=False))
