@@ -132,6 +132,35 @@ def test_swin_model_fused_matches_xla_path():
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_swin_window12_fused_matches_xla_path():
+    """The window12_384 variants' geometry: N = 144 tokens per window (vs 49
+    for window 7) with a (23^2, heads) bias table; the kernel's row tiling
+    must hold at the larger window. Grid == window here, so the shifted
+    block collapses to an unshifted one (upstream Swin semantics)."""
+    from nkbx.models.swin import SwinTransformer
+
+    mk = lambda fused: SwinTransformer(
+        embed_dim=8, depths=(2,), n_heads=(2,), patch_size=4, window=12,
+        fused_attention=fused)
+    x = jnp.asarray(np.random.RandomState(7).rand(1, 48, 48, 3), jnp.float32)
+    params = mk(False).init(jax.random.PRNGKey(0), x)
+    assert params["params"]["stage0_block0"]["attn"][
+        "relative_position_bias_table"].shape[0] == 23 ** 2
+    np.testing.assert_allclose(mk(True).apply(params, x),
+                               mk(False).apply(params, x),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss(params, fused):
+        return jnp.sum(mk(fused).apply(params, x) ** 2)
+
+    gf = jax.tree_util.tree_leaves_with_path(jax.grad(loss)(params, True))
+    gx = dict(jax.tree_util.tree_leaves_with_path(jax.grad(loss)(params, False)))
+    assert gf and len(gf) == len(gx)
+    for path, leaf in gf:
+        np.testing.assert_allclose(leaf, gx[path], rtol=5e-4, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_export_force_disables_fused_path():
     """jax.export with a symbolic batch cannot trace the Pallas kernel
     (the block picker needs a concrete window count); export_model wraps
