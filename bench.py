@@ -4,22 +4,47 @@ Run on real TPU hardware by the driver; prints ONE JSON line.
 
 Baseline note (BASELINE.md): the torch reference publishes NO numbers. The
 north-star target is >=2x an A100 torch-AMP reference for ResNet-50 @224
-single-task training. We use 2500 img/s/GPU as the A100 torch reference point
-(typical public torch AMP ResNet-50 training throughput on A100-80GB), so
-``vs_baseline`` = measured / 2500 — i.e. vs_baseline >= 2.0 meets the target.
+single-task training. Public torch AMP ResNet-50 @224 training numbers on
+A100 cluster in the 2,200-2,800 img/s band:
+  - NVIDIA DeepLearningExamples ConvNets (ResNet-50 v1.5, AMP, DGX-A100
+    single GPU): ~2,200-2,500 img/s depending on batch/container rev.
+  - MLPerf Training v2.x/3.x ResNet-50 closed-division A100 submissions
+    normalize to roughly ~2,500-2,800 img/s/GPU at scale.
+We keep the round-1 driver-set midpoint 2,500 img/s as the denominator and
+report the bracket here so ``vs_baseline`` is interpretable:
+``vs_baseline`` = measured / 2500; the bracket maps 1.0x to [0.89x, 1.14x].
+
+Capture-window design (round-4, after BENCH_r03 rc=124): the parent process
+is a watchdog — it runs the measurement in a child (``--child``) with a hard
+deadline and ALWAYS prints exactly one JSON line. The child enables JAX's
+persistent compilation cache so a warm capture skips the ~5 min tunnel
+compile; this repo warms the cache in-round. K (scan steps/dispatch)
+defaults to 10 — the cheapest config that preserves the number (2,675 img/s
+r3-measured vs 2,700 at K=20; K=20 via NKBX_BENCH_K=20 once warm).
 """
 
 import json
+import os
+import sys
 import time
 
-import numpy as np
-
 A100_TORCH_REFERENCE_IPS = 2500.0  # img/s, torch AMP ResNet-50 @224 on A100 (see module docstring)
+METRIC = "train images/sec/chip (ResNet-50 @224, bf16, incl. on-device augment)"
+LAST_MEASURED = "last measured: 2700.7 img/s (PERF.md round 3)"
 
 
 def main():
     import jax
+
+    # Persistent compilation cache: a warm run compiles in seconds instead of
+    # ~5 min through the tunnel (same pattern as tests/conftest.py). Must be
+    # set before the first computation.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
+    import numpy as np
 
     import nkbx.transforms as T
     from nkbx.models import get_model
@@ -43,11 +68,9 @@ def main():
     bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.1})
     # steps_per_dispatch: lax.scan K train steps per device dispatch — the
     # per-dispatch host round trip through the tunnel costs ~1 ms/step
-    # otherwise (nkbx.train.build_train_step scan_steps / cfg
-    # steps_per_dispatch; per-step semantics identical, tests/test_engine.py).
-    # K=20 measures 2700.7 img/s vs 2675.1 at K=10 (r3 sweep, PERF.md) —
-    # 99.8% of the 2706 device-bound rate.
-    K = 20
+    # otherwise. K=10 = 2,675 img/s, K=20 = 2,700 (r3 sweep, PERF.md); K=10
+    # is the default so a cold capture compiles the smaller program.
+    K = int(os.environ.get("NKBX_BENCH_K", "10"))
     train_step = build_train_step(model, criterion, bundle,
                                   augment_fn=pipeline.device_apply, scan_steps=K)
     state = TrainState.create(model.params, model.batch_stats, bundle.tx)
@@ -86,10 +109,20 @@ def main():
 
     ips = batch_size / dt
     print(json.dumps({
-        "metric": "train images/sec/chip (ResNet-50 @224, bf16, incl. on-device augment)",
+        "metric": METRIC,
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_TORCH_REFERENCE_IPS, 3),
+    }))
+
+
+def _fallback(error: str) -> None:
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": f"{error}; {LAST_MEASURED}",
     }))
 
 
@@ -97,7 +130,6 @@ def _backend_alive(timeout_s: float) -> bool:
     """Probe the TPU backend in a subprocess (a dead tunnel HANGS device
     initialization indefinitely — a thread can't be cancelled, a process can)."""
     import subprocess
-    import sys
 
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones(4).sum()))"
     try:
@@ -108,26 +140,42 @@ def _backend_alive(timeout_s: float) -> bool:
         return False
 
 
-if __name__ == "__main__":
-    # The axon tunnel has measured multi-hour outages (round 3). Rather than
-    # hanging forever or dying with a stack trace, retry the backend a few
-    # times and emit an explicit machine-readable failure line.
-    import os
+def _watchdog() -> None:
+    """Run the measurement in a child with a hard deadline; guarantee ONE
+    JSON line on stdout well inside the driver's capture window.
 
-    attempts = int(os.environ.get("NKBX_BENCH_PROBE_ATTEMPTS", "3"))
-    probe_s = float(os.environ.get("NKBX_BENCH_PROBE_TIMEOUT_S", "240"))
-    for attempt in range(attempts):
-        if _backend_alive(probe_s):
-            main()
-            break
-        if attempt < attempts - 1:
-            time.sleep(min(120.0, probe_s / 2))
+    Fast path (warm compile cache, healthy tunnel): child finishes in well
+    under a minute and its JSON line is relayed verbatim. Slow/failed path:
+    the child is killed at the deadline, ONE short probe diagnoses
+    tunnel-down vs compile-still-running, and an explicit machine-readable
+    failure line is printed. Worst-case parent wall ~= watchdog + probe
+    (default 210 s + 90 s), safely under the ~6 min window BENCH_r03
+    exceeded.
+    """
+    import subprocess
+
+    deadline_s = float(os.environ.get("NKBX_BENCH_WATCHDOG_S", "210"))
+    probe_s = float(os.environ.get("NKBX_BENCH_PROBE_TIMEOUT_S", "90"))
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), "--child"],
+                           timeout=deadline_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        cause = ("TPU backend unavailable (tunnel down)" if not _backend_alive(probe_s)
+                 else "measurement exceeded watchdog deadline "
+                      f"({deadline_s:.0f}s; cold compile cache?)")
+        _fallback(cause)
+        return
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("{"):
+            print(line)
+            return
+    tail = (r.stderr or "").strip().splitlines()
+    _fallback(f"measurement child exited rc={r.returncode} without a JSON line"
+              + (f" (stderr tail: {tail[-1][:200]})" if tail else ""))
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        main()
     else:
-        print(json.dumps({
-            "metric": "train images/sec/chip (ResNet-50 @224, bf16, incl. on-device augment)",
-            "value": None,
-            "unit": "images/sec/chip",
-            "vs_baseline": None,
-            "error": f"TPU backend unavailable (tunnel down) after {attempts} probes; "
-                     "last measured: 2700.7 img/s (PERF.md round 3)",
-        }))
+        _watchdog()

@@ -26,9 +26,40 @@ def save_params_msgpack(params, path):
         f.write(flax.serialization.to_bytes(params))
 
 
-def load_params_msgpack(path, target):
-    with open(path, "rb") as f:
-        return flax.serialization.from_bytes(target, f.read())
+def _aa_resize_weights(in_size, out_size):
+    """Per-output-row weight matrix of torch/PIL antialiased bicubic resize
+    (the `_upsample_bicubic2d_aa` scheme: cubic kernel a=-0.5, support scaled
+    by max(in/out, 1), weights renormalized per output pixel)."""
+    scale = in_size / out_size
+    kscale = max(scale, 1.0)
+    support = 2.0 * kscale
+    W = np.zeros((out_size, in_size), dtype=np.float64)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        t = np.abs((np.arange(lo, hi) - center + 0.5) / kscale)
+        a = -0.5
+        w = np.where(
+            t <= 1.0, ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+            np.where(t < 2.0, ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a, 0.0))
+        W[i, lo:hi] = w / w.sum()
+    return W
+
+
+def _resample_grid_numpy(grid, g_new):
+    """(1, g, g, D) -> (1, g_new, g_new, D) antialiased-bicubic, numpy-only.
+
+    Matches torch ``F.interpolate(mode="bicubic", antialias=True,
+    align_corners=False)`` to float32 precision (asserted in
+    tests/test_convert.py) so a torch-free environment can still load a
+    converted msgpack at a different input size.
+    """
+    g_old = grid.shape[1]
+    W = _aa_resize_weights(g_old, g_new)
+    out = np.einsum("oi,bihd->bohd", W, grid.astype(np.float64))
+    out = np.einsum("oi,bhid->bhod", W, out)
+    return out.astype(np.float32)
 
 
 def resample_pos_embed(stored, n_new):
@@ -38,14 +69,16 @@ def resample_pos_embed(stored, n_new):
     224-grid pretrained weights fine-tune at any square input size exactly as
     ``timm.create_model(name, img_size=...)`` would produce.
 
+    Uses torch when importable (bit-identical to timm's own path); otherwise a
+    numpy reimplementation of the same antialiased filter (float32-equivalent,
+    parity-tested) — load-time resampling must not require torch in a
+    torch-free training environment.
+
     ``stored`` is (1, n_old, D); returns (1, n_new, D) float32. Both grids
     must be square (the prefix length — 1 for cls-token ViTs, 0 for unicom —
     is inferred as the one making BOTH token counts perfect squares).
     """
     import math
-
-    import torch
-    import torch.nn.functional as F
 
     stored = np.asarray(stored, dtype=np.float32)
     _, n_old, d = stored.shape
@@ -59,11 +92,18 @@ def resample_pos_embed(stored, n_new):
             f"cannot resample pos_embed from {n_old} to {n_new} tokens: no "
             f"prefix length makes both grids square (non-square input sizes "
             f"are not supported for pretrained ViT resampling)")
-    grid = torch.from_numpy(stored[:, prefix:].copy()).reshape(1, g_old, g_old, d)
-    grid = grid.permute(0, 3, 1, 2)
-    grid = F.interpolate(grid, size=(g_new, g_new), mode="bicubic",
-                         antialias=True, align_corners=False)
-    grid = grid.permute(0, 2, 3, 1).reshape(1, g_new * g_new, d).numpy()
+    grid = stored[:, prefix:].reshape(1, g_old, g_old, d)
+    try:
+        import torch
+        import torch.nn.functional as F
+    except ImportError:
+        grid = _resample_grid_numpy(grid, g_new)
+    else:
+        grid = torch.from_numpy(grid.copy()).permute(0, 3, 1, 2)
+        grid = F.interpolate(grid, size=(g_new, g_new), mode="bicubic",
+                             antialias=True, align_corners=False)
+        grid = grid.permute(0, 2, 3, 1).numpy()
+    grid = grid.reshape(1, g_new * g_new, d)
     return np.concatenate([stored[:, :prefix], grid], axis=1)
 
 

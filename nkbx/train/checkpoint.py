@@ -144,8 +144,10 @@ def load_model_variables(path, variables):
     if restored.get("batch_stats") and variables.get("batch_stats"):
         variables["batch_stats"] = adapt_variables_tree(
             restored["batch_stats"], variables["batch_stats"], ("batch_stats",))
-    elif restored.get("batch_stats"):
-        variables["batch_stats"] = restored["batch_stats"]
+    # A checkpoint carrying batch_stats the model has no slot for (e.g. a BN
+    # family loaded into a stats-free one) is dropped, NOT grafted wholesale:
+    # an architecture mismatch already failed loudly at the params adaptation
+    # above, so surviving stats here are genuinely slotless.
     return variables
 
 

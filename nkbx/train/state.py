@@ -21,15 +21,24 @@ class TrainState(struct.PyTreeNode):
     def create(cls, params, batch_stats, tx, ema: bool = False):
         # Copy: the jitted train step DONATES the state, which would otherwise
         # invalidate the caller's (the model's) own param buffers after step 1.
-        params = jax.tree_util.tree_map(jnp.array, params)
-        batch_stats = jax.tree_util.tree_map(jnp.array, batch_stats)
-        return cls(
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-            # the EMA shadow starts at the initial params (torch ModelEmaV2)
-            ema_params=jax.tree_util.tree_map(jnp.array, params) if ema else None,
-            ema_batch_stats=(jax.tree_util.tree_map(jnp.array, batch_stats)
-                             if ema else None),
-        )
+        #
+        # The whole creation (copies + tx.init) runs as ONE jitted program:
+        # eager per-leaf jnp.array copies dispatch ~100 tiny programs, each a
+        # ~0.4 s round trip through the tunneled backend (measured r4) — one
+        # fused program is a single dispatch and persists in the compilation
+        # cache. jnp.copy inside jit yields fresh (non-aliased, non-donated)
+        # output buffers, preserving the eager-copy semantics.
+        def build(params, batch_stats):
+            copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+            p = copy(params)
+            return cls(
+                params=p,
+                batch_stats=copy(batch_stats),
+                opt_state=tx.init(p),
+                step=jnp.zeros((), jnp.int32),
+                # the EMA shadow starts at the initial params (torch ModelEmaV2)
+                ema_params=copy(params) if ema else None,
+                ema_batch_stats=copy(batch_stats) if ema else None,
+            )
+
+        return jax.jit(build)(params, batch_stats)

@@ -161,6 +161,33 @@ def test_swin_window12_fused_matches_xla_path():
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_swin_window12_shifted_fused_matches_xla_path():
+    """Grid (24x24) > window (12): the shifted block really rolls and masks —
+    the 384-geometry path the grid==window case above collapses away. Covers
+    the fused kernel's mask/roll handling at window 12 (real swin_*_384
+    stage-1 geometry is 96/48/24 grids)."""
+    from nkbx.models.swin import SwinTransformer
+
+    mk = lambda fused: SwinTransformer(
+        embed_dim=8, depths=(2,), n_heads=(2,), patch_size=4, window=12,
+        fused_attention=fused)
+    x = jnp.asarray(np.random.RandomState(11).rand(1, 96, 96, 3), jnp.float32)
+    params = mk(False).init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(mk(True).apply(params, x),
+                               mk(False).apply(params, x),
+                               rtol=5e-5, atol=5e-5)
+
+    def loss(params, fused):
+        return jnp.sum(mk(fused).apply(params, x) ** 2)
+
+    gf = jax.tree_util.tree_leaves_with_path(jax.grad(loss)(params, True))
+    gx = dict(jax.tree_util.tree_leaves_with_path(jax.grad(loss)(params, False)))
+    assert gf and len(gf) == len(gx)
+    for path, leaf in gf:
+        np.testing.assert_allclose(leaf, gx[path], rtol=5e-4, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_export_force_disables_fused_path():
     """jax.export with a symbolic batch cannot trace the Pallas kernel
     (the block picker needs a concrete window count); export_model wraps

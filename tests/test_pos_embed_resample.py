@@ -62,6 +62,34 @@ class TestResampleMath:
         with pytest.raises(ValueError, match="square"):
             resample_pos_embed(np.zeros((1, 12, 4), np.float32), 17)
 
+    @pytest.mark.parametrize("g_old,g_new", [(7, 12), (14, 7), (4, 9), (9, 4)])
+    def test_numpy_fallback_matches_torch(self, g_old, g_new):
+        """The torch-free fallback (_resample_grid_numpy) reimplements the
+        same antialiased bicubic filter; must agree to float32 precision."""
+        import torch
+        import torch.nn.functional as F
+
+        from nkbx.models.convert import _resample_grid_numpy
+
+        rng = np.random.default_rng(3)
+        grid = rng.normal(size=(1, g_old, g_old, 8)).astype(np.float32)
+        ref = F.interpolate(
+            torch.from_numpy(grid).permute(0, 3, 1, 2), size=(g_new, g_new),
+            mode="bicubic", antialias=True, align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(_resample_grid_numpy(grid, g_new), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_resample_works_without_torch(self, monkeypatch):
+        """A torch-free environment must still load a converted msgpack at a
+        new input size (ADVICE r3: load-time resample imported torch)."""
+        import sys
+
+        monkeypatch.setitem(sys.modules, "torch", None)  # import torch -> ImportError
+        pos = np.random.default_rng(1).normal(size=(1, 1 + 49, 8)).astype(np.float32)
+        out = resample_pos_embed(pos, 1 + 81)
+        assert out.shape == (1, 82, 8) and np.isfinite(out).all()
+
 
 class TestLoadPretrainedResample:
     def test_224_style_weights_load_at_larger_size(self, tmp_path):
