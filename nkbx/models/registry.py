@@ -103,8 +103,19 @@ def create_backbone(name: str, pretrained: bool = False, drop_rate: float = 0.0,
     elif name in _REGISTRY:
         ctor = _REGISTRY[name]
     else:
+        # The reference accepts ANY timm name (model.py:82-83); nkbx's
+        # contract is an explicit supported set with a loud error + nearest
+        # name (MIGRATING.md "Supported backbones"). New families are Flax
+        # ports — added on demand.
+        import difflib
+
+        close = difflib.get_close_matches(name, list_backbones(), n=3, cutoff=0.4)
+        hint = f" Did you mean {' / '.join(repr(c) for c in close)}?" if close else ""
         raise NotImplementedError(
-            f"Unknown backbone {name!r}. Available: {list_backbones()}"
+            f"Unknown backbone {name!r}.{hint} nkbx supports an explicit "
+            f"{len(list_backbones())}-name set (the reference accepts any timm "
+            f"name); see MIGRATING.md 'Supported backbones' or "
+            f"nkbx.models.list_backbones(). Full list: {list_backbones()}"
         )
     module = ctor(drop_rate=drop_rate, dtype=dtype)
     if pretrained and not pretrained_params_path(name):

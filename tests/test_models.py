@@ -33,6 +33,14 @@ class TestRegistry:
         with pytest.raises(NotImplementedError):
             create_backbone("unicom ViT-Z/1")
 
+    def test_unknown_name_suggests_nearest(self):
+        """The supported-set contract (MIGRATING.md): a near-miss timm name
+        errors loudly WITH the nearest supported name suggested."""
+        with pytest.raises(NotImplementedError, match="resnet50"):
+            create_backbone("resnet_50")  # typo'd separator
+        with pytest.raises(NotImplementedError, match="Did you mean"):
+            create_backbone("convnext_tinny")
+
     def test_list_backbones(self):
         names = list_backbones()
         assert "resnet50" in names and "unicom ViT-B/32" in names
