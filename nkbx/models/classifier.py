@@ -163,6 +163,9 @@ def get_model(
         pretrained=cfg_model.get("pretrained", False),
         drop_rate=cfg_model.get("backbone_dropout", 0.0) or 0.0,
         dtype=dtype,
+        # family-specific module fields (ghost_bn, fused_bottleneck,
+        # remat_stages, fused_attention, ... — see create_backbone)
+        **(cfg_model.get("backbone_opts") or {}),
     )
     task = cfg_model.get("task", "single")
     common = dict(

@@ -62,6 +62,17 @@ class TorchBatchNorm(nn.Module):
 
     ``mask`` (broadcastable to x) weights padded batch rows out of the
     statistics; ``n`` is then the number of unmasked elements.
+
+    ``ghost_bn=g`` (opt-in, SEMANTICS-CHANGING — not the reference's exact
+    algorithm) computes batch statistics per ghost batch of ``g`` rows
+    instead of over the full batch ("ghost batch norm", Hoffer et al. 2017):
+    each group of ``g`` consecutive batch rows is normalized by its OWN
+    mean/var over (g, spatial) elements; running stats accumulate the MEAN of
+    the per-group stats (mean of unbiased group vars, n = g*H*W). This is the
+    tiling contract the fused Pallas bottleneck-chain kernel needs (stats
+    local to a batch tile — nkbx/ops/bottleneck.py); eval mode is unchanged
+    (running stats). Requires ``g`` to divide the batch and no mask
+    (drop_last=True).
     """
 
     use_running_average: bool = False
@@ -69,6 +80,7 @@ class TorchBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = None
     param_dtype: Dtype = jnp.float32
+    ghost_bn: int = 0  # 0 = exact full-batch stats (reference semantics)
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -82,6 +94,30 @@ class TorchBatchNorm(nn.Module):
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+        elif self.ghost_bn and not self.is_initializing():
+            if mask is not None:
+                raise ValueError(
+                    "ghost_bn is incompatible with masked (padded) batches — "
+                    "use drop_last=True with the max-throughput recipe")
+            b = x.shape[0]
+            g = self.ghost_bn
+            if b % g:
+                raise ValueError(f"ghost_bn={g} must divide the batch ({b})")
+            xg = x.astype(jnp.float32).reshape((b // g, g) + x.shape[1:])
+            axes = tuple(range(1, xg.ndim - 1))  # (g, spatial) per group
+            gmean = jnp.mean(xg, axes)                      # (B/g, C)
+            gmean2 = jnp.mean(xg * xg, axes)
+            gvar = jnp.maximum(gmean2 - gmean * gmean, 0.0)
+            n = float(g * np.prod(x.shape[1:-1]))
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * jnp.mean(gmean, 0)
+            ra_var.value = m * ra_var.value + (1.0 - m) * jnp.mean(
+                gvar * (n / max(n - 1.0, 1.0)), 0)
+            inv = jax.lax.rsqrt(gvar + self.epsilon) * scale   # (B/g, C)
+            bshape = (b // g,) + (1,) * (xg.ndim - 2) + (c,)
+            yg = (xg - gmean.reshape(bshape)) * inv.reshape(bshape) + bias
+            dtype = self.dtype or x.dtype
+            return yg.reshape(x.shape).astype(dtype)
         else:
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
@@ -123,6 +159,7 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
     bn_momentum: float = 0.9
     padding: Any = None  # None -> torch-style symmetric k//2
+    ghost_bn: int = 0  # ghost-batch stats group size (see TorchBatchNorm)
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -146,6 +183,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=self.bn_momentum,
             dtype=self.dtype,
+            ghost_bn=self.ghost_bn,
             name="BatchNorm_0",  # keep the flax-BatchNorm tree path (converters)
         )(x, mask=mask if train else None)
         if self.act is not None:

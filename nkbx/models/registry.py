@@ -88,11 +88,16 @@ def list_backbones():
 
 
 def create_backbone(name: str, pretrained: bool = False, drop_rate: float = 0.0,
-                    dtype: Any = jnp.bfloat16):
+                    dtype: Any = jnp.bfloat16, **opts):
     """Build a backbone module by timm/unicom-style name.
 
     Returns the Flax module; ``module.num_features`` is the embedding size
     (the reference's ``emb_size``, model.py:79,83).
+
+    ``**opts`` forwards family-specific module fields (config key
+    ``model.backbone_opts``), e.g. ResNet ``ghost_bn``/``fused_bottleneck``/
+    ``remat_stages``/``input_norm``, Swin/ViT ``fused_attention``/
+    ``fused_mlp``. Unknown options fail loudly (flax dataclass TypeError).
     """
     if name.lower().startswith("unicom"):
         parts = name.split(maxsplit=1)
@@ -117,7 +122,7 @@ def create_backbone(name: str, pretrained: bool = False, drop_rate: float = 0.0,
             f"name); see MIGRATING.md 'Supported backbones' or "
             f"nkbx.models.list_backbones(). Full list: {list_backbones()}"
         )
-    module = ctor(drop_rate=drop_rate, dtype=dtype)
+    module = ctor(drop_rate=drop_rate, dtype=dtype, **opts)
     if pretrained and not pretrained_params_path(name):
         if not _fetch_and_convert(name):
             warnings.warn(

@@ -111,6 +111,7 @@ class S2DStemConvBN(nn.Module):
     dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     input_norm: Any = None
+    ghost_bn: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -119,7 +120,8 @@ class S2DStemConvBN(nn.Module):
         x = _MaskedS2DConv(self.features, dtype=self.dtype,
                            input_norm=self.input_norm, name="Conv_0")(x)
         x = TorchBatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                           dtype=self.dtype, name="BatchNorm_0")(
+                           dtype=self.dtype, ghost_bn=self.ghost_bn,
+                           name="BatchNorm_0")(
             x, mask=mask if train else None)
         return nn.relu(x)
 
@@ -128,15 +130,17 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     dtype: Any = jnp.float32
+    ghost_bn: int = 0
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         residual = x
-        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype)(x, train, mask)
-        y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype)(y, train, mask)
+        g = self.ghost_bn
+        y = ConvBN(self.features, 3, self.strides, dtype=self.dtype, ghost_bn=g)(x, train, mask)
+        y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype, ghost_bn=g)(y, train, mask)
         if residual.shape != y.shape:
-            residual = ConvBN(self.features, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train, mask)
+            residual = ConvBN(self.features, 1, self.strides, act=None, dtype=self.dtype, ghost_bn=g, name="downsample")(x, train, mask)
         return nn.relu(y + residual)
 
 
@@ -169,6 +173,14 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     se_ratio: float = 0.0
     dtype: Any = jnp.float32
+    ghost_bn: int = 0
+    # Fused Pallas chain (nkbx/ops/bottleneck.py): the whole stride-1
+    # identity-shortcut block — conv1x1+BN+relu -> conv3x3+BN+relu ->
+    # conv1x1+BN -> +residual -> relu — as ONE VMEM-resident kernel per pass,
+    # batch-tiled with per-tile (ghost) BN stats. Requires ghost_bn == the
+    # kernel's batch tile; falls back to the XLA path for strided/projection
+    # blocks and in eval mode.
+    fused: bool = False
     expansion = 4
 
     @nn.compact
@@ -176,13 +188,22 @@ class Bottleneck(nn.Module):
         residual = x
         out = self.features * self.expansion
         width = int(self.features * (self.base_width / 64.0)) * self.cardinality
-        y = ConvBN(width, 1, 1, dtype=self.dtype)(x, train, mask)
-        y = ConvBN(width, 3, self.strides, groups=self.cardinality, dtype=self.dtype)(y, train, mask)
-        y = ConvBN(out, 1, 1, act=None, dtype=self.dtype)(y, train, mask)
+        g = self.ghost_bn
+        if (self.fused and train and self.strides == 1 and x.shape[-1] == out
+                and self.cardinality == 1 and self.se_ratio == 0.0
+                and g and x.shape[0] % g == 0):
+            from nkbx.ops.bottleneck import fused_bottleneck_chain
+
+            if mask is not None:
+                raise ValueError("fused bottleneck requires drop_last=True (no mask)")
+            return fused_bottleneck_chain(self, x, width, out, g)
+        y = ConvBN(width, 1, 1, dtype=self.dtype, ghost_bn=g)(x, train, mask)
+        y = ConvBN(width, 3, self.strides, groups=self.cardinality, dtype=self.dtype, ghost_bn=g)(y, train, mask)
+        y = ConvBN(out, 1, 1, act=None, dtype=self.dtype, ghost_bn=g)(y, train, mask)
         if self.se_ratio > 0:
             y = SEModule(int(out * self.se_ratio), dtype=self.dtype, name="se")(y)
         if residual.shape != y.shape:
-            residual = ConvBN(out, 1, self.strides, act=None, dtype=self.dtype, name="downsample")(x, train, mask)
+            residual = ConvBN(out, 1, self.strides, act=None, dtype=self.dtype, ghost_bn=g, name="downsample")(x, train, mask)
         return nn.relu(y + residual)
 
 
@@ -209,6 +230,14 @@ class ResNet(nn.Module):
     # Stage indices whose blocks run under jax.checkpoint (nn.remat): trades
     # recompute FLOPs for saved-activation HBM traffic (r3 remat sweep).
     remat_stages: Sequence[int] = ()
+    # --- max-throughput recipe opt-ins (SEMANTICS-CHANGING, PERF.md) ---
+    # ghost_bn=g: BN batch stats per ghost batch of g rows instead of the
+    # full batch (TorchBatchNorm.ghost_bn). NOT the reference's algorithm.
+    ghost_bn: int = 0
+    # fused_bottleneck: run stride-1 identity Bottleneck blocks as ONE Pallas
+    # VMEM-resident chain kernel per pass (nkbx/ops/bottleneck.py). Requires
+    # ghost_bn (per-batch-tile stats are the tiling contract).
+    fused_bottleneck: bool = False
 
     @property
     def num_features(self):
@@ -216,12 +245,13 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
+        g = self.ghost_bn
         if self.stem == "tiered":
             # timm tiered stem: three 3x3 convs, (3*w//4, w, w*2) channels
             w = self.stem_width
-            x = ConvBN(3 * w // 4, 3, 2, dtype=self.dtype)(x, train, mask)
-            x = ConvBN(w, 3, 1, dtype=self.dtype)(x, train, mask)
-            x = ConvBN(2 * w, 3, 1, dtype=self.dtype)(x, train, mask)
+            x = ConvBN(3 * w // 4, 3, 2, dtype=self.dtype, ghost_bn=g)(x, train, mask)
+            x = ConvBN(w, 3, 1, dtype=self.dtype, ghost_bn=g)(x, train, mask)
+            x = ConvBN(2 * w, 3, 1, dtype=self.dtype, ghost_bn=g)(x, train, mask)
         elif self.s2d_stem:
             if x.shape[1] % 2 or x.shape[2] % 2:
                 raise ValueError(
@@ -233,17 +263,22 @@ class ResNet(nn.Module):
             # reproduces conv7x7/s2 pad 3 exactly (see s2d_conv1_weight); dead
             # taps masked so training stays 7x7-equivalent
             x = S2DStemConvBN(self.stem_width, dtype=self.dtype,
-                              input_norm=self.input_norm,
+                              input_norm=self.input_norm, ghost_bn=g,
                               name="ConvBN_0")(x, train, mask)
         else:
             if self.input_norm is not None:
                 raise ValueError("input_norm folding requires the s2d stem")
-            x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype)(x, train, mask)
+            x = ConvBN(self.stem_width, 7, 2, dtype=self.dtype, ghost_bn=g)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        block_kwargs = {}
+        if self.fused_bottleneck and not self.ghost_bn:
+            raise ValueError("fused_bottleneck requires ghost_bn (per-tile "
+                             "BN stats are the kernel's tiling contract)")
+        block_kwargs = {"ghost_bn": self.ghost_bn}
         if self.block_cls is Bottleneck:
             block_kwargs = dict(cardinality=self.cardinality,
-                                base_width=self.base_width, se_ratio=self.se_ratio)
+                                base_width=self.base_width, se_ratio=self.se_ratio,
+                                ghost_bn=self.ghost_bn,
+                                fused=self.fused_bottleneck)
         # blocks are explicitly named with the UN-wrapped class's auto-name
         # pattern, so param paths (and checkpoints) are identical across
         # remat_stages settings; train (arg 2) is static under remat
