@@ -298,6 +298,55 @@ def mlp_tail(x, shortcut, hidden, *, ln_name, fc_names, eps, dtype, flag,
     return shortcut + y
 
 
+class _ConvKernelParam(nn.Module):
+    """Declare an ``nn.Conv``-identical kernel param without running it
+    (``<name>/kernel``, HWIO, lecun_normal — the flax Conv defaults)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNParamsStats(nn.Module):
+    """Declare TorchBatchNorm-identical scale/bias params and mean/var
+    running-stat variables without running it (same tree paths)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class ConvBNParams(nn.Module):
+    """Declare a ConvBN-identical param/stat subtree without running it —
+    the fused bottleneck-chain kernel (nkbx/ops/bottleneck.py) consumes the
+    leaves directly while keeping the exact ``<name>/Conv_0/kernel`` +
+    ``<name>/BatchNorm_0/{scale,bias}`` (+ batch_stats mean/var) tree paths,
+    so checkpoints and converters are flag-agnostic."""
+
+    features: int
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel = _ConvKernelParam(
+            (k, k, in_features, self.features), name="Conv_0")()
+        scale, bias, ra_mean, ra_var = _BNParamsStats(
+            name="BatchNorm_0")(self.features)
+        return kernel, scale, bias, ra_mean, ra_var
+
+
 class DenseParams(nn.Module):
     """Declare an ``nn.Dense``-identical param pair without running it.
 

@@ -191,12 +191,19 @@ class Bottleneck(nn.Module):
         g = self.ghost_bn
         if (self.fused and train and self.strides == 1 and x.shape[-1] == out
                 and self.cardinality == 1 and self.se_ratio == 0.0
-                and g and x.shape[0] % g == 0):
-            from nkbx.ops.bottleneck import fused_bottleneck_chain
+                and g and x.shape[0] % g == 0
+                and not self.is_initializing()):
+            from nkbx.ops.bottleneck import chain_tile, fused_bottleneck_chain
 
             if mask is not None:
                 raise ValueError("fused bottleneck requires drop_last=True (no mask)")
-            return fused_bottleneck_chain(self, x, width, out, g)
+            th = chain_tile(x.shape[0], x.shape[1], x.shape[2], out, width,
+                            g, jnp.dtype(self.dtype).itemsize)
+            if th is not None:
+                return fused_bottleneck_chain(self, x, width, out, g, th)
+            # geometry exceeds VMEM (e.g. ResNet-50 stage 4's 3x3x512x512
+            # weights + f32 grad accumulators): fall back to the XLA
+            # ghost-BN path below (batch-group stats, no row banding)
         y = ConvBN(width, 1, 1, dtype=self.dtype, ghost_bn=g)(x, train, mask)
         y = ConvBN(width, 3, self.strides, groups=self.cardinality, dtype=self.dtype, ghost_bn=g)(y, train, mask)
         y = ConvBN(out, 1, 1, act=None, dtype=self.dtype, ghost_bn=g)(y, train, mask)

@@ -50,8 +50,12 @@ def train(
     # step; validation, best-checkpoint selection and the portable msgpacks
     # then use the EMA weights (the torch-timm ModelEmaV2 recipe)
     ema_decay = float(getattr(cfg, "model_ema_decay", 0.0) or 0.0)
+    # bf16_master_weights = True (max-throughput recipe, SEMANTICS-CHANGING):
+    # bf16 master params + optimizer moments — see TrainState.create
+    master_dtype = (jnp.bfloat16
+                    if getattr(cfg, "bf16_master_weights", False) else None)
     state = TrainState.create(model.params, model.batch_stats, bundle.tx,
-                              ema=ema_decay > 0)
+                              ema=ema_decay > 0, master_dtype=master_dtype)
 
     start_epoch, best_val_acc = 0, 0.0
     if resume_from is not None:

@@ -27,6 +27,9 @@ import pytest
 
 import nkbx.transforms as T
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 def _apply(pipeline_ops, batch_u8, seed=0):
     pipe = T.Compose(list(pipeline_ops))

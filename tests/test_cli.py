@@ -11,6 +11,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -39,6 +41,7 @@ def workspace(tmp_path_factory, image_folder_dataset):
 
     (ws / "train_config.py").write_text(f"""
 import nkbx.transforms as T
+
 enable_mixed_precision = False
 task = "single"
 n_epochs = 1

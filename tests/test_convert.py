@@ -15,6 +15,9 @@ import pytest
 from nkbx.models import get_model
 from nkbx.models.convert import convert_torch_state_dict, load_pretrained_into, save_params_msgpack
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 def _synthetic_resnet18_sd(rng):
     """timm resnet18 state_dict layout (keys + OIHW shapes), random values."""

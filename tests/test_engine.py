@@ -3,8 +3,12 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nkbx.train.engine import EpochCollector, _iter_metrics
+
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
 
 
 def _single_batch(bsz=4, c=3, seed=0, n_valid=None):

@@ -12,6 +12,10 @@ from pallas_fused_matmul_bn import (
     fused_matmul_bn_relu_stats,
     reference_matmul_bn_relu_stats,
 )
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
 
 
 class TestFusedMatmulBN:

@@ -6,6 +6,9 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

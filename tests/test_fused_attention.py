@@ -17,6 +17,9 @@ from nkbx.ops.attention import (
     reference_attention,
 )
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 def _inputs(g, n, heads, d, m, seed=0, bias_heads=None):
     rng = np.random.RandomState(seed)

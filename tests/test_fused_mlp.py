@@ -19,6 +19,9 @@ from nkbx.ops.mlp import (
     reference_mlp,
 )
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 def _inputs(r, c, f, seed=0, dtype=jnp.float32):
     rng = np.random.RandomState(seed)

@@ -155,3 +155,41 @@ class TestTrajectory:
         # same place at the same pace (both solve it; bounded average drift)
         assert exact[-1] < 0.05 and ghost[-1] < 0.05, (exact, ghost)
         assert np.abs(exact - ghost).mean() < 0.2, (exact, ghost)
+
+
+def test_bf16_master_trajectory_tracks_exact():
+    """bf16 master weights (max-throughput tier knob, measured NEGATIVE on
+    chip — PERF.md r4): still must train correctly. Same small problem as
+    the ghost trajectory test; fp32 vs bf16 masters both converge with
+    bounded drift."""
+    from nkbx.models import get_model
+    from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+    rng = np.random.default_rng(0)
+    n, bsz, steps = 32, 8, 8
+    labels = rng.integers(0, 2, n).astype(np.int64)
+    x = rng.normal(size=(n, 16, 16, 3)).astype(np.float32) * 0.4
+    x[labels == 1, :, :, 0] += 1.2
+
+    def run(master_dtype):
+        model = get_model({"task": "single", "model": "resnet_tiny_test",
+                           "pretrained": False}, classes=["a", "b"],
+                          input_size=(16, 16), seed=0, dtype=jnp.float32)
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.05})
+        step = build_train_step(model, criterion, bundle)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx,
+                                  master_dtype=master_dtype)
+        key, one = jax.random.PRNGKey(0), jnp.asarray(1.0)
+        losses = []
+        for i in range(steps):
+            s = slice((i % 4) * bsz, (i % 4 + 1) * bsz)
+            state, metrics = step(state, jnp.asarray(x[s]),
+                                  jnp.asarray(labels[s]),
+                                  jnp.ones(bsz, bool), key, one, one)
+            losses.append(float(metrics["loss"]))
+        return np.asarray(losses)
+
+    exact, bf16m = run(None), run(jnp.bfloat16)
+    assert exact[-1] < 0.05 and bf16m[-1] < 0.05, (exact, bf16m)
+    assert np.abs(exact - bf16m).mean() < 0.2, (exact, bf16m)

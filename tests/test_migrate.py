@@ -13,12 +13,15 @@ import pytest
 
 from nkbx.utils.migrate import migrate_text
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
 REPO = Path(__file__).resolve().parent.parent
 
 REFERENCE_STYLE = '''\
 import albumentations as A
 import cv2
 from albumentations.pytorch import ToTensorV2
+
 
 device = "cuda:0"
 enable_mixed_presicion = True

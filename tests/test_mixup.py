@@ -7,6 +7,9 @@ import pytest
 
 from nkbx.train.mixup import _rand_box, build_mixup
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 class TestMixupMath:
     def test_mixup_blend(self):

@@ -18,6 +18,9 @@ from nkbx.models import (
     param_labels,
 )
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 class TestRegistry:
     def test_reference_model_names_resolve(self):

@@ -17,6 +17,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
 REPO = Path(__file__).resolve().parent.parent
 
 WORKER = """
@@ -36,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nkbx.metrics import compute_metrics
 from nkbx.train.engine import EpochCollector
+
 
 assert jax.process_count() == 2 and jax.device_count() == 4
 mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))

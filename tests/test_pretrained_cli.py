@@ -18,6 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 REPO = Path(__file__).resolve().parent.parent
 
 

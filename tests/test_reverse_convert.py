@@ -20,6 +20,9 @@ from nkbx.models.reverse import (reverse_reference_checkpoint,  # noqa: E402
                                  reverse_torch_state_dict)
 from nkbx.models.torch_ref import build_replica  # noqa: E402
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 # one representative per family + the special stems/branches: tiered stem
 # (resnet14t), SE + grouped convs (seresnext), s2d 7x7 stem (resnet18),
 # fused-qkv ViT, unicom feature head (bias-free patch conv -> synthesized

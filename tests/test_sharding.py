@@ -10,6 +10,9 @@ from nkbx.models import get_model
 from nkbx.parallel import batch_sharding, make_mesh, replicated_sharding, shard_batch
 from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 
 @pytest.fixture(scope="module")
 def setup():

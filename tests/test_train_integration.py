@@ -12,6 +12,9 @@ import pytest
 import nkbx.transforms as T
 from nkbx.utils.config import Config
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 PIPE = T.Compose([
     T.LongestMaxSize(32),
     T.PadIfNeeded(32, 32),

@@ -17,6 +17,9 @@ import pytest
 
 from test_convert import _synthetic_swin_sd
 
+pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
+
+
 STEPS, BS, LR = 5, 4, 0.05
 N_CLASSES = 3
 
