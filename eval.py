@@ -36,6 +36,14 @@ def main():
     from nkbx.utils import convert_dict_types_recursive, load_config
 
     cfg = load_config(args.config)
+
+    # persistent XLA compilation cache: default ON (config key
+    # compilation_cache = False disables, a str overrides the directory)
+    cc = cfg.get("compilation_cache", True)
+    if cc is not False:
+        from nkbx.core import enable_compilation_cache
+
+        enable_compilation_cache(cc if isinstance(cc, str) else None)
     assert "classes" in cfg.val_data or cfg.val_data.get("type", "ImageFolder") == "ImageFolder"
     val_loader = get_dataset(cfg.val_data, cfg.val_pipeline)
     classes = val_loader.dataset.classes

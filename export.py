@@ -92,6 +92,12 @@ def main(args):
 
     cfg = load_config(args.config)
 
+    cc = cfg.get("compilation_cache", True)
+    if cc is not False:
+        from nkbx.core import enable_compilation_cache
+
+        enable_compilation_cache(cc if isinstance(cc, str) else None)
+
     # classes come from the train dataset, as in the reference (export.py:106-109)
     data_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
     classes = data_loader.dataset.classes

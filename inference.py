@@ -78,6 +78,14 @@ def main():
     from nkbx.utils import load_classes, load_config
 
     cfg = load_config(args.config)
+
+    # persistent XLA compilation cache: default ON (config key
+    # compilation_cache = False disables, a str overrides the directory)
+    cc = cfg.get("compilation_cache", True)
+    if cc is not False:
+        from nkbx.core import enable_compilation_cache
+
+        enable_compilation_cache(cc if isinstance(cc, str) else None)
     loader = get_inference_dataset(cfg.inference_data, cfg.inference_pipeline)
     classes = load_classes(cfg.classes)
     dtype = jnp.bfloat16 if cfg.enable_mixed_precision else jnp.float32

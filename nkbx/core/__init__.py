@@ -1,6 +1,7 @@
 from nkbx.core.profiling import aggregate_perfetto, format_breakdown
 from nkbx.core.runtime import (
     initialize,
+    enable_compilation_cache,
     precision_policy,
     enable_nan_debugging,
     Throughput,
@@ -9,6 +10,7 @@ from nkbx.core.runtime import (
 
 __all__ = [
     "initialize",
+    "enable_compilation_cache",
     "precision_policy",
     "enable_nan_debugging",
     "Throughput",

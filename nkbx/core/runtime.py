@@ -23,6 +23,22 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache — warm process restarts skip the
+    multi-minute TPU compile (a remote/tunneled-TPU compile of a real train
+    step costs 2-6 min; a cache hit costs seconds). Every CLI entry point
+    calls this by default (config key ``compilation_cache``: ``False``
+    disables, a string overrides the directory). A
+    ``JAX_COMPILATION_CACHE_DIR`` environment variable wins — jax already
+    consumed it as the config default at import."""
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    path = path or os.path.expanduser("~/.cache/jax")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def initialize(distributed: bool = False, compilation_cache: str | None = None,
                debug_nans: bool = False, coordinator_address: str | None = None,
                num_processes: int | None = None, process_id: int | None = None):

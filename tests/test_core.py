@@ -36,3 +36,25 @@ class TestInitialize:
         assert info["process_count"] == 1
         assert info["devices"] >= 1
         assert (tmp_path / "cache").is_dir()
+
+
+class TestCompilationCache:
+    def test_default_dir_and_env_override(self, tmp_path, monkeypatch):
+        import jax
+
+        from nkbx.core import enable_compilation_cache
+
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            # env var present -> no-op (jax already consumed it)
+            monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "envdir"))
+            enable_compilation_cache(str(tmp_path / "ignored"))
+            assert jax.config.jax_compilation_cache_dir == prev
+            # env absent -> explicit path wins and is created
+            monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+            target = tmp_path / "cc"
+            enable_compilation_cache(str(target))
+            assert jax.config.jax_compilation_cache_dir == str(target)
+            assert target.is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)

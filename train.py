@@ -26,6 +26,14 @@ def main():
 
     cfg = load_config(args.config)
 
+    # persistent XLA compilation cache: default ON (config key
+    # compilation_cache = False disables, a str overrides the directory)
+    cc = cfg.get("compilation_cache", True)
+    if cc is not False:
+        from nkbx.core import enable_compilation_cache
+
+        enable_compilation_cache(cc if isinstance(cc, str) else None)
+
     if cfg.get("distributed", False):
         # multi-host TPU slice: one process per host; the loaders shard the
         # global permutation by process_index and the mesh spans all hosts
