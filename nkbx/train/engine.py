@@ -678,7 +678,17 @@ def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
     def _last_loss(metrics):
         return float(np.ravel(np.asarray(metrics["loss"]))[-1])
 
+    # preemption (SIGTERM) breaks the epoch at a step boundary — single
+    # process only: a per-host mid-epoch break would desynchronize the
+    # epoch-end metric collectives (nkbx/train/preempt.py)
+    from nkbx.train import preempt as _preempt
+
+    preemptible = _jax.process_count() == 1
+    preempted = False
     for batch in it:
+        if preemptible and _preempt.requested():
+            preempted = True
+            break
         buf.append(batch)
         if len(buf) < spd:
             continue
@@ -701,7 +711,7 @@ def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
                 ))
             else:
                 it.set_postfix_str(f"Loss: {_last_loss(older):.4f}")
-    if buf:
+    if buf and not preempted:
         dispatch(buf)
     if prev_metrics is not None:
         # Sync on the final loss (depends on the whole step chain) so the
@@ -711,6 +721,7 @@ def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
         _last_loss(prev_metrics)
     results = logger.get_epoch_results()
     results["throughput"] = tp.snapshot()
+    results["preempted"] = preempted
     return state, results
 
 

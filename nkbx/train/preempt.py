@@ -1,0 +1,49 @@
+"""Preemption-safe checkpointing (SURVEY.md §5.3).
+
+Preemptible/spot TPU VMs get a SIGTERM with a short grace window. The
+reference's only resilience is checkpoint-every-epoch (train.py:66-73) —
+an epoch can be hours, so a preemption loses it. nkbx installs a SIGTERM
+handler (train.py CLI, config key ``preempt_checkpoint`` — default on) that
+sets a flag; the engine's batch loop breaks at the next step boundary, the
+trainer saves the FULL train state to ``weights/last`` marked so
+``--resume`` restarts the interrupted epoch from its beginning (the
+optimizer/BN state having advanced partway into the epoch is the standard
+replay semantics of epoch-granular resume), and the process exits cleanly.
+
+Multi-host: hosts receive signals independently, and a mid-epoch break at
+different steps would desynchronize the epoch-end collectives — so on
+``jax.process_count() > 1`` the flag is honored at the next EPOCH boundary
+instead (documented; coordinate externally for sub-epoch grace windows).
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+
+_requested = False
+
+
+def requested() -> bool:
+    """True once a termination signal has been received."""
+    return _requested
+
+
+def reset() -> None:
+    global _requested
+    _requested = False
+
+
+def _handler(signum, frame):
+    global _requested
+    _requested = True
+
+
+def install(signals=(signal.SIGTERM,)) -> bool:
+    """Install the flag-setting handler; returns False (no-op) off the main
+    thread — signal handlers are a main-thread-only facility."""
+    if threading.current_thread() is not threading.main_thread():
+        return False
+    for s in signals:
+        signal.signal(s, _handler)
+    return True

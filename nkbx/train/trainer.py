@@ -120,6 +120,22 @@ def train(
             lr_factor, freeze_scale,
             epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh, cfg=cfg,
         )
+        if train_results.get("preempted"):
+            # SIGTERM mid-epoch (single process, nkbx/train/preempt.py):
+            # save the FULL train state marked so --resume restarts THIS
+            # epoch from its beginning, then stop cleanly inside the grace
+            # window (skip val/metrics — the epoch is partial)
+            save_checkpoint(model_path / "last", state, epoch - 1, best_val_acc)
+            if jax.process_index() == 0:
+                save_model_msgpack(model_path / "last.msgpack", {
+                    "params": state.ema_params if ema_decay > 0 else state.params,
+                    "batch_stats": (state.ema_batch_stats if ema_decay > 0
+                                    else state.batch_stats),
+                })
+            print(f"[nkbx] preemption signal received during epoch {epoch}: "
+                  f"full train state saved; resume with "
+                  f"--resume {model_path / 'last'}")
+            break
         eval_state = (state.replace(params=state.ema_params,
                                     batch_stats=state.ema_batch_stats)
                       if ema_decay > 0 else state)
@@ -164,6 +180,16 @@ def train(
         save_checkpoint(model_path / "last", state, epoch, best_val_acc)
         if is_proc0:
             save_model_msgpack(model_path / "last.msgpack", variables)
+
+        from nkbx.train import preempt
+
+        if preempt.requested():
+            # multi-host runs honor the signal at the epoch boundary (a
+            # per-host mid-epoch break would desynchronize the collectives);
+            # the full-epoch last checkpoint was just saved above
+            print(f"[nkbx] preemption signal received: stopping after epoch "
+                  f"{epoch}; resume with --resume {model_path / 'last'}")
+            break
 
     model.variables = {
         "params": state.ema_params if ema_decay > 0 else state.params,

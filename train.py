@@ -48,6 +48,14 @@ def main():
 
         enable_nan_debugging()
 
+    if cfg.get("preempt_checkpoint", True):
+        # SIGTERM (preemptible/spot TPU VMs) -> save full train state and
+        # exit cleanly; --resume restarts the interrupted epoch
+        # (nkbx/train/preempt.py)
+        from nkbx.train import preempt
+
+        preempt.install()
+
     train_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
     classes = train_loader.dataset.classes
     if "classes" not in cfg.val_data:
