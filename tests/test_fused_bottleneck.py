@@ -140,6 +140,44 @@ class TestResNetIntegration:
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+def test_mesh_sharded_matches_unsharded():
+    """Under a declared ops mesh the chain lowers per-shard via shard_map
+    (batch on the data axis, weight grads summed across shards) — must equal
+    the unsharded kernel exactly (same per-tile stat groups: sharding splits
+    the batch at group boundaries)."""
+    from jax.sharding import Mesh
+
+    from nkbx.ops.attention import attention_mesh
+
+    rng = np.random.default_rng(7)
+    mk = lambda *s, sc=1.0: jnp.asarray(rng.normal(size=s).astype(np.float32) * sc)
+    x = mk(16, H, W, C)  # 16 = 8 devices x ghost group 2
+    args = (mk(C, M, sc=0.2), mk(3, 3, M, M, sc=0.2), mk(M, C, sc=0.2),
+            jnp.asarray(rng.uniform(0.8, 1.2, M).astype(np.float32)), mk(M, sc=0.1),
+            jnp.asarray(rng.uniform(0.8, 1.2, M).astype(np.float32)), mk(M, sc=0.1),
+            jnp.asarray(rng.uniform(0.8, 1.2, C).astype(np.float32)), mk(C, sc=0.1))
+
+    def loss(x, *vals):
+        out, _ = fused_chain(x, *vals, g=G, th=TH)
+        return jnp.sum(out * out * 0.5)
+
+    base_out, base_stats = fused_chain(x, *args, g=G, th=TH)
+    base_grads = jax.grad(loss, argnums=tuple(range(10)))(x, *args)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    with attention_mesh(mesh):
+        sh_out, sh_stats = fused_chain(x, *args, g=G, th=TH)
+        sh_grads = jax.grad(loss, argnums=tuple(range(10)))(x, *args)
+    np.testing.assert_allclose(np.asarray(sh_out), np.asarray(base_out),
+                               atol=1e-5)
+    for a, b in zip(sh_stats, base_stats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for name, a, b in zip("x w1 w2 w3 s1 b1 s2 b2 s3 b3".split(),
+                          sh_grads, base_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_train_step_with_fused_bottleneck():
     """End-to-end through build_train_step: the donated jitted step trains
     a Bottleneck ResNet with the fused chain enabled and reduces the loss."""
