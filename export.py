@@ -142,9 +142,26 @@ def main(args):
             print("WARNING: --to onnx supports dynamic BATCH only; "
                   "H/W stay static (use --to serving for --dynamic all)")
         out = save_dir / f"{stem}.onnx"
-        path, _ = export_onnx(model, args.input_shape, out, metadata=metadata,
-                              dynamic_batch=(args.dynamic != "none"), dtype=dtype,
-                              opset=args.opset, simplify=args.sim)
+        try:
+            path, _ = export_onnx(model, args.input_shape, out, metadata=metadata,
+                                  dynamic_batch=(args.dynamic != "none"), dtype=dtype,
+                                  opset=args.opset, simplify=args.sim)
+        except RuntimeError as e:
+            # tf2onnx/onnx absent: fall back to the torch replica exporter
+            # (reverse-converted weights + runnable torch_ref replica —
+            # forward-parity-verified before writing; NCHW graph, the
+            # reference's own ONNX contract). Needs torch only.
+            try:
+                from nkbx.export.torch_onnx import export_onnx_via_torch
+
+                path, _ = export_onnx_via_torch(
+                    model, model_cfg["model"], out, args.input_shape,
+                    metadata=metadata, dynamic_batch=(args.dynamic != "none"),
+                    opset=args.opset)
+                print("NOTE: tf2onnx not installed — exported through the "
+                      "torch replica path (NCHW inputs) instead")
+            except ImportError:
+                raise e from None
         print(f"onnx export success, saved as {path}")
     elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel

@@ -56,6 +56,10 @@ class _TimmSE(nn.Module):
         self.fc1 = nn.Conv2d(ch, rd, 1, bias=True)
         self.fc2 = nn.Conv2d(rd, ch, 1, bias=True)
 
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        return x * torch.sigmoid(self.fc2(torch.relu(self.fc1(s))))
+
 
 class _TimmBasicBlock(nn.Module):
     def __init__(self, inp, planes, stride):
@@ -66,6 +70,12 @@ class _TimmBasicBlock(nn.Module):
         self.bn2 = _bn(planes)
         if stride != 1 or inp != planes:
             self.downsample = nn.Sequential(_conv(inp, planes, 1, stride, 0), _bn(planes))
+
+    def forward(self, x):
+        sc = self.downsample(x) if hasattr(self, "downsample") else x
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return torch.relu(y + sc)
 
 
 class _TimmBottleneck(nn.Module):
@@ -83,6 +93,15 @@ class _TimmBottleneck(nn.Module):
             self.se = _TimmSE(out, int(out * se_ratio))
         if stride != 1 or inp != out:
             self.downsample = nn.Sequential(_conv(inp, out, 1, stride, 0), _bn(out))
+
+    def forward(self, x):
+        sc = self.downsample(x) if hasattr(self, "downsample") else x
+        y = torch.relu(self.bn1(self.conv1(x)))
+        y = torch.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        if hasattr(self, "se"):
+            y = self.se(y)
+        return torch.relu(y + sc)
 
 
 class TimmResNet(nn.Module):
@@ -115,7 +134,18 @@ class TimmResNet(nn.Module):
                     inp = planes
                 blocks.append(blk)
             setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
+        self.n_stages = len(stage_sizes)
         self.fc = nn.Linear(inp, 1000)  # dropped by the converter
+
+    def forward(self, x):
+        """Pooled backbone features (timm forward_features + global pool; the
+        ``fc`` layout member is NOT applied — nkbx heads replace it)."""
+        x = self.conv1(x)
+        x = torch.relu(self.bn1(x))
+        x = nn.functional.max_pool2d(x, 3, 2, 1)
+        for stage in range(self.n_stages):
+            x = getattr(self, f"layer{stage + 1}")(x)
+        return x.mean((2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -124,56 +154,95 @@ class TimmResNet(nn.Module):
 
 
 class _TimmBuilderSE(nn.Module):
-    def __init__(self, ch, rd):
+    def __init__(self, ch, rd, act=torch.relu, gate=None):
         super().__init__()
         self.conv_reduce = nn.Conv2d(ch, rd, 1, bias=True)
         self.conv_expand = nn.Conv2d(rd, ch, 1, bias=True)
+        self._act, self._gate = act, gate or nn.functional.hardsigmoid
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        return x * self._gate(self.conv_expand(self._act(self.conv_reduce(s))))
 
 
 class _TimmDepthwiseSeparable(nn.Module):
     """timm DepthwiseSeparableConv: conv_dw/bn1 [+ se] + conv_pw/bn2."""
 
-    def __init__(self, inp, out, k, stride, se_rd=0):
+    def __init__(self, inp, out, k, stride, se_rd=0, act=torch.relu,
+                 se_act=torch.relu, se_gate=None):
         super().__init__()
         self.conv_dw = _conv(inp, inp, k, stride, groups=inp)
         self.bn1 = _bn(inp)
         if se_rd:
-            self.se = _TimmBuilderSE(inp, se_rd)
+            self.se = _TimmBuilderSE(inp, se_rd, se_act, se_gate)
         self.conv_pw = _conv(inp, out, 1, 1, 0)
         self.bn2 = _bn(out)
+        self._act = act
+        self._skip = stride == 1 and inp == out
+
+    def forward(self, x):
+        y = self._act(self.bn1(self.conv_dw(x)))
+        if hasattr(self, "se"):
+            y = self.se(y)
+        y = self.bn2(self.conv_pw(y))
+        return x + y if self._skip else y
 
 
 class _TimmInvertedResidual(nn.Module):
     """timm InvertedResidual: conv_pw/bn1 + conv_dw/bn2 [+ se] + conv_pwl/bn3."""
 
-    def __init__(self, inp, mid, out, k, stride, se_rd=0):
+    def __init__(self, inp, mid, out, k, stride, se_rd=0, act=torch.relu,
+                 se_act=torch.relu, se_gate=None):
         super().__init__()
         self.conv_pw = _conv(inp, mid, 1, 1, 0)
         self.bn1 = _bn(mid)
         self.conv_dw = _conv(mid, mid, k, stride, groups=mid)
         self.bn2 = _bn(mid)
         if se_rd:
-            self.se = _TimmBuilderSE(mid, se_rd)
+            self.se = _TimmBuilderSE(mid, se_rd, se_act, se_gate)
         self.conv_pwl = _conv(mid, out, 1, 1, 0)
         self.bn3 = _bn(out)
+        self._act = act
+        self._skip = stride == 1 and inp == out
+
+    def forward(self, x):
+        y = self._act(self.bn1(self.conv_pw(x)))
+        y = self._act(self.bn2(self.conv_dw(y)))
+        if hasattr(self, "se"):
+            y = self.se(y)
+        y = self.bn3(self.conv_pwl(y))
+        return x + y if self._skip else y
 
 
 class _TimmConvBnAct(nn.Module):
-    def __init__(self, inp, out, k, stride=1):
+    def __init__(self, inp, out, k, stride=1, act=torch.relu):
         super().__init__()
         self.conv = _conv(inp, out, k, stride)
         self.bn1 = _bn(out)
+        self._act = act
+        self._skip = stride == 1 and inp == out
+
+    def forward(self, x):
+        y = self._act(self.bn1(self.conv(x)))
+        return x + y if self._skip else y
 
 
 class _TimmEdgeResidual(nn.Module):
     """timm EdgeResidual (fused-MBConv, expand > 1): conv_exp/bn1 + conv_pwl/bn2."""
 
-    def __init__(self, inp, mid, out, k, stride):
+    def __init__(self, inp, mid, out, k, stride, act=torch.relu):
         super().__init__()
         self.conv_exp = _conv(inp, mid, k, stride)
         self.bn1 = _bn(mid)
         self.conv_pwl = _conv(mid, out, 1, 1, 0)
         self.bn2 = _bn(out)
+        self._act = act
+        self._skip = stride == 1 and inp == out
+
+    def forward(self, x):
+        y = self._act(self.bn1(self.conv_exp(x)))
+        y = self.bn2(self.conv_pwl(y))
+        return x + y if self._skip else y
 
 
 class TimmMobileNetV3(nn.Module):
@@ -183,13 +252,14 @@ class TimmMobileNetV3(nn.Module):
         self.bn1 = _bn(16)
         flat = []
         inp = 16
-        for k, e, o, use_se, _act, s in spec:
+        for k, e, o, use_se, act_name, s in spec:
             e, o = make_divisible(e), make_divisible(o)
             se_rd = make_divisible(e // 4) if use_se else 0
+            act = nn.functional.hardswish if act_name == "hs" else torch.relu
             if e == inp:
-                flat.append(_TimmDepthwiseSeparable(inp, o, k, s, se_rd))
+                flat.append(_TimmDepthwiseSeparable(inp, o, k, s, se_rd, act=act))
             else:
-                flat.append(_TimmInvertedResidual(inp, e, o, k, s, se_rd))
+                flat.append(_TimmInvertedResidual(inp, e, o, k, s, se_rd, act=act))
             inp = o
         stages, i = [], 0
         for n in stage_blocks:
@@ -200,6 +270,15 @@ class TimmMobileNetV3(nn.Module):
         self.blocks = nn.Sequential(*stages)
         self.conv_head = nn.Conv2d(last_conv, head_features, 1, bias=True)
         self.classifier = nn.Linear(head_features, 1000)  # dropped
+
+    def forward(self, x):
+        hs = nn.functional.hardswish
+        x = hs(self.bn1(self.conv_stem(x)))
+        x = self.blocks[:-1](x)
+        last = self.blocks[-1][0]
+        x = hs(last.bn1(last.conv(x)))  # final ConvBnAct runs hardswish
+        x = x.mean((2, 3), keepdim=True)
+        return hs(self.conv_head(x)).flatten(1)
 
 
 class TimmEfficientNet(nn.Module):
@@ -218,10 +297,15 @@ class TimmEfficientNet(nn.Module):
             for b in range(n):
                 s = stride if b == 0 else 1
                 se_rd = max(1, int(inp * 0.25))
+                silu = nn.functional.silu
                 if expand == 1:
-                    blocks.append(_TimmDepthwiseSeparable(inp, out_c, k, s, se_rd))
+                    blocks.append(_TimmDepthwiseSeparable(
+                        inp, out_c, k, s, se_rd, act=silu, se_act=silu,
+                        se_gate=torch.sigmoid))
                 else:
-                    blocks.append(_TimmInvertedResidual(inp, inp * expand, out_c, k, s, se_rd))
+                    blocks.append(_TimmInvertedResidual(
+                        inp, inp * expand, out_c, k, s, se_rd, act=silu,
+                        se_act=silu, se_gate=torch.sigmoid))
                 inp = out_c
             stages.append(nn.Sequential(*blocks))
         self.blocks = nn.Sequential(*stages)
@@ -229,6 +313,13 @@ class TimmEfficientNet(nn.Module):
         self.conv_head = _conv(inp, head, 1, 1, 0)
         self.bn2 = _bn(head)
         self.classifier = nn.Linear(head, 1000)  # dropped
+
+    def forward(self, x):
+        silu = nn.functional.silu
+        x = silu(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        x = silu(self.bn2(self.conv_head(x)))
+        return x.mean((2, 3))
 
 
 class TimmEfficientNetV2(nn.Module):
@@ -242,20 +333,30 @@ class TimmEfficientNetV2(nn.Module):
             blocks = []
             for b in range(repeats):
                 s = stride if b == 0 else 1
+                silu = nn.functional.silu
                 if block == "fused":
                     if expand == 1:
-                        blocks.append(_TimmConvBnAct(inp, out, k, s))
+                        blocks.append(_TimmConvBnAct(inp, out, k, s, act=silu))
                     else:
-                        blocks.append(_TimmEdgeResidual(inp, inp * expand, out, k, s))
+                        blocks.append(_TimmEdgeResidual(inp, inp * expand, out, k, s, act=silu))
                 else:
                     se_rd = max(1, int(inp * se))
-                    blocks.append(_TimmInvertedResidual(inp, inp * expand, out, k, s, se_rd))
+                    blocks.append(_TimmInvertedResidual(
+                        inp, inp * expand, out, k, s, se_rd, act=silu,
+                        se_act=silu, se_gate=torch.sigmoid))
                 inp = out
             stages.append(nn.Sequential(*blocks))
         self.blocks = nn.Sequential(*stages)
         self.conv_head = _conv(inp, 1280, 1, 1, 0)
         self.bn2 = _bn(1280)
         self.classifier = nn.Linear(1280, 1000)  # dropped
+
+    def forward(self, x):
+        silu = nn.functional.silu
+        x = silu(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        x = silu(self.bn2(self.conv_head(x)))
+        return x.mean((2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -270,6 +371,11 @@ class _DenseLayer(nn.Module):
         self.conv1 = _conv(inp, bn_size * growth, 1, 1, 0)
         self.norm2 = _bn(bn_size * growth)
         self.conv2 = _conv(bn_size * growth, growth, 3, 1)
+
+    def forward(self, x):
+        y = self.conv1(torch.relu(self.norm1(x)))
+        y = self.conv2(torch.relu(self.norm2(y)))
+        return torch.cat([x, y], 1)
 
 
 class TorchDenseNet(nn.Module):
@@ -295,7 +401,22 @@ class TorchDenseNet(nn.Module):
                 c //= 2
         feats["norm5"] = _bn(c)
         self.features = nn.Sequential(feats)
+        self.n_blocks = len(block_config)
         self.classifier = nn.Linear(c, 1000)  # dropped
+
+    def forward(self, x):
+        f = self.features
+        x = torch.relu(f.norm0(f.conv0(x)))
+        x = nn.functional.max_pool2d(x, 3, 2, 1)
+        for bi in range(1, self.n_blocks + 1):
+            block = getattr(f, f"denseblock{bi}")
+            for layer in block.children():
+                x = layer(x)
+            if bi != self.n_blocks:
+                tr = getattr(f, f"transition{bi}")
+                x = tr.conv(torch.relu(tr.norm(x)))
+                x = nn.functional.avg_pool2d(x, 2, 2)
+        return torch.relu(f.norm5(x)).mean((2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -307,31 +428,47 @@ class _ConvNeXtBlock(nn.Module):
     def __init__(self, dim):
         super().__init__()
         self.conv_dw = nn.Conv2d(dim, dim, 7, 1, 3, groups=dim, bias=True)
-        self.norm = nn.LayerNorm(dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = nn.Module()
         self.mlp.fc1 = nn.Linear(dim, 4 * dim)
         self.mlp.fc2 = nn.Linear(4 * dim, dim)
         self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):
+        y = self.conv_dw(x).permute(0, 2, 3, 1)
+        y = self.norm(y)
+        y = self.mlp.fc2(nn.functional.gelu(self.mlp.fc1(y)))
+        return x + (y * self.gamma).permute(0, 3, 1, 2)
 
 
 class TimmConvNeXt(nn.Module):
     def __init__(self, depths, dims):
         super().__init__()
         self.stem = nn.Sequential(nn.Conv2d(3, dims[0], 4, 4, bias=True),
-                                  nn.LayerNorm(dims[0]))
+                                  nn.LayerNorm(dims[0], eps=1e-6))
         stages = []
         for s, (depth, dim) in enumerate(zip(depths, dims)):
             stage = nn.Module()
             if s > 0:
                 stage.downsample = nn.Sequential(
-                    nn.LayerNorm(dims[s - 1]),
+                    nn.LayerNorm(dims[s - 1], eps=1e-6),
                     nn.Conv2d(dims[s - 1], dim, 2, 2, bias=True))
             stage.blocks = nn.Sequential(*[_ConvNeXtBlock(dim) for _ in range(depth)])
             stages.append(stage)
         self.stages = nn.Sequential(*stages)
         self.head = nn.Module()
-        self.head.norm = nn.LayerNorm(dims[-1])  # consumed as head_norm
+        self.head.norm = nn.LayerNorm(dims[-1], eps=1e-6)  # consumed as head_norm
         self.head.fc = nn.Linear(dims[-1], 1000)  # dropped
+
+    def forward(self, x):
+        x = self.stem[0](x)
+        x = self.stem[1](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+        for stage in self.stages:
+            if hasattr(stage, "downsample"):
+                x = stage.downsample[0](x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                x = stage.downsample[1](x)
+            x = stage.blocks(x)
+        return self.head.norm(x.mean((2, 3)))
 
 
 # ---------------------------------------------------------------------------
@@ -340,16 +477,29 @@ class TimmConvNeXt(nn.Module):
 
 
 class _TorchViTBlock(nn.Module):
-    def __init__(self, dim, mlp_ratio=4):
+    def __init__(self, dim, mlp_ratio=4, heads=None, eps=1e-6):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim)
+        self.norm1 = nn.LayerNorm(dim, eps=eps)
         self.attn = nn.Module()
         self.attn.qkv = nn.Linear(dim, 3 * dim, bias=True)
         self.attn.proj = nn.Linear(dim, dim, bias=True)
-        self.norm2 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=eps)
         self.mlp = nn.Module()
         self.mlp.fc1 = nn.Linear(dim, mlp_ratio * dim)
         self.mlp.fc2 = nn.Linear(mlp_ratio * dim, dim)
+        self._heads = heads or dim // 64
+
+    def forward(self, x):
+        b, n, d = x.shape
+        h = self._heads
+        hd = d // h
+        qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, h, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax((q * hd ** -0.5) @ k.transpose(-2, -1), dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(b, n, d)
+        x = x + self.attn.proj(y)
+        y = self.mlp.fc2(nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        return x + y
 
 
 class TimmViT(nn.Module):
@@ -361,8 +511,15 @@ class TimmViT(nn.Module):
         self.patch_embed = nn.Module()
         self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch, bias=True)
         self.blocks = nn.Sequential(*[_TorchViTBlock(dim) for _ in range(depth)])
-        self.norm = nn.LayerNorm(dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
         self.head = nn.Linear(dim, 1000)  # dropped
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(b, -1, -1), x], 1) + self.pos_embed
+        x = self.blocks(x)
+        return self.norm(x)[:, 0]
 
 
 class UnicomViTReplica(nn.Module):
@@ -376,11 +533,20 @@ class UnicomViTReplica(nn.Module):
         self.pos_embed = nn.Parameter(torch.zeros(1, n, dim))
         self.patch_embed = nn.Module()
         self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch, bias=False)
-        self.blocks = nn.Sequential(*[_TorchViTBlock(dim) for _ in range(depth)])
-        self.norm = nn.LayerNorm(dim)
+        self.blocks = nn.Sequential(
+            *[_TorchViTBlock(dim, eps=1e-5) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
         self.feature = nn.Sequential(
-            nn.Linear(n * dim, dim, bias=False), nn.BatchNorm1d(dim),
-            nn.Linear(dim, emb, bias=False), nn.BatchNorm1d(emb))
+            nn.Linear(n * dim, dim, bias=False), nn.BatchNorm1d(dim, eps=2e-5),
+            nn.Linear(dim, emb, bias=False), nn.BatchNorm1d(emb, eps=2e-5))
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = x + self.pos_embed
+        x = self.blocks(x)
+        x = self.norm(x).flatten(1)
+        return self.feature(x)
 
 
 # ---------------------------------------------------------------------------
@@ -398,6 +564,30 @@ class _SwinAttention(nn.Module):
             torch.zeros(window * window, window * window, dtype=torch.long))
         self.qkv = nn.Linear(dim, 3 * dim, bias=True)
         self.proj = nn.Linear(dim, dim, bias=True)
+        self._heads, self._window = heads, window
+
+    def forward(self, xw, win, mask):
+        """xw: (B*nW, N, D) windowed tokens; mask: (nW, N, N) or None."""
+        import numpy as _np
+
+        from nkbx.models.swin import _relative_position_index
+
+        bw, n, d = xw.shape
+        h = self._heads
+        hd = d // h
+        qkv = self.qkv(xw).reshape(bw, n, 3, h, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q * hd ** -0.5) @ k.transpose(-2, -1)
+        idx = torch.tensor(_np.asarray(
+            _relative_position_index(win)).reshape(-1))
+        bias = self.relative_position_bias_table[idx]
+        a = a + bias.reshape(n, n, h).permute(2, 0, 1)[None]
+        if mask is not None:
+            nw = mask.shape[0]
+            a = a.view(-1, nw, h, n, n) + mask[None, :, None]
+            a = a.view(-1, h, n, n)
+        a = torch.softmax(a, -1)
+        return self.proj((a @ v).transpose(1, 2).reshape(bw, n, d))
 
 
 class _SwinBlock(nn.Module):
@@ -412,6 +602,30 @@ class _SwinBlock(nn.Module):
         if shifted:  # recomputed by nkbx, must be SKIPPED by the converter
             self.register_buffer(
                 "attn_mask", torch.zeros(n_windows, window ** 2, window ** 2))
+        self._shifted, self._window = shifted, window
+
+    def forward(self, x):
+        """x: (B, H, W, D)."""
+        from nkbx.models.swin import _shift_attn_mask
+
+        b, hc, wc, d = x.shape
+        win = min(self._window, hc, wc)
+        shift = (self._window // 2 if self._shifted else 0) if win < min(hc, wc) else 0
+        sc = x
+        y = self.norm1(x)
+        if shift:
+            y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+        yw = y.reshape(b, hc // win, win, wc // win, win, d)
+        yw = yw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, d)
+        mask = (torch.tensor(_shift_attn_mask(hc, wc, win, shift))
+                if shift else None)
+        yw = self.attn(yw, win, mask)
+        y = yw.reshape(b, hc // win, wc // win, win, win, d)
+        y = y.permute(0, 1, 3, 2, 4, 5).reshape(b, hc, wc, d)
+        if shift:
+            y = torch.roll(y, (shift, shift), dims=(1, 2))
+        x = sc + y
+        return x + self.mlp.fc2(nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
 
 
 class _SwinPatchMerging(nn.Module):
@@ -419,6 +633,12 @@ class _SwinPatchMerging(nn.Module):
         super().__init__()
         self.norm = nn.LayerNorm(4 * dim_in)
         self.reduction = nn.Linear(4 * dim_in, 2 * dim_in, bias=False)
+
+    def forward(self, x):
+        """x: (B, H, W, D) -> (B, H/2, W/2, 2D)."""
+        x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                       x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
+        return self.reduction(self.norm(x))
 
 
 class TimmSwin(nn.Module):
@@ -441,6 +661,15 @@ class TimmSwin(nn.Module):
         self.layers = nn.Sequential(*layers)
         self.norm = nn.LayerNorm(dim)
         self.head = nn.Linear(dim, 1000)  # dropped
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        x = self.patch_embed.norm(x)
+        for stage in self.layers:
+            if hasattr(stage, "downsample"):
+                x = stage.downsample(x)
+            x = stage.blocks(x)
+        return self.norm(x).mean((1, 2))
 
 
 # ---------------------------------------------------------------------------

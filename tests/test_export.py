@@ -312,3 +312,45 @@ class TestExportCLIArgs:
     def test_defaults(self, monkeypatch):
         args = self._parse(monkeypatch, [])
         assert not args.sim and args.device is None and not args.verbose
+
+
+class TestTorchOnnxFallback:
+    """ONNX through the torch replica path (nkbx/export/torch_onnx.py):
+    reverse-converted weights + runnable replica, forward-parity-verified
+    (tight atol) before writing; works without tf2onnx/onnx installed."""
+
+    def _model(self, task, classes):
+        import jax.numpy as jnp
+
+        from nkbx.models import get_model
+
+        return get_model({"task": task, "model": "resnet_tiny_test",
+                          "pretrained": False}, classes,
+                         input_size=(32, 32), dtype=jnp.float32)
+
+    def test_single_task_emits_model_and_sidecar(self, tmp_path):
+        import json
+
+        from nkbx.export.torch_onnx import export_onnx_via_torch
+
+        model = self._model("single", ["a", "b", "c"])
+        out, meta = export_onnx_via_torch(
+            model, "resnet_tiny_test", tmp_path / "m.onnx", (1, 32, 32, 3),
+            verify_atol=1e-4)  # the parity gate runs tight before writing
+        data = out.read_bytes()
+        assert len(data) > 100_000 and data[:1] == b"\x08"  # ModelProto ir_version
+        side = json.loads((tmp_path / "m.onnx.json").read_text())
+        assert side["output_names"] == ["output"]
+        assert side["layout"] == "NCHW"
+
+    def test_multi_task_output_names_are_targets(self, tmp_path):
+        from nkbx.export.torch_onnx import export_onnx_via_torch
+
+        model = self._model("multi", {"color": ["r", "g"], "size": ["s", "l"]})
+        out, meta = export_onnx_via_torch(
+            model, "resnet_tiny_test", tmp_path / "m.onnx", (1, 32, 32, 3),
+            verify_atol=1e-4)
+        # the reference's export crashes on single-task here (export.py:149,
+        # list(classes.keys()) on a list); multi keeps target names
+        assert meta["output_names"] == ["color", "size"]
+        assert out.exists()
