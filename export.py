@@ -33,7 +33,11 @@ def parse_args():
     parser.add_argument("--to", type=str, required=True,
                         help="serving | stablehlo | savedmodel (TF, via jax2tf) "
                              "| tflite (edge flatbuffer, static shapes) "
-                             "| onnx (via SavedModel + tf2onnx, optional dep)")
+                             "| onnx (tf2onnx when installed, else the torch "
+                             "replica exporter) "
+                             "| torchscript (the reference's .pt artifact — "
+                             "torch.jit.trace of the weight-equivalent torch "
+                             "replica; loads in the reference repo)")
     parser.add_argument("-w", "--weights", type=str, required=True,
                         help="nkbx checkpoint (orbax dir or .msgpack)")
     parser.add_argument("--dynamic", type=str, default="batch",
@@ -66,7 +70,8 @@ def parse_args():
                         default=False,
                         help="print export metadata and artifact sizes")
     args = parser.parse_args()
-    assert args.to in ("serving", "stablehlo", "savedmodel", "tflite", "onnx")
+    assert args.to in ("serving", "stablehlo", "savedmodel", "tflite", "onnx",
+                       "torchscript")
     assert args.dynamic in ("batch", "none", "all")
     assert len(args.input_shape) == 4
     if args.fused_attention:
@@ -163,6 +168,20 @@ def main(args):
             except ImportError:
                 raise e from None
         print(f"onnx export success, saved as {path}")
+    elif args.to == "torchscript":
+        # the reference's own per-epoch artifact (train.py:66-73 /
+        # export.py:208-227): a torch.jit .pt the reference repo loads with
+        # scripted=True — emitted from the runnable torch replica carrying
+        # the reverse-converted (bit-exact) weights, parity-verified first
+        from nkbx.export.torch_onnx import export_torchscript_via_torch
+
+        if args.dynamic != "none":
+            print("NOTE: torchscript traces are shape-generic for CNN "
+                  "backbones; transformer replicas are static-batch")
+        out = save_dir / f"{stem}.pt"
+        path, _ = export_torchscript_via_torch(
+            model, model_cfg["model"], out, args.input_shape, metadata=metadata)
+        print(f"torchscript export success, saved as {path}")
     elif args.to == "savedmodel":
         from nkbx.export import export_savedmodel
 

@@ -83,24 +83,17 @@ def _onnx_package_shim():
         _opu._add_onnxscript_fn = orig
 
 
-def export_onnx_via_torch(model, backbone_name, out_path, input_shape,
-                          metadata=None, dynamic_batch: bool = True,
-                          opset: int = 17, verify: bool = True,
-                          verify_atol: float = 5e-3):
-    """Export a ClassificationModel to ``.onnx`` through the torch replica.
-
-    model: nkbx ClassificationModel; backbone_name: its registry name (the
-    replica/reverse-conversion key); input_shape: NHWC (N,H,W,C) like the
-    rest of export.py — the EMITTED graph consumes NCHW (reference ONNX
-    contract). ``verify=True`` asserts replica logits == nkbx logits on a
-    random batch before writing. Returns (out_path, metadata).
-    """
+def _build_verified_wrapper(model, backbone_name, input_shape, verify,
+                            verify_atol):
+    """Reverse-convert + load into the reference-shaped replica classifier;
+    optionally assert logits parity vs the nkbx model. Returns the eval-mode
+    torch module."""
     import torch
 
     from nkbx.models.reverse import reverse_reference_checkpoint
     from nkbx.models.torch_ref import build_replica
 
-    n, h, w, _c = input_shape
+    _n, h, w, _c = input_shape
     sd, _skipped = reverse_reference_checkpoint(backbone_name, model.variables)
     replica = build_replica(backbone_name)
     wrap = _reference_classifier(replica, model.emb_size, model.classes,
@@ -136,7 +129,54 @@ def export_onnx_via_torch(model, backbone_name, out_path, input_shape,
             ours, theirs = [np.asarray(ours)], [theirs.numpy()]
         for o, t in zip(ours, theirs):
             np.testing.assert_allclose(o, t, atol=verify_atol, rtol=1e-3)
+    return wrap
 
+
+def export_torchscript_via_torch(model, backbone_name, out_path, input_shape,
+                                 metadata=None, verify: bool = True,
+                                 verify_atol: float = 5e-3):
+    """Export a ClassificationModel as TORCHSCRIPT — the reference's primary
+    per-epoch artifact (reference train.py:66-73 / export.py:208-227) —
+    through the runnable torch replica with reverse-converted weights.
+
+    The emitted ``.pt`` loads with plain ``torch.jit.load`` into the
+    reference repo's eval/inference/TensorRT tooling (reference
+    model.py:163-164 ``scripted: True``). NCHW inputs; metadata embedded as
+    ``config.txt`` in ``_extra_files`` exactly like the reference's export.
+    Returns (out_path, metadata)."""
+    import torch
+
+    wrap = _build_verified_wrapper(model, backbone_name, input_shape, verify,
+                                   verify_atol)
+    n, h, w, _c = input_shape
+    dummy = torch.zeros(max(int(n), 1), 3, h, w)
+    with torch.no_grad():
+        traced = torch.jit.trace(wrap, dummy)
+    meta = dict(metadata or {})
+    meta.update({"exporter": "torch-replica", "layout": "NCHW",
+                 "backbone": backbone_name})
+    out_path = Path(out_path)
+    traced.save(str(out_path), _extra_files={"config.txt": json.dumps(meta)})
+    return out_path, meta
+
+
+def export_onnx_via_torch(model, backbone_name, out_path, input_shape,
+                          metadata=None, dynamic_batch: bool = True,
+                          opset: int = 17, verify: bool = True,
+                          verify_atol: float = 5e-3):
+    """Export a ClassificationModel to ``.onnx`` through the torch replica.
+
+    model: nkbx ClassificationModel; backbone_name: its registry name (the
+    replica/reverse-conversion key); input_shape: NHWC (N,H,W,C) like the
+    rest of export.py — the EMITTED graph consumes NCHW (reference ONNX
+    contract). ``verify=True`` asserts replica logits == nkbx logits on a
+    random batch before writing. Returns (out_path, metadata).
+    """
+    import torch
+
+    wrap = _build_verified_wrapper(model, backbone_name, input_shape, verify,
+                                   verify_atol)
+    n, h, w, _c = input_shape
     out_path = Path(out_path)
     if model.task == "multi":
         output_names = sorted(model.classes.keys())

@@ -354,3 +354,33 @@ class TestTorchOnnxFallback:
         # list(classes.keys()) on a list); multi keeps target names
         assert meta["output_names"] == ["color", "size"]
         assert out.exists()
+
+
+    def test_torchscript_artifact_roundtrips(self, tmp_path):
+        """--to torchscript: the reference's own .pt artifact — traced from
+        the weight-equivalent replica, reloads with plain torch.jit.load
+        (reference model.py:163-164), embedded config.txt metadata, and is
+        batch-polymorphic for CNN backbones."""
+        import json
+
+        import torch
+
+        from nkbx.export.torch_onnx import export_torchscript_via_torch
+
+        model = self._model("single", ["a", "b", "c"])
+        out, _ = export_torchscript_via_torch(
+            model, "resnet_tiny_test", tmp_path / "m.pt", (1, 32, 32, 3),
+            metadata={"stride": 32}, verify_atol=1e-4)
+        extra = {"config.txt": ""}
+        loaded = torch.jit.load(str(out), _extra_files=extra)
+        meta = json.loads(extra["config.txt"])
+        assert meta["backbone"] == "resnet_tiny_test" and meta["stride"] == 32
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        x = np.random.default_rng(1).normal(size=(3, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            y = loaded(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        ours = np.asarray(model.apply(model.variables, jnp.asarray(x), train=False))
+        np.testing.assert_allclose(y, ours, atol=1e-4, rtol=1e-3)
