@@ -39,11 +39,9 @@ def main():
 
     # persistent XLA compilation cache: default ON (config key
     # compilation_cache = False disables, a str overrides the directory)
-    cc = cfg.get("compilation_cache", True)
-    if cc is not False:
-        from nkbx.core import enable_compilation_cache
+    from nkbx.core import enable_compilation_cache_from_cfg
 
-        enable_compilation_cache(cc if isinstance(cc, str) else None)
+    enable_compilation_cache_from_cfg(cfg)
     assert "classes" in cfg.val_data or cfg.val_data.get("type", "ImageFolder") == "ImageFolder"
     val_loader = get_dataset(cfg.val_data, cfg.val_pipeline)
     classes = val_loader.dataset.classes

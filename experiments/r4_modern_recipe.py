@@ -23,8 +23,9 @@ if _ROOT not in sys.path:
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from nkbx.core import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 

@@ -97,11 +97,11 @@ def main(args):
 
     cfg = load_config(args.config)
 
-    cc = cfg.get("compilation_cache", True)
-    if cc is not False:
-        from nkbx.core import enable_compilation_cache
+    # persistent XLA compilation cache: default ON (config key
+    # compilation_cache = False disables, a str overrides the directory)
+    from nkbx.core import enable_compilation_cache_from_cfg
 
-        enable_compilation_cache(cc if isinstance(cc, str) else None)
+    enable_compilation_cache_from_cfg(cfg)
 
     # classes come from the train dataset, as in the reference (export.py:106-109)
     data_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
@@ -151,8 +151,11 @@ def main(args):
             path, _ = export_onnx(model, args.input_shape, out, metadata=metadata,
                                   dynamic_batch=(args.dynamic != "none"), dtype=dtype,
                                   opset=args.opset, simplify=args.sim)
-        except RuntimeError as e:
-            # tf2onnx/onnx absent: fall back to the torch replica exporter
+        except (RuntimeError, ImportError) as e:
+            # tf2onnx/onnx absent (RuntimeError from export_onnx's recipe) OR
+            # tensorflow itself absent (ImportError from export_savedmodel —
+            # the torch-only environment the replica exporter exists for):
+            # fall back to the torch replica exporter
             # (reverse-converted weights + runnable torch_ref replica —
             # forward-parity-verified before writing; NCHW graph, the
             # reference's own ONNX contract). Needs torch only.

@@ -81,11 +81,9 @@ def main():
 
     # persistent XLA compilation cache: default ON (config key
     # compilation_cache = False disables, a str overrides the directory)
-    cc = cfg.get("compilation_cache", True)
-    if cc is not False:
-        from nkbx.core import enable_compilation_cache
+    from nkbx.core import enable_compilation_cache_from_cfg
 
-        enable_compilation_cache(cc if isinstance(cc, str) else None)
+    enable_compilation_cache_from_cfg(cfg)
     loader = get_inference_dataset(cfg.inference_data, cfg.inference_pipeline)
     classes = load_classes(cfg.classes)
     dtype = jnp.bfloat16 if cfg.enable_mixed_precision else jnp.float32

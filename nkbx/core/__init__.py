@@ -2,6 +2,7 @@ from nkbx.core.profiling import aggregate_perfetto, format_breakdown
 from nkbx.core.runtime import (
     initialize,
     enable_compilation_cache,
+    enable_compilation_cache_from_cfg,
     precision_policy,
     enable_nan_debugging,
     Throughput,
@@ -11,6 +12,7 @@ from nkbx.core.runtime import (
 __all__ = [
     "initialize",
     "enable_compilation_cache",
+    "enable_compilation_cache_from_cfg",
     "precision_policy",
     "enable_nan_debugging",
     "Throughput",

@@ -39,6 +39,14 @@ def enable_compilation_cache(path: str | None = None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def enable_compilation_cache_from_cfg(cfg):
+    """Entry-point glue for the ``compilation_cache`` config key: default ON,
+    ``False`` disables, a string overrides the directory."""
+    cc = cfg.get("compilation_cache", True)
+    if cc is not False:
+        enable_compilation_cache(cc if isinstance(cc, str) else None)
+
+
 def initialize(distributed: bool = False, compilation_cache: str | None = None,
                debug_nans: bool = False, coordinator_address: str | None = None,
                num_processes: int | None = None, process_id: int | None = None):

@@ -61,13 +61,19 @@ def _reference_classifier(replica, emb, classes, task):
 
 @contextlib.contextmanager
 def _onnx_package_shim():
-    """Identity-patch torch's proto round-trip when ``onnx`` is missing."""
+    """Identity-patch torch's proto round-trip when ``onnx`` is missing.
+
+    The import probe is kept OUTSIDE the yield: wrapping the yield in the
+    same try would swallow ImportErrors raised by the with-body itself
+    (contextlib throws them into the generator) and then yield twice."""
     try:
         import onnx  # noqa: F401
+        have_onnx = True
+    except ImportError:
+        have_onnx = False
+    if have_onnx:
         yield
         return
-    except ImportError:
-        pass
     try:
         from torch.onnx._internal.torchscript_exporter import (
             onnx_proto_utils as _opu)
@@ -117,6 +123,12 @@ def _build_verified_wrapper(model, backbone_name, input_shape, verify,
     if verify:
         import jax.numpy as jnp
 
+        # the replica computes in f32; an nkbx model built with bf16 compute
+        # (enable_mixed_precision configs) carries ~1e-2 relative logit drift
+        # that is correct behavior, not weight error — widen the gate there
+        if jnp.dtype(getattr(getattr(model.module, "backbone", None), "dtype",
+                             jnp.float32)) == jnp.bfloat16:
+            verify_atol = max(verify_atol, 7.5e-2)
         x = np.random.default_rng(0).normal(size=(2, h, w, 3)).astype(np.float32)
         ours = model.apply(model.variables, jnp.asarray(x), train=False)
         with torch.no_grad():

@@ -280,6 +280,11 @@ class ResNet(nn.Module):
         if self.fused_bottleneck and not self.ghost_bn:
             raise ValueError("fused_bottleneck requires ghost_bn (per-tile "
                              "BN stats are the kernel's tiling contract)")
+        if self.fused_bottleneck and self.block_cls is not Bottleneck:
+            raise ValueError(
+                "fused_bottleneck covers Bottleneck blocks only (resnet26/"
+                "50/101/...); BasicBlock ResNets have no fused chain — "
+                "silently ignoring the flag would fake the benchmark")
         block_kwargs = {"ghost_bn": self.ghost_bn}
         if self.block_cls is Bottleneck:
             block_kwargs = dict(cardinality=self.cardinality,

@@ -98,6 +98,17 @@ class TestResNetPlumbing:
         with pytest.raises(ValueError, match="ghost_bn"):
             mod.init(jax.random.PRNGKey(0), x, train=False)
 
+    def test_fused_on_basicblock_raises(self):
+        """fused_bottleneck covers Bottleneck only; silently ignoring it on a
+        BasicBlock ResNet would fake any benchmark built on the flag."""
+        from nkbx.models.resnet import BasicBlock, ResNet
+
+        x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+        mod = ResNet(stage_sizes=(1,), block_cls=BasicBlock, stem_width=8,
+                     ghost_bn=2, fused_bottleneck=True)
+        with pytest.raises(ValueError, match="Bottleneck blocks only"):
+            mod.init(jax.random.PRNGKey(0), x, train=False)
+
     def test_backbone_opts_config_surface(self):
         """model.backbone_opts threads module fields from the config dict."""
         from nkbx.models import get_model
