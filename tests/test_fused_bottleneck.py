@@ -140,6 +140,7 @@ class TestResNetIntegration:
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_unsharded():
     """Under a declared ops mesh the chain lowers per-shard via shard_map
     (batch on the data axis, weight grads summed across shards) — must equal
@@ -178,6 +179,7 @@ def test_mesh_sharded_matches_unsharded():
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_train_step_with_fused_bottleneck():
     """End-to-end through build_train_step: the donated jitted step trains
     a Bottleneck ResNet with the fused chain enabled and reduces the loss."""

@@ -125,6 +125,7 @@ class TestResNetPlumbing:
                 classes=["a", "b"], input_size=(16, 16), dtype=jnp.float32)
 
 
+@pytest.mark.slow
 class TestTrajectory:
     def test_ghost_trajectory_tracks_exact(self):
         """Accuracy evidence at test scale: ghost-BN training follows the
@@ -168,6 +169,7 @@ class TestTrajectory:
         assert np.abs(exact - ghost).mean() < 0.2, (exact, ghost)
 
 
+@pytest.mark.slow
 def test_bf16_master_trajectory_tracks_exact():
     """bf16 master weights (max-throughput tier knob, measured NEGATIVE on
     chip — PERF.md r4): still must train correctly. Same small problem as
