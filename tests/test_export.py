@@ -384,3 +384,24 @@ class TestTorchOnnxFallback:
             y = loaded(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
         ours = np.asarray(model.apply(model.variables, jnp.asarray(x), train=False))
         np.testing.assert_allclose(y, ours, atol=1e-4, rtol=1e-3)
+
+
+    def test_transformer_torchscript_traces(self, tmp_path):
+        """ViT replica forward traces (static-batch) and reloads — the
+        transformer branch of the torch-replica exporters."""
+        import jax.numpy as jnp
+        import torch
+
+        from nkbx.export.torch_onnx import export_torchscript_via_torch
+        from nkbx.models import get_model
+
+        model = get_model({"task": "single", "model": "vit_tiny_patch16_224",
+                           "pretrained": False}, ["a", "b"],
+                          input_size=(224, 224), dtype=jnp.float32)
+        out, _ = export_torchscript_via_torch(
+            model, "vit_tiny_patch16_224", tmp_path / "vit.pt",
+            (1, 224, 224, 3), verify_atol=1e-4)
+        m = torch.jit.load(str(out))
+        with torch.no_grad():
+            y = m(torch.randn(1, 3, 224, 224))
+        assert tuple(y.shape) == (1, 2)
