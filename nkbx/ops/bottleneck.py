@@ -29,8 +29,11 @@ contribution is emitted as per-tile du1 halo rows, folded in with one cheap
 XLA scatter-add outside the kernel.
 
 Stage geometry is gated by a static VMEM model (:func:`chain_tile`):
-ResNet-50 @224 stages 1-3 fit (tile rows 896/784/392); stage 4's 3x3x512x512
-weights + f32 grads alone exceed VMEM, so it stays on XLA (5.7% of traffic).
+ResNet-50 @224 at ghost_bn=2 fits stages 1-3 with row bands th=8/7/2 (tile
+rows 896/392/56); stage 4's 3x3x512x512 weights + f32 grad accumulators
+alone exceed VMEM, so it stays on XLA (5.7% of traffic). Measured on chip
+the kernel LOSES 3-6x to XLA at every stage (PERF.md round-4 post-mortem) —
+it ships as a tested, gated opt-in documenting that conclusion.
 
 Numerics: matmuls accumulate f32 (``preferred_element_type``), BN stats and
 normalization in f32, activations bf16 between ops — the same staging as the

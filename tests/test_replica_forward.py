@@ -23,6 +23,7 @@ CASES = [
     ("resnet14t", 32, 2e-5),            # tiered stem, bottleneck
     ("seresnext50_32x4d", 32, 2e-5),    # SE + grouped
     ("mobilenetv3_large_100", 64, 2e-5),
+    ("mobilenetv3_small_100", 64, 2e-5),   # SE on the first DS block, "hs" earlier
     ("efficientnet_b0", 64, 2e-5),
     ("efficientnetv2_s", 64, 2e-5),
     ("densenet121", 64, 2e-5),
