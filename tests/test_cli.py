@@ -169,6 +169,31 @@ class TestCLIWorkflow:
         probs = np.asarray(mod(np.random.default_rng(0).random((4, 32, 32, 3), dtype=np.float32)))
         assert probs.shape == (4, 2)
 
+    def test_export_cli_torchscript_and_onnx(self, workspace):
+        """--to torchscript / --to onnx through the torch replica path: real
+        .pt / .onnx artifacts from the trained checkpoint (tf2onnx absent in
+        this environment exercises the fallback branch)."""
+        out = workspace / "export_torch"
+        w = str(workspace / "runs" / "cli_run" / "weights" / "last")
+        _run(["export.py", "-cfg", str(workspace / "train_config.py"),
+              "--to", "torchscript", "-w", w,
+              "--input-shape", "1", "32", "32", "3", "--save_path", str(out)])
+        import torch
+
+        extra = {"config.txt": ""}
+        m = torch.jit.load(str(out / "last.pt"), _extra_files=extra)
+        with torch.no_grad():
+            y = m(torch.randn(2, 3, 32, 32))
+        assert tuple(y.shape) == (2, 2) and extra["config.txt"]
+
+        r = _run(["export.py", "-cfg", str(workspace / "train_config.py"),
+                  "--to", "onnx", "-w", w,
+                  "--input-shape", "1", "32", "32", "3", "--save_path", str(out)])
+        onnx_path = out / "last.onnx"
+        assert onnx_path.exists() and onnx_path.stat().st_size > 100_000
+        assert (out / "last.onnx.json").exists()
+        assert "onnx export success" in r.stdout
+
     def test_export_cli_fused_requires_static(self, workspace):
         """--fused-attention with symbolic shapes is refused up front."""
         r = subprocess.run(
