@@ -107,9 +107,22 @@ class Evaluator:
 
         self.classifier = None
         if classification_model_path is not None:
-            from nkbx.export import TPUServingModule
+            if str(classification_model_path).endswith(".pt"):
+                # TorchScript classifier — the artifact type the REFERENCE's
+                # det_cls_val consumes (its :86-109 torch.jit.load), which
+                # export.py --to torchscript now emits: evaluate the exact
+                # file you deploy on a torch stack. NCHW, CPU. (Transformer
+                # traces are static-batch; CNN traces are batch-generic.)
+                import torch
 
-            self.classifier = TPUServingModule(classification_model_path)
+                self._torch_classifier = torch.jit.load(
+                    str(classification_model_path), map_location="cpu")
+                self._torch_classifier.eval()
+                self.classifier = self._classify_torch
+            else:
+                from nkbx.export import TPUServingModule
+
+                self.classifier = TPUServingModule(classification_model_path)
 
             import nkbx.transforms as T
 
@@ -171,6 +184,17 @@ class Evaluator:
         for img, g in df.groupby("image_path"):
             by_img[str(Path(img))] = g[["xmin", "ymin", "xmax", "ymax", "conf", "detection_label"]].values
         return by_img
+
+    def _classify_torch(self, batch_nhwc):
+        import torch
+
+        x = torch.tensor(np.transpose(
+            np.asarray(batch_nhwc, dtype=np.float32), (0, 3, 1, 2)))
+        with torch.no_grad():
+            out = self._torch_classifier(x)
+        if isinstance(out, (tuple, list)):  # multi-task traces return tuples
+            out = out[0]
+        return out.numpy()
 
     def classify_crops(self, image_path, boxes_n):
         """Batch-classify normalized-coords crops through the serving bundle
@@ -468,7 +492,9 @@ def main():
                         help="precomputed detections CSV (image_path, xmin..ymax normalized, conf, detection_label)")
     parser.add_argument("--detector_single_class", action="store_true")
     parser.add_argument("--weights_classifier", type=str, default=None,
-                        help="nkbx .nkbx serving bundle for the classifier")
+                        help="classifier artifact: an nkbx .nkbx serving "
+                             "bundle, or a .pt TorchScript file (what the "
+                             "reference consumes; export.py --to torchscript)")
     parser.add_argument("--iou_threshold", type=float, default=0.5, help="match IoU")
     parser.add_argument("--img_size", type=int, default=192)
     parser.add_argument("--nms_iou_threshold", type=float, default=0.2)

@@ -102,3 +102,50 @@ class TestEvalMath:
         assert (out / "predictions.csv").exists()
         assert (out / "gt.csv").exists()
         assert (out / "metrics.csv").exists()
+
+
+class TestTorchScriptClassifier:
+    def test_det_cls_with_pt_classifier(self, tmp_path):
+        """--weights_classifier accepts the reference's own artifact type:
+        a TorchScript .pt (export.py --to torchscript). det+cls metrics are
+        produced end-to-end with the torch classifier on the crops."""
+        import cv2
+        import jax.numpy as jnp
+
+        from nkbx.export.torch_onnx import export_torchscript_via_torch
+        from nkbx.models import get_model
+
+        root = tmp_path / "dv"
+        (root / "val" / "images").mkdir(parents=True)
+        (root / "val" / "labels").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            cv2.imwrite(str(root / "val" / "images" / f"{i}.jpg"),
+                        rng.integers(0, 255, (100, 100, 3), dtype=np.uint8))
+            (root / "val" / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+        img0 = str(root / "val" / "images" / "0.jpg")
+        det = root / "det.csv"
+        det.write_text("image_path,xmin,ymin,xmax,ymax,conf,detection_label\n"
+                       f"{img0},0.3,0.3,0.7,0.7,0.9,0\n")
+        cfg = {"path": str(root), "val": "val/images", "nc": 1, "names": ["obj"]}
+
+        model = get_model({"task": "single", "model": "resnet_tiny_test",
+                           "pretrained": False}, ["obj"],
+                          input_size=(32, 32), dtype=jnp.float32)
+        pt, _ = export_torchscript_via_torch(
+            model, "resnet_tiny_test", tmp_path / "cls.pt", (1, 32, 32, 3),
+            verify_atol=1e-4)
+
+        ev = Evaluator(dataset_cfg=cfg, detections_csv=str(det),
+                       classification_model_path=str(pt), cls_inf_size=32,
+                       min_det_conf_threshold=0.1, match_iou=0.5)
+        out = tmp_path / "out"
+        out.mkdir()
+        res = ev.eval(out)
+        m = res["metrics"]
+        assert "det_cls_pr" in m.columns
+        # the single-class classifier labels the one matched crop class 0 ->
+        # det+cls TP; 2 GT with 1 detection -> recall 0.5 (a wrong class
+        # would drop it to 0)
+        assert m.iloc[0]["det_cls_recall"] == pytest.approx(0.5, abs=1e-3)
+        assert (out / "metrics.csv").exists()
