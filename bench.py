@@ -172,8 +172,20 @@ def _watchdog() -> None:
                   "cold compile cache? child left running to warm the "
                   "persistent cache for the next capture)")
         return
-    out_f.seek(0)
-    out = out_f.read()
+    # child exited: its output files are no longer needed after reading
+    # (only the orphaned deadline-exceeded child keeps writing to them)
+    try:
+        out_f.seek(0)
+        out = out_f.read()
+        err_f.seek(0)
+        err_tail = err_f.read().strip().splitlines()
+    finally:
+        for f in (out_f, err_f):
+            try:
+                f.close()
+                os.unlink(f.name)
+            except OSError:
+                pass
     for line in reversed(out.splitlines()):
         if line.startswith("{"):
             print(line)
@@ -181,9 +193,7 @@ def _watchdog() -> None:
     cause = ("TPU backend unavailable (tunnel down)"
              if not _backend_alive(probe_s)
              else f"measurement child exited rc={p.returncode} without a JSON line")
-    err_f.seek(0)
-    tail = err_f.read().strip().splitlines()
-    _fallback(cause + (f" (stderr tail: {tail[-1][:200]})" if tail else ""))
+    _fallback(cause + (f" (stderr tail: {err_tail[-1][:200]})" if err_tail else ""))
 
 
 if __name__ == "__main__":

@@ -152,13 +152,20 @@ def main(args):
                                   dynamic_batch=(args.dynamic != "none"), dtype=dtype,
                                   opset=args.opset, simplify=args.sim)
         except (RuntimeError, ImportError) as e:
-            # tf2onnx/onnx absent (RuntimeError from export_onnx's recipe) OR
-            # tensorflow itself absent (ImportError from export_savedmodel —
-            # the torch-only environment the replica exporter exists for):
-            # fall back to the torch replica exporter
-            # (reverse-converted weights + runnable torch_ref replica —
-            # forward-parity-verified before writing; NCHW graph, the
-            # reference's own ONNX contract). Needs torch only.
+            # Fall back to the torch replica exporter ONLY when the tf2onnx
+            # recipe is genuinely unavailable (tensorflow or tf2onnx absent);
+            # if both import fine, the failure is a real export error and must
+            # surface — not be masked as "not installed".
+            try:
+                import tensorflow  # noqa: F401
+                import tf2onnx  # noqa: F401
+            except Exception:
+                pass  # recipe unavailable: take the replica fallback below
+            else:
+                raise
+            # torch replica exporter: reverse-converted weights + runnable
+            # torch_ref replica — forward-parity-verified before writing;
+            # NCHW graph, the reference's own ONNX contract. Needs torch only.
             try:
                 from nkbx.export.torch_onnx import export_onnx_via_torch
 
@@ -166,8 +173,8 @@ def main(args):
                     model, model_cfg["model"], out, args.input_shape,
                     metadata=metadata, dynamic_batch=(args.dynamic != "none"),
                     opset=args.opset)
-                print("NOTE: tf2onnx not installed — exported through the "
-                      "torch replica path (NCHW inputs) instead")
+                print(f"NOTE: tf2onnx path unavailable ({e}) — exported "
+                      "through the torch replica path (NCHW inputs) instead")
             except ImportError:
                 raise e from None
         print(f"onnx export success, saved as {path}")

@@ -118,6 +118,36 @@ class Evaluator:
                 self._torch_classifier = torch.jit.load(
                     str(classification_model_path), map_location="cpu")
                 self._torch_classifier.eval()
+                # Probe batch flexibility once at load: transformer replica
+                # traces are STATIC-batch (their reshapes constant-fold), so a
+                # variable-size crop batch would crash mid-evaluation. Tiny
+                # forwards at bs=1 and bs=2 decide: both pass -> batch-generic
+                # (CNNs); one fails -> scan for the traced batch size (shape
+                # metadata does not survive jit.save) and pad/chunk every
+                # classify call to it.
+                def _probe(bs):
+                    try:
+                        with torch.no_grad():
+                            out = self._torch_classifier(torch.zeros(
+                                bs, 3, cls_inf_size, cls_inf_size))
+                        if isinstance(out, (tuple, list)):
+                            out = out[0]
+                        return out.shape[0] == bs
+                    except RuntimeError:
+                        return False
+
+                self._torch_trace_batch = None
+                if not (_probe(1) and _probe(2)):
+                    trace_b = next((b for b in range(1, 1025) if _probe(b)), None)
+                    if trace_b is None:
+                        raise RuntimeError(
+                            f"TorchScript classifier {classification_model_path} "
+                            f"rejects every batch size 1..1024 at spatial size "
+                            f"{cls_inf_size} — was it traced at a different "
+                            f"input size? Re-export with --to torchscript "
+                            f"--input-shape B {cls_inf_size} {cls_inf_size} 3 "
+                            f"(spatial size must match --cls_inf_size)")
+                    self._torch_trace_batch = trace_b
                 self.classifier = self._classify_torch
             else:
                 from nkbx.export import TPUServingModule
@@ -190,11 +220,27 @@ class Evaluator:
 
         x = torch.tensor(np.transpose(
             np.asarray(batch_nhwc, dtype=np.float32), (0, 3, 1, 2)))
+        trace_b = self._torch_trace_batch
         with torch.no_grad():
-            out = self._torch_classifier(x)
-        if isinstance(out, (tuple, list)):  # multi-task traces return tuples
-            out = out[0]
-        return out.numpy()
+            if trace_b is None:  # batch-generic trace (CNN backbones)
+                out = self._torch_classifier(x)
+                if isinstance(out, (tuple, list)):  # multi-task traces
+                    out = out[0]
+                return out.numpy()
+            # static-batch trace (transformer replicas): pad/chunk the crop
+            # batch to the traced size, slice the real rows back out
+            outs = []
+            for i in range(0, x.shape[0], trace_b):
+                chunk = x[i:i + trace_b]
+                k = chunk.shape[0]
+                if k < trace_b:
+                    chunk = torch.cat(
+                        [chunk, chunk.new_zeros((trace_b - k, *chunk.shape[1:]))])
+                out = self._torch_classifier(chunk)
+                if isinstance(out, (tuple, list)):
+                    out = out[0]
+                outs.append(out[:k])
+        return torch.cat(outs).numpy()
 
     def classify_crops(self, image_path, boxes_n):
         """Batch-classify normalized-coords crops through the serving bundle

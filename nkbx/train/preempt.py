@@ -25,8 +25,29 @@ _requested = False
 
 
 def requested() -> bool:
-    """True once a termination signal has been received."""
+    """True once a termination signal has been received (THIS host only)."""
     return _requested
+
+
+def agreed() -> bool:
+    """Global preemption decision (multi-host-safe).
+
+    Signal delivery is per-host: if the SIGTERM lands while one host is past
+    its epoch-boundary check, honoring the LOCAL flag would make that host
+    break out of the epoch loop while the others enter the next epoch and
+    hang on its first collective. So every host unconditionally all-gathers
+    its 0/1 flag here and all take the OR — identical branch on every host.
+    Single-process: just the local flag (no collective).
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return _requested
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(_requested, np.int32))
+    return bool(np.asarray(flags).any())
 
 
 def reset() -> None:

@@ -183,10 +183,12 @@ def train(
 
         from nkbx.train import preempt
 
-        if preempt.requested():
+        if preempt.agreed():
             # multi-host runs honor the signal at the epoch boundary (a
             # per-host mid-epoch break would desynchronize the collectives);
-            # the full-epoch last checkpoint was just saved above
+            # agreed() OR-reduces the per-host flags so every host takes the
+            # same branch even when signal delivery straddles the check; the
+            # full-epoch last checkpoint was just saved above
             print(f"[nkbx] preemption signal received: stopping after epoch "
                   f"{epoch}; resume with --resume {model_path / 'last'}")
             break

@@ -149,3 +149,71 @@ class TestTorchScriptClassifier:
         # would drop it to 0)
         assert m.iloc[0]["det_cls_recall"] == pytest.approx(0.5, abs=1e-3)
         assert (out / "metrics.csv").exists()
+
+    def test_static_batch_pt_classifier_chunks(self, tmp_path):
+        """A STATIC-batch trace (transformer replicas: reshapes constant-fold
+        to the traced batch) must not crash on a crop batch of a different
+        size — the evaluator probes flexibility at load and pads/chunks."""
+        import torch
+
+        class StaticNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.fc = torch.nn.Linear(3 * 32 * 32, 2)
+
+            def forward(self, x):
+                # python-int reshape: constant-folds the batch dim in a trace
+                return self.fc(x.reshape(4, -1))
+
+        net = StaticNet().eval()
+        traced = torch.jit.trace(net, torch.zeros(4, 3, 32, 32))
+        pt = tmp_path / "static.pt"
+        torch.jit.save(traced, str(pt))
+        # sanity: the artifact really is static-batch
+        with pytest.raises(RuntimeError):
+            traced(torch.zeros(1, 3, 32, 32))
+
+        cfg = {"path": str(tmp_path), "val": "val/images", "nc": 2,
+               "names": ["a", "b"]}
+        import cv2
+
+        (tmp_path / "val" / "images").mkdir(parents=True)
+        (tmp_path / "val" / "labels").mkdir(parents=True)
+        cv2.imwrite(str(tmp_path / "val" / "images" / "0.jpg"),
+                    np.zeros((64, 64, 3), dtype=np.uint8))
+        (tmp_path / "val" / "labels" / "0.txt").write_text("0 0.5 0.5 0.5 0.5\n")
+        det = tmp_path / "det.csv"
+        img0 = str(tmp_path / "val" / "images" / "0.jpg")
+        # 3 detections (!= traced batch 4) exercises the pad path; 5 would
+        # exercise chunking — cover both via two images
+        cv2.imwrite(str(tmp_path / "val" / "images" / "1.jpg"),
+                    np.zeros((64, 64, 3), dtype=np.uint8))
+        (tmp_path / "val" / "labels" / "1.txt").write_text("0 0.5 0.5 0.5 0.5\n")
+        img1 = str(tmp_path / "val" / "images" / "1.jpg")
+        rows = ["image_path,xmin,ymin,xmax,ymax,conf,detection_label"]
+        for k in range(3):
+            rows.append(f"{img0},0.{2+k},0.2,0.{6+k//2},0.6,0.9,0")
+        for k in range(5):
+            rows.append(f"{img1},0.1,0.{1+k},0.5,0.{5+k//2},0.9,0")
+        det.write_text("\n".join(rows) + "\n")
+
+        ev = Evaluator(dataset_cfg=cfg, detections_csv=str(det),
+                       classification_model_path=str(pt), cls_inf_size=32,
+                       min_det_conf_threshold=0.1, match_iou=0.5)
+        assert ev._torch_trace_batch == 4
+        # direct check: 3-crop and 5-crop batches both classify, and the
+        # chunk/pad result equals running the rows through the trace at bs=4
+        for n in (3, 5):
+            batch = np.random.default_rng(n).normal(size=(n, 32, 32, 3))
+            got = ev._classify_torch(batch)
+            x = torch.tensor(np.transpose(batch, (0, 3, 1, 2)),
+                             dtype=torch.float32)
+            pad = torch.cat([x, x.new_zeros((-len(x)) % 4, 3, 32, 32)])
+            with torch.no_grad():
+                want = torch.cat([traced(pad[i:i + 4]) for i in
+                                  range(0, len(pad), 4)])[:n].numpy()
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+        out = tmp_path / "out"
+        out.mkdir()
+        res = ev.eval(out)  # end-to-end: no crash on variable crop counts
+        assert "det_cls_pr" in res["metrics"].columns

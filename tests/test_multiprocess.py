@@ -443,6 +443,57 @@ def swin_lockstep_runs(tmp_path_factory):
     return runs, out
 
 
+PREEMPT_WORKER = """
+import json, os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; out_dir = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+from nkbx.train import preempt
+
+preempt.reset()
+# neither host flagged: both must agree False (the collective still runs on
+# both hosts — identical branch structure is the whole point)
+clear = preempt.agreed()
+# only host 1 receives the "signal": both must agree True (OR-reduction)
+if pid == 1:
+    preempt._handler(None, None)
+flagged = preempt.agreed()
+with open(os.path.join(out_dir, f"pre{pid}.json"), "w") as f:
+    json.dump({"clear": clear, "flagged": flagged}, f)
+"""
+
+
+class TestPreemptAgreedAcrossProcesses:
+    def test_one_sided_sigterm_is_agreed_by_all(self, tmp_path):
+        """VERDICT r4 / ADVICE medium: a SIGTERM delivered to ONE host must
+        make EVERY host take the stop branch (otherwise the flagged host
+        breaks out while the others hang on the next epoch's collective)."""
+        script = tmp_path / "pre_worker.py"
+        script.write_text(PREEMPT_WORKER)
+        port = _free_port()
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+        procs = [
+            subprocess.Popen([sys.executable, str(script), str(pid), str(port),
+                              str(tmp_path)],
+                             env=env, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True)
+            for pid in (0, 1)
+        ]
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=560)
+            assert p.returncode == 0, f"STDOUT:{stdout[-2000:]}\nSTDERR:{stderr[-3000:]}"
+        runs = [json.loads((tmp_path / f"pre{i}.json").read_text()) for i in (0, 1)]
+        assert runs[0] == runs[1] == {"clear": False, "flagged": True}
+
+
 class TestFusedAttentionAcrossProcesses:
     def test_hosts_agree(self, swin_lockstep_runs):
         (a, b), _ = swin_lockstep_runs

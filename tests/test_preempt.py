@@ -34,6 +34,17 @@ class TestPreemptModule:
         assert not preempt.requested()
         signal.signal(signal.SIGTERM, signal.SIG_DFL)
 
+    def test_agreed_single_process(self):
+        """Single-process agreed() is the local flag with no collective; the
+        multi-host OR-reduction is exercised in tests/test_multiprocess.py."""
+        from nkbx.train import preempt
+
+        preempt.reset()
+        assert not preempt.agreed()
+        preempt._handler(signal.SIGTERM, None)
+        assert preempt.agreed()
+        preempt.reset()
+
 
 def _env():
     env = dict(os.environ)
