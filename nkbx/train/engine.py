@@ -28,6 +28,7 @@ from nkbx.train.optim import (
     apply_coupled_wd,
     mask_frozen_grads,
     scale_updates,
+    select_frozen_opt_state,
 )
 from nkbx.train.state import TrainState
 
@@ -82,9 +83,18 @@ def _bind_augment(module, augment_fn, train: bool):
 def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
                      log_gradients: bool = False, masked_bn: bool = False,
                      scan_steps: int = 1, grad_accum_steps: int = 1,
-                     ema_decay: float = 0.0, mixup: dict | None = None):
+                     ema_decay: float = 0.0, mixup: dict | None = None,
+                     freeze_semantics: str = "decay"):
     """Returns jitted (state, image_u8, label, mask, key, lr_factor, freeze_scale)
     -> (state, metrics).
+
+    ``freeze_semantics`` governs the optimizer moments while the backbone is
+    frozen (``freeze_scale=0``): ``"decay"`` (default) feeds zero gradients,
+    so Adam moments decay toward zero during the freeze; ``"torch"``
+    reproduces torch exactly — frozen params are skipped, their moments and
+    bias-correction step count stay stale until unfreeze (reference
+    model.py:59-64 requires_grad semantics). Both are one compiled program
+    across freeze/unfreeze flips.
 
     ``masked_bn=True`` weights padded batch rows out of BatchNorm batch
     statistics (use when the loader may pad, i.e. ``drop_last=False``): the
@@ -109,6 +119,9 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
     if scan_steps > 1 and grad_accum_steps > 1:
         raise ValueError("steps_per_dispatch and grad_accum_steps are mutually "
                          "exclusive (unvalidated metric-stacking interaction)")
+    if freeze_semantics not in ("decay", "torch"):
+        raise ValueError(f"freeze_semantics must be 'decay' or 'torch', "
+                         f"got {freeze_semantics!r}")
     module = model.module
     augment = _bind_augment(module, augment_fn, train=True)
     inner_mass = getattr(getattr(criterion, "criterion", None), "_mass_fn", None)
@@ -230,6 +243,11 @@ def build_train_step(model, criterion, bundle: OptimizerBundle, augment_fn=None,
         grads = apply_coupled_wd(grads, state.params, bundle.coupled_wds)
         grads = mask_frozen_grads(grads, freeze_scale)
         updates, new_opt_state = bundle.tx.update(grads, state.opt_state, state.params)
+        if freeze_semantics == "torch":
+            # torch-exact: while frozen, the backbone group's moments and step
+            # count keep their pre-step values (torch skips frozen params)
+            new_opt_state = select_frozen_opt_state(
+                new_opt_state, state.opt_state, freeze_scale)
         updates = scale_updates(updates, state.params, bundle.lrs, lr_factor, freeze_scale)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params

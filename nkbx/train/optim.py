@@ -126,6 +126,29 @@ def mask_frozen_grads(grads, freeze_scale):
     )
 
 
+def select_frozen_opt_state(new_state, old_state, freeze_scale):
+    """torch-exact freeze (config ``freeze_semantics = "torch"``).
+
+    torch's optimizers SKIP ``requires_grad=False`` params entirely
+    (reference model.py:59-64 freeze + utils.py:10-28 groups): their Adam
+    moments go STALE during a freeze and the per-param step count stops, so
+    bias correction resumes where it left off at unfreeze. The default nkbx
+    semantics instead feed zero gradients, which decays the moments toward
+    zero. This helper realizes the torch behavior without optimizer-state
+    surgery: after ``tx.update`` runs, the backbone group's state (moments AND
+    step count) is restored to its pre-step values whenever ``freeze_scale``
+    (a traced 0/1 scalar) is 0 — one compiled program for both phases.
+    """
+    import jax.numpy as jnp
+
+    frozen = freeze_scale == 0
+    inner = dict(new_state.inner_states)
+    inner["backbone"] = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(frozen, o, n),
+        new_state.inner_states["backbone"], old_state.inner_states["backbone"])
+    return new_state._replace(inner_states=inner)
+
+
 def apply_coupled_wd(grads, params, coupled_wds: dict):
     """torch-style coupled weight decay: grad += wd_group * param.
 

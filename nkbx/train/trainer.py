@@ -100,6 +100,9 @@ def train(
         grad_accum_steps=int(getattr(cfg, "grad_accum_steps", 1) or 1),
         ema_decay=ema_decay,
         mixup=mixup_cfg,
+        # freeze_semantics = "torch": frozen backbone keeps stale Adam moments
+        # exactly as torch does (default "decay" zeroes grads into the moments)
+        freeze_semantics=getattr(cfg, "freeze_semantics", "decay"),
     )
     eval_step = build_eval_step(model, criterion, augment_fn=augment_val)
 

@@ -127,6 +127,61 @@ class TestOptimizerParity:
         with pytest.raises(NotImplementedError):
             get_optimizer(_fake_params(), {"type": "lion"})
 
+    def test_torch_freeze_keeps_moments_stale(self):
+        """freeze_semantics="torch" (select_frozen_opt_state): frozen backbone
+        moments AND step count keep their pre-freeze values exactly — torch
+        skips requires_grad=False params; the default semantics decay mu by
+        beta1 per frozen step instead. Both leave the params untouched."""
+        from nkbx.train.optim import select_frozen_opt_state
+
+        params, grads = _fake_params(), _fake_grads()
+        bundle = get_optimizer(params, {"type": "adam", "lr": 1e-2})
+        opt_state = bundle.tx.init(params)
+        # 2 warm-up steps build nonzero moments
+        for _ in range(2):
+            g = mask_frozen_grads(grads, 1.0)
+            updates, opt_state = bundle.tx.update(g, opt_state, params)
+            params = optax.apply_updates(
+                params, scale_updates(updates, params, bundle.lrs,
+                                      jnp.asarray(1.0), jnp.asarray(1.0)))
+
+        def backbone_adam(s):
+            a = s.inner_states["backbone"].inner_state
+            return (np.asarray(a.count),
+                    np.asarray(a.mu["backbone"]["Conv_0"]["kernel"]),
+                    np.asarray(a.nu["backbone"]["Conv_0"]["kernel"]))
+
+        count0, mu0, nu0 = backbone_adam(opt_state)
+        assert count0 == 2 and np.abs(mu0).max() > 0
+
+        # 3 frozen steps under BOTH semantics from the same snapshot
+        for semantics in ("torch", "decay"):
+            st, ps = opt_state, params
+            for _ in range(3):
+                g = mask_frozen_grads(grads, 0.0)
+                updates, new_st = bundle.tx.update(g, st, ps)
+                if semantics == "torch":
+                    new_st = select_frozen_opt_state(new_st, st, jnp.asarray(0.0))
+                st = new_st
+                ps = optax.apply_updates(
+                    ps, scale_updates(updates, ps, bundle.lrs,
+                                      jnp.asarray(1.0), jnp.asarray(0.0)))
+            np.testing.assert_array_equal(
+                np.asarray(ps["backbone"]["Conv_0"]["kernel"]),
+                np.asarray(params["backbone"]["Conv_0"]["kernel"]))
+            count, mu, nu = backbone_adam(st)
+            if semantics == "torch":
+                assert count == 2  # step count stops, like torch's per-param step
+                np.testing.assert_array_equal(mu, mu0)
+                np.testing.assert_array_equal(nu, nu0)
+                # classifier group is untouched by the selection: it advanced
+                cl = st.inner_states["classifier"].inner_state
+                assert np.asarray(cl.count) == 5
+            else:
+                assert count == 5
+                np.testing.assert_allclose(mu, mu0 * 0.9 ** 3, rtol=1e-6)
+                np.testing.assert_allclose(nu, nu0 * 0.999 ** 3, rtol=1e-6)
+
 
 class TestSchedules:
     def test_step(self):
