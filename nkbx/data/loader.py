@@ -208,8 +208,15 @@ class DataLoader:
         key = "path" if isinstance(first, str) else "label"
         return {"image": images, key: labels, "mask": mask}
 
-    def epoch(self, epoch: int):
-        """Iterate one epoch's batches with background prefetch."""
+    def epoch(self, epoch: int, start_batch: int = 0):
+        """Iterate one epoch's batches with background prefetch.
+
+        ``start_batch > 0`` resumes the epoch mid-way (preemption cursor,
+        nkbx/train/preempt.py): the first ``start_batch`` chunks of the
+        epoch's deterministic permutation are skipped without being decoded —
+        every sampler is a pure function of (seed, epoch), so the remaining
+        batch sequence is bit-identical to an uninterrupted run's suffix.
+        """
         indices = self._local_indices(epoch)
         bs = self.batch_size
         n_full = len(indices) // bs
@@ -217,6 +224,8 @@ class DataLoader:
         rem = indices[n_full * bs:]
         if len(rem) and not self.drop_last:
             chunks.append(rem)
+        if start_batch:
+            chunks = chunks[start_batch:]
         if not chunks:
             return
 

@@ -48,13 +48,20 @@ def _sync(tag: str):
         multihost_utils.sync_global_devices(tag)
 
 
-def save_checkpoint(path, state, epoch: int, best_val_acc: float = 0.0):
+def save_checkpoint(path, state, epoch: int, best_val_acc: float = 0.0,
+                    cursor: dict | None = None):
     """Crash-safe save: write to <path>.tmp, then atomically swap into place.
 
     The previous checkpoint stays intact until the new one is fully written
     (a preemption mid-save must never destroy the only resumable state). On
     multi-host runs, Orbax coordinates the save itself; the directory swap is
     done by process 0 between global barriers.
+
+    ``cursor`` is the mid-epoch preemption cursor ({"epoch", "batch",
+    "step", "batch_size", "process_count"}), written as an atomic sidecar
+    ``<path>.cursor.json``; ``None`` (every end-of-epoch save) clears any
+    stale sidecar. The sidecar pins the train-state ``step`` it was written
+    against, so a cursor that doesn't match its checkpoint self-invalidates.
     """
     path = Path(path).resolve()
     tmp = path.with_name(path.name + ".tmp")
@@ -68,7 +75,30 @@ def save_checkpoint(path, state, epoch: int, best_val_acc: float = 0.0):
         if path.exists():
             shutil.rmtree(path)
         tmp.rename(path)
+        cursor_path = path.with_name(path.name + ".cursor.json")
+        if cursor is None:
+            cursor_path.unlink(missing_ok=True)
+        else:
+            import json
+
+            ctmp = cursor_path.with_suffix(".json.tmp")
+            ctmp.write_text(json.dumps(cursor))
+            ctmp.rename(cursor_path)
     _sync("nkbx_ckpt_done")
+
+
+def load_cursor(path) -> dict | None:
+    """Read the mid-epoch preemption cursor sidecar, if present and parseable."""
+    import json
+
+    cursor_path = Path(path).resolve()
+    cursor_path = cursor_path.with_name(cursor_path.name + ".cursor.json")
+    if not cursor_path.exists():
+        return None
+    try:
+        return json.loads(cursor_path.read_text())
+    except (OSError, ValueError):
+        return None
 
 
 def restore_train_state(path, state_template, epoch: int = 0):

@@ -611,8 +611,17 @@ def train_epoch(
     mesh=None,
     progress: bool = True,
     cfg=None,
+    start_batch: int = 0,
 ):
-    """One training epoch; returns (state, epoch_results)."""
+    """One training epoch; returns (state, epoch_results).
+
+    ``start_batch > 0`` continues a preempted epoch from its cursor (the
+    loader skips the already-trained prefix of the epoch's deterministic
+    permutation). The returned ``epoch_results["consumed_batches"]`` counts
+    the total batches of this epoch consumed so far (``start_batch`` + those
+    dispatched here) — the trainer persists it as the preemption cursor.
+    Metrics of a resumed epoch cover only the remaining batches.
+    """
     # declare the mesh BEFORE the step traces: the fused Pallas attention
     # must lower through shard_map on multi-device meshes (GSPMD cannot
     # partition pallas_call). SCOPED to this epoch — restored on return, so
@@ -623,11 +632,12 @@ def train_epoch(
     with attention_mesh(mesh):
         return _train_epoch_inner(
             state, train_loader, train_step, epoch, key, lr_factor,
-            freeze_scale, epoch_logger, mesh, progress, cfg)
+            freeze_scale, epoch_logger, mesh, progress, cfg, start_batch)
 
 
 def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
-                       freeze_scale, epoch_logger, mesh, progress, cfg):
+                       freeze_scale, epoch_logger, mesh, progress, cfg,
+                       start_batch=0):
     import jax as _jax
 
     from nkbx.core import Throughput
@@ -640,11 +650,15 @@ def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
     # per-chip rate from LOCAL images over LOCAL chips (each host feeds its own)
     tp = Throughput(n_chips=_jax.local_device_count())
 
-    it = train_loader.epoch(epoch)
+    # start_batch passed positionally only when resuming, so simple fake
+    # loaders with an epoch(e) signature keep working
+    it = (train_loader.epoch(epoch, start_batch) if start_batch
+          else train_loader.epoch(epoch))
     if progress:
         from tqdm import tqdm
 
-        it = tqdm(it, leave=False, desc="Training", total=len(train_loader))
+        it = tqdm(it, leave=False, desc="Training",
+                  total=len(train_loader) - start_batch)
     show_full = bool(getattr(cfg, "show_full_current_loss_in_terminal", False)) if cfg else False
     task_multi = task == "multi"
     spd = getattr(train_step, "scan_steps", 1)
@@ -740,6 +754,10 @@ def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
     results = logger.get_epoch_results()
     results["throughput"] = tp.snapshot()
     results["preempted"] = preempted
+    # total batches of this epoch consumed (dispatched to the device) so far;
+    # batches buffered for an unfinished scan chunk at preemption are NOT
+    # counted — they re-read on resume
+    results["consumed_batches"] = start_batch + step_i
     return state, results
 
 

@@ -5,10 +5,14 @@ reference's only resilience is checkpoint-every-epoch (train.py:66-73) —
 an epoch can be hours, so a preemption loses it. nkbx installs a SIGTERM
 handler (train.py CLI, config key ``preempt_checkpoint`` — default on) that
 sets a flag; the engine's batch loop breaks at the next step boundary, the
-trainer saves the FULL train state to ``weights/last`` marked so
-``--resume`` restarts the interrupted epoch from its beginning (the
-optimizer/BN state having advanced partway into the epoch is the standard
-replay semantics of epoch-granular resume), and the process exits cleanly.
+trainer saves the FULL train state to ``weights/last`` together with a
+batch-cursor sidecar (``last.cursor.json``), and the process exits cleanly.
+``--resume`` then continues the interrupted epoch EXACTLY where the signal
+hit: every sampler is a pure function of (seed, epoch) and the step PRNG
+folds in the restored global step, so the resumed trajectory is bit-equal
+to an uninterrupted run (tests/test_train_integration.py). A stale or
+geometry-mismatched cursor self-invalidates and the epoch replays from its
+beginning instead.
 
 Multi-host: hosts receive signals independently, and a mid-epoch break at
 different steps would desynchronize the epoch-end collectives — so on

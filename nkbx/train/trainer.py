@@ -14,7 +14,12 @@ from tqdm import tqdm
 
 from nkbx.logging import TrainLogger
 from nkbx.metrics import compute_metrics
-from nkbx.train.checkpoint import restore_train_state, save_checkpoint, save_model_msgpack
+from nkbx.train.checkpoint import (
+    load_cursor,
+    restore_train_state,
+    save_checkpoint,
+    save_model_msgpack,
+)
 from nkbx.train.engine import (
     EpochCollector,
     build_eval_step,
@@ -57,10 +62,32 @@ def train(
     state = TrainState.create(model.params, model.batch_stats, bundle.tx,
                               ema=ema_decay > 0, master_dtype=master_dtype)
 
-    start_epoch, best_val_acc = 0, 0.0
+    start_epoch, best_val_acc, resume_batch = 0, 0.0, 0
     if resume_from is not None:
         state, last_epoch, best_val_acc = restore_train_state(resume_from, state)
         start_epoch = last_epoch + 1
+        # mid-epoch preemption cursor: continue the interrupted epoch exactly
+        # where SIGTERM hit instead of replaying it (the cursor sidecar pins
+        # the state step + loader geometry it was written against, so a stale
+        # or mismatched cursor falls back to epoch-start replay)
+        cur = load_cursor(resume_from)
+        if cur is not None:
+            valid = (cur.get("step") == int(jax.device_get(state.step))
+                     and cur.get("epoch") == start_epoch
+                     and cur.get("batch_size") == train_loader.batch_size
+                     and cur.get("process_count") == jax.process_count())
+            if valid:
+                resume_batch = int(cur["batch"])
+                print(f"[nkbx] mid-epoch resume: epoch {start_epoch} "
+                      f"continues at batch {resume_batch} "
+                      f"(metrics for this epoch cover the remaining batches)")
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"preemption cursor at {resume_from} does not match the "
+                    f"checkpoint or loader geometry ({cur}); replaying epoch "
+                    f"{start_epoch} from its beginning")
 
     if mesh is None and getattr(cfg, "fsdp", False):
         raise ValueError("fsdp=True requires a mesh (e.g. mesh = {'data': 8})")
@@ -122,13 +149,23 @@ def train(
             state, train_loader, train_step, epoch, key,
             lr_factor, freeze_scale,
             epoch_logger=EpochCollector(task, metrics_mode), mesh=mesh, cfg=cfg,
+            start_batch=resume_batch if epoch == start_epoch else 0,
         )
         if train_results.get("preempted"):
             # SIGTERM mid-epoch (single process, nkbx/train/preempt.py):
-            # save the FULL train state marked so --resume restarts THIS
-            # epoch from its beginning, then stop cleanly inside the grace
-            # window (skip val/metrics — the epoch is partial)
-            save_checkpoint(model_path / "last", state, epoch - 1, best_val_acc)
+            # save the FULL train state plus a batch cursor so --resume
+            # continues THIS epoch exactly where the signal hit, then stop
+            # cleanly inside the grace window (skip val/metrics — the epoch
+            # is partial)
+            save_checkpoint(
+                model_path / "last", state, epoch - 1, best_val_acc,
+                cursor={
+                    "epoch": epoch,
+                    "batch": int(train_results["consumed_batches"]),
+                    "step": int(jax.device_get(state.step)),
+                    "batch_size": train_loader.batch_size,
+                    "process_count": jax.process_count(),
+                })
             if jax.process_index() == 0:
                 save_model_msgpack(model_path / "last.msgpack", {
                     "params": state.ema_params if ema_decay > 0 else state.params,

@@ -110,6 +110,22 @@ class TestLoader:
         assert not np.array_equal(l0, l1)
         assert np.array_equal(l0, next(iter(loader.epoch(0)))["label"])  # reproducible
 
+    def test_start_batch_resumes_mid_epoch(self, image_folder_dataset):
+        """epoch(e, start_batch=k) yields exactly the suffix of the full
+        iteration — the preemption-cursor contract (nkbx/train/preempt.py)."""
+        ds = ImageFolderDataset(root=image_folder_dataset / "train")  # 24 samples
+        loader = DataLoader(ds, pipeline=PIPE, batch_size=7, shuffle=True,
+                            num_workers=2)
+        full = list(loader.epoch(3))
+        assert len(full) == 4  # 24 = 7+7+7+3(padded)
+        for k in (1, 3, 4):
+            resumed = list(loader.epoch(3, start_batch=k))
+            assert len(resumed) == len(full) - k
+            for a, b in zip(resumed, full[k:]):
+                np.testing.assert_array_equal(a["image"], b["image"])
+                np.testing.assert_array_equal(a["label"], b["label"])
+                np.testing.assert_array_equal(a["mask"], b["mask"])
+
     def test_multihost_sharding_disjoint(self, image_folder_dataset):
         ds = ImageFolderDataset(root=image_folder_dataset / "train")
         seen = []

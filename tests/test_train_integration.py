@@ -144,6 +144,124 @@ class TestTrainEndToEnd:
         assert 0.0 <= best <= 1.0
 
 
+class TestMidEpochResume:
+    """VERDICT r4 #4: a SIGTERM at batch k + --resume must continue the epoch
+    exactly — remaining sample sequence AND final weights equal an
+    uninterrupted run (samplers are pure in (seed, epoch); the step PRNG folds
+    the restored global step)."""
+
+    def _make(self, image_folder_dataset):
+        import jax.numpy as jnp
+
+        from nkbx.data import get_dataset
+        from nkbx.models import get_model
+        from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer
+
+        loader = get_dataset(
+            {"type": "ImageFolder", "root": str(image_folder_dataset / "train"),
+             "batch_size": 8, "shuffle": True, "num_workers": 2,
+             "drop_last": False, "seed": 0}, PIPE)
+        model = get_model(
+            {"task": "single", "model": "resnet_tiny_test", "pretrained": False},
+            loader.dataset.classes, input_size=(32, 32), seed=0,
+            dtype=jnp.float32)
+        criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+        bundle = get_optimizer(model.params, {"type": "adam", "lr": 1e-3})
+        step = build_train_step(model, criterion, bundle,
+                                augment_fn=PIPE.device_apply, masked_bn=True)
+        state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+        return loader, model, step, bundle, state
+
+    def test_resume_bitwise_equals_uninterrupted(self, image_folder_dataset, tmp_path):
+        import jax
+
+        from nkbx.train import preempt, restore_train_state
+        from nkbx.train.checkpoint import load_cursor, save_checkpoint
+        from nkbx.train.engine import train_epoch
+
+        key = jax.random.PRNGKey(0)
+        preempt.reset()
+
+        # run A: two uninterrupted epochs
+        loader, model, step, bundle, state = self._make(image_folder_dataset)
+        for e in range(2):
+            state, _ = train_epoch(state, loader, step, e, key, 1.0, 1.0,
+                                   progress=False)
+        params_a = jax.device_get(state.params)
+        stats_a = jax.device_get(state.batch_stats)
+
+        # run B: epoch 0 full, epoch 1 preempted after 1 of 3 batches
+        loader, model, step, bundle, state = self._make(image_folder_dataset)
+        state, _ = train_epoch(state, loader, step, 0, key, 1.0, 1.0,
+                               progress=False)
+
+        class PreemptingLoader:
+            """Raises the preemption flag while yielding batch `after` — the
+            engine sees it at the loop top and breaks WITHOUT consuming it."""
+            def __init__(self, inner, after):
+                self.inner, self.after = inner, after
+
+            def epoch(self, e, start_batch=0):
+                it = (self.inner.epoch(e, start_batch) if start_batch
+                      else self.inner.epoch(e))
+                for i, b in enumerate(it):
+                    if i == self.after:
+                        preempt._handler(None, None)
+                    yield b
+
+            def __len__(self):
+                return len(self.inner)
+
+        state, res = train_epoch(state, PreemptingLoader(loader, after=1), step,
+                                 1, key, 1.0, 1.0, progress=False)
+        assert res["preempted"] and res["consumed_batches"] == 1
+        preempt.reset()
+        ckpt = tmp_path / "last"
+        save_checkpoint(ckpt, state, 0, 0.0,
+                        cursor={"epoch": 1, "batch": res["consumed_batches"],
+                                "step": int(jax.device_get(state.step)),
+                                "batch_size": loader.batch_size,
+                                "process_count": 1})
+
+        # fresh process-equivalent: rebuild everything, restore, continue
+        loader2, model2, step2, bundle2, template = self._make(image_folder_dataset)
+        restored, last_epoch, _ = restore_train_state(ckpt, template)
+        assert last_epoch == 0
+        cur = load_cursor(ckpt)
+        assert cur["epoch"] == 1 and cur["batch"] == 1
+        state2, res2 = train_epoch(restored, loader2, step2, 1, key, 1.0, 1.0,
+                                   progress=False, start_batch=cur["batch"])
+        assert res2["consumed_batches"] == 3  # 24 samples / bs 8
+
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(params_a),
+                jax.tree_util.tree_leaves_with_path(jax.device_get(state2.params))):
+            np.testing.assert_array_equal(a, b, err_msg=str(ka))
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(stats_a),
+                jax.tree_util.tree_leaves_with_path(jax.device_get(state2.batch_stats))):
+            np.testing.assert_array_equal(a, b, err_msg=str(ka))
+
+    def test_stale_cursor_is_ignored_by_trainer(self, image_folder_dataset, tmp_path):
+        """A cursor whose pinned step/geometry mismatches the checkpoint must
+        fall back to epoch-start replay (warn, not crash)."""
+        import jax
+
+        from nkbx.train.checkpoint import load_cursor, save_checkpoint
+
+        loader, model, step, bundle, state = self._make(image_folder_dataset)
+        ckpt = tmp_path / "last"
+        save_checkpoint(ckpt, state, 0, 0.0,
+                        cursor={"epoch": 1, "batch": 2, "step": 999,
+                                "batch_size": 8, "process_count": 1})
+        cur = load_cursor(ckpt)
+        assert cur is not None and cur["step"] == 999
+        assert cur["step"] != int(jax.device_get(state.step))  # trainer's check
+        # an end-of-epoch save (no cursor) clears the sidecar
+        save_checkpoint(ckpt, state, 1, 0.0)
+        assert load_cursor(ckpt) is None
+
+
 class TestExportServingFlag:
     def test_training_exports_bundles(self, image_folder_dataset, tmp_path):
         import jax.numpy as jnp
