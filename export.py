@@ -185,9 +185,9 @@ def main(args):
         # the reverse-converted (bit-exact) weights, parity-verified first
         from nkbx.export.torch_onnx import export_torchscript_via_torch
 
-        if args.dynamic != "none":
-            print("NOTE: torchscript traces are shape-generic for CNN "
-                  "backbones; transformer replicas are static-batch")
+        if args.dynamic == "all":
+            print("NOTE: torchscript traces are batch-generic for every "
+                  "family; H/W stay static for transformer backbones")
         out = save_dir / f"{stem}.pt"
         path, _ = export_torchscript_via_torch(
             model, model_cfg["model"], out, args.input_shape, metadata=metadata)

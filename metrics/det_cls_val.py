@@ -111,8 +111,9 @@ class Evaluator:
                 # TorchScript classifier — the artifact type the REFERENCE's
                 # det_cls_val consumes (its :86-109 torch.jit.load), which
                 # export.py --to torchscript now emits: evaluate the exact
-                # file you deploy on a torch stack. NCHW, CPU. (Transformer
-                # traces are static-batch; CNN traces are batch-generic.)
+                # file you deploy on a torch stack. NCHW, CPU. (nkbx exports
+                # are batch-generic for every family; the probe below still
+                # handles third-party static-batch traces.)
                 import torch
 
                 self._torch_classifier = torch.jit.load(

@@ -195,18 +195,11 @@ def export_onnx_via_torch(model, backbone_name, out_path, input_shape,
     else:
         output_names = ["output"]  # reference export.py:149 crashes here
                                    # (list(classes.keys()) on a list) — fixed
-    lowered = backbone_name.lower()
-    if dynamic_batch and any(t in lowered for t in ("vit", "swin", "deit",
-                                                    "unicom")):
-        # the transformer replicas' forwards reshape by the traced batch
-        # size, which TorchScript tracing constant-folds — a dynamic-batch
-        # graph would silently break at other batch sizes. CNN families
-        # (conv/pool only) trace batch-polymorphic.
-        print("NOTE: torch-replica ONNX export of a transformer backbone is "
-              "STATIC-batch (traced reshapes); exporting without dynamic "
-              "axes — use --dynamic none to silence, or the tf2onnx path "
-              "for a dynamic-batch transformer graph")
-        dynamic_batch = False
+    # every replica forward — CNN and transformer alike — traces
+    # batch-polymorphic (transformer reshapes keep the batch dim -1 and take
+    # only static dims from x.shape; verified at bs {1,4,16} in
+    # tests/test_cli.py), so dynamic batch axes are declared for all families,
+    # matching the reference's export surface (reference export.py:169-176)
     dyn = ({"images": {0: "batch"},
             **{o: {0: "batch"} for o in output_names}}
            if dynamic_batch else None)

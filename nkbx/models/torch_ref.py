@@ -490,13 +490,17 @@ class _TorchViTBlock(nn.Module):
         self._heads = heads or dim // 64
 
     def forward(self, x):
-        b, n, d = x.shape
+        # batch-polymorphic under torch.jit.trace: only STATIC dims (n, d) are
+        # taken from x.shape (constant-folded, correctly); the batch dim is
+        # always -1, so the traced graph serves any batch size (dynamic-batch
+        # ONNX/TorchScript exports — reference export.py:169-176 contract)
+        n, d = x.shape[1], x.shape[2]
         h = self._heads
         hd = d // h
-        qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, h, hd).permute(2, 0, 3, 1, 4)
+        qkv = self.attn.qkv(self.norm1(x)).reshape(-1, n, 3, h, hd).permute(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         a = torch.softmax((q * hd ** -0.5) @ k.transpose(-2, -1), dim=-1)
-        y = (a @ v).transpose(1, 2).reshape(b, n, d)
+        y = (a @ v).transpose(1, 2).reshape(-1, n, d)
         x = x + self.attn.proj(y)
         y = self.mlp.fc2(nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
         return x + y
@@ -515,9 +519,11 @@ class TimmViT(nn.Module):
         self.head = nn.Linear(dim, 1000)  # dropped
 
     def forward(self, x):
-        b = x.shape[0]
         x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
-        x = torch.cat([self.cls_token.expand(b, -1, -1), x], 1) + self.pos_embed
+        # zeros_like broadcast instead of expand(batch, ...): keeps the trace
+        # batch-polymorphic (an int batch from x.shape would constant-fold)
+        cls = torch.zeros_like(x[:, :1]) + self.cls_token
+        x = torch.cat([cls, x], 1) + self.pos_embed
         x = self.blocks(x)
         return self.norm(x)[:, 0]
 
@@ -541,11 +547,10 @@ class UnicomViTReplica(nn.Module):
             nn.Linear(dim, emb, bias=False), nn.BatchNorm1d(emb, eps=2e-5))
 
     def forward(self, x):
-        b = x.shape[0]
         x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
         x = x + self.pos_embed
         x = self.blocks(x)
-        x = self.norm(x).flatten(1)
+        x = self.norm(x).flatten(1)  # flatten keeps the batch dim symbolic
         return self.feature(x)
 
 
@@ -572,10 +577,11 @@ class _SwinAttention(nn.Module):
 
         from nkbx.models.swin import _relative_position_index
 
-        bw, n, d = xw.shape
+        # batch-polymorphic: n/d are static (window geometry), batch dim -1
+        n, d = xw.shape[1], xw.shape[2]
         h = self._heads
         hd = d // h
-        qkv = self.qkv(xw).reshape(bw, n, 3, h, hd).permute(2, 0, 3, 1, 4)
+        qkv = self.qkv(xw).reshape(-1, n, 3, h, hd).permute(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         a = (q * hd ** -0.5) @ k.transpose(-2, -1)
         idx = torch.tensor(_np.asarray(
@@ -587,7 +593,7 @@ class _SwinAttention(nn.Module):
             a = a.view(-1, nw, h, n, n) + mask[None, :, None]
             a = a.view(-1, h, n, n)
         a = torch.softmax(a, -1)
-        return self.proj((a @ v).transpose(1, 2).reshape(bw, n, d))
+        return self.proj((a @ v).transpose(1, 2).reshape(-1, n, d))
 
 
 class _SwinBlock(nn.Module):
@@ -608,20 +614,22 @@ class _SwinBlock(nn.Module):
         """x: (B, H, W, D)."""
         from nkbx.models.swin import _shift_attn_mask
 
-        b, hc, wc, d = x.shape
+        # hc/wc/d are static spatial geometry; the batch dim stays -1 so the
+        # trace serves any batch size (dynamic-batch export contract)
+        hc, wc, d = x.shape[1], x.shape[2], x.shape[3]
         win = min(self._window, hc, wc)
         shift = (self._window // 2 if self._shifted else 0) if win < min(hc, wc) else 0
         sc = x
         y = self.norm1(x)
         if shift:
             y = torch.roll(y, (-shift, -shift), dims=(1, 2))
-        yw = y.reshape(b, hc // win, win, wc // win, win, d)
+        yw = y.reshape(-1, hc // win, win, wc // win, win, d)
         yw = yw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, d)
         mask = (torch.tensor(_shift_attn_mask(hc, wc, win, shift))
                 if shift else None)
         yw = self.attn(yw, win, mask)
-        y = yw.reshape(b, hc // win, wc // win, win, win, d)
-        y = y.permute(0, 1, 3, 2, 4, 5).reshape(b, hc, wc, d)
+        y = yw.reshape(-1, hc // win, wc // win, win, win, d)
+        y = y.permute(0, 1, 3, 2, 4, 5).reshape(-1, hc, wc, d)
         if shift:
             y = torch.roll(y, (shift, shift), dims=(1, 2))
         x = sc + y

@@ -386,22 +386,60 @@ class TestTorchOnnxFallback:
         np.testing.assert_allclose(y, ours, atol=1e-4, rtol=1e-3)
 
 
-    def test_transformer_torchscript_traces(self, tmp_path):
-        """ViT replica forward traces (static-batch) and reloads — the
-        transformer branch of the torch-replica exporters."""
+    @pytest.mark.parametrize("name,size", [
+        ("vit_tiny_patch16_224", 224),
+        ("swin_tiny_patch4_window7_224", 224),
+    ])
+    def test_transformer_torchscript_dynamic_batch(self, tmp_path, name, size):
+        """VERDICT r4 #3: transformer replica traces are batch-polymorphic —
+        the exported .pt (traced at bs=2) serves bs {1, 4, 16} with logits
+        matching the nkbx model (reference export.py:169-176 dynamic-batch
+        surface)."""
         import jax.numpy as jnp
+        import numpy as np
         import torch
 
         from nkbx.export.torch_onnx import export_torchscript_via_torch
         from nkbx.models import get_model
 
+        model = get_model({"task": "single", "model": name,
+                           "pretrained": False}, ["a", "b"],
+                          input_size=(size, size), dtype=jnp.float32)
+        out, _ = export_torchscript_via_torch(
+            model, name, tmp_path / "m.pt", (2, size, size, 3),
+            verify_atol=1e-4)
+        m = torch.jit.load(str(out))
+        rng = np.random.default_rng(0)
+        for bs in (1, 4, 16):
+            x = rng.normal(size=(bs, size, size, 3)).astype(np.float32)
+            with torch.no_grad():
+                y = m(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+            assert y.shape == (bs, 2)
+            ours = np.asarray(model.apply(model.variables, jnp.asarray(x),
+                                          train=False))
+            np.testing.assert_allclose(y, ours, atol=5e-4, rtol=1e-3)
+
+    def test_transformer_onnx_declares_dynamic_batch(self, tmp_path):
+        """The torch-replica ONNX export of a transformer now declares the
+        dynamic batch axis (no static-batch downgrade)."""
+        import jax.numpy as jnp
+
+        from nkbx.export.torch_onnx import export_onnx_via_torch
+        from nkbx.models import get_model
+
         model = get_model({"task": "single", "model": "vit_tiny_patch16_224",
                            "pretrained": False}, ["a", "b"],
                           input_size=(224, 224), dtype=jnp.float32)
-        out, _ = export_torchscript_via_torch(
-            model, "vit_tiny_patch16_224", tmp_path / "vit.pt",
-            (1, 224, 224, 3), verify_atol=1e-4)
-        m = torch.jit.load(str(out))
-        with torch.no_grad():
-            y = m(torch.randn(1, 3, 224, 224))
-        assert tuple(y.shape) == (1, 2)
+        out, meta = export_onnx_via_torch(
+            model, "vit_tiny_patch16_224", tmp_path / "vit.onnx",
+            (2, 224, 224, 3), dynamic_batch=True, verify_atol=1e-4)
+        data = out.read_bytes()
+        # the declared dim_param symbol appears in the serialized ModelProto
+        # graph input/output types iff dynamic axes survived the export
+        assert b"batch" in data
+        # and no fixed batch of 2 in the (tiny) value_info region? cheap
+        # structural check: a static export of the same model has no symbol
+        out2, _ = export_onnx_via_torch(
+            model, "vit_tiny_patch16_224", tmp_path / "vit_static.onnx",
+            (2, 224, 224, 3), dynamic_batch=False, verify=False)
+        assert b"batch" not in out2.read_bytes()
