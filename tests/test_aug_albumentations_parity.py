@@ -16,7 +16,16 @@ ways, strongest first:
    sampling of the same documented parameter distributions.
 
 A fourth tier runs the REAL albumentations comparison when the package is
-importable (skipped here, active in environments that have it).
+importable. STATUS (r5): tier 4 has NEVER executed in the development
+environment — albumentations is not installable here (no network egress, no
+vendored wheel; `pip download albumentations` finds no distribution), so
+every "albumentations parity" claim in PERF.md/MIGRATING.md rests on tiers
+1-3 (closed-form / cv2 / moment proxies). It is in the `dev` extra
+(pyproject.toml); on any networked host:
+
+    pip install 'nkbx[dev]' && pytest tests/test_aug_albumentations_parity.py
+
+activates the direct comparison with zero code changes.
 """
 
 import cv2
