@@ -43,6 +43,7 @@ class DenseLayer(nn.Module):
     growth_rate: int
     bn_size: int = 4
     dtype: Any = jnp.float32
+    emit_only: bool = False  # return just the growth channels (buffer mode)
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -50,6 +51,8 @@ class DenseLayer(nn.Module):
                         name="bottleneck")(x, train, mask)
         y = _BNReluConv(self.growth_rate, 3, dtype=self.dtype,
                         name="conv")(y, train, mask)
+        if self.emit_only:
+            return y
         return jnp.concatenate([x, y], axis=-1)
 
 
@@ -59,6 +62,16 @@ class DenseNet(nn.Module):
     init_features: int = 64
     drop_rate: float = 0.0
     dtype: Any = jnp.float32
+    # buffer_concat: grow each dense block inside ONE preallocated
+    # (B, H, W, C_block_end) buffer via static .at[].set slice updates instead
+    # of a per-layer jnp.concatenate. Numerically identical (same values, same
+    # param tree — tests/test_models.py). MEASURED NEGATIVE on TPU (−43%:
+    # 61.7 vs 34.95 ms/step, experiments/r5_densenet_buffer.py): XLA does NOT
+    # alias lane-minor slice updates at 32-channel offsets — each .at[].set
+    # re-copies the whole buffer, costing more than the concat stores it was
+    # meant to remove. Kept as a tested conclusion (PERF.md round-5 densenet
+    # section); the per-layer concatenate default is the fastest lowering.
+    buffer_concat: bool = False
 
     @property
     def num_features(self):
@@ -79,9 +92,22 @@ class DenseNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for i, n_layers in enumerate(self.block_config):
-            for j in range(n_layers):
-                x = DenseLayer(self.growth_rate, dtype=self.dtype,
-                               name=f"block{i}_layer{j}")(x, train, mask)
+            if self.buffer_concat:
+                c = x.shape[-1]
+                buf = jnp.zeros(
+                    x.shape[:-1] + (c + n_layers * self.growth_rate,), x.dtype)
+                buf = buf.at[..., :c].set(x)
+                for j in range(n_layers):
+                    y = DenseLayer(self.growth_rate, dtype=self.dtype,
+                                   emit_only=True, name=f"block{i}_layer{j}")(
+                                       buf[..., :c], train, mask)
+                    buf = buf.at[..., c:c + self.growth_rate].set(y)
+                    c += self.growth_rate
+                x = buf
+            else:
+                for j in range(n_layers):
+                    x = DenseLayer(self.growth_rate, dtype=self.dtype,
+                                   name=f"block{i}_layer{j}")(x, train, mask)
             if i != len(self.block_config) - 1:
                 x = _BNReluConv(x.shape[-1] // 2, 1, dtype=self.dtype,
                                 name=f"transition{i}")(x, train, mask)

@@ -28,7 +28,7 @@ frozen params entirely, leaving stale moments). Both resume cleanly on unfreeze.
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import optax
@@ -44,6 +44,59 @@ class OptimizerBundle(NamedTuple):
 
 
 _COUPLED_WD = {"adam", "radam", "sparse_adam", "sgd"}
+
+
+class ScaleByTorchNAdamState(NamedTuple):
+    count: Any = None
+    mu_product: Any = None
+    mu: Any = None
+    nu: Any = None
+
+
+def scale_by_torch_nadam(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8, psi: float = 4e-3):
+    """torch.optim.NAdam-exact update direction (unit lr).
+
+    torch's NAdam (Dozat 2016, as torch implements it) ANNEALS the momentum
+    coefficient — mu_t = b1*(1 - 0.5*0.96^(t*psi)) — and bias-corrects with
+    the running product of mu_i. ``optax.scale_by_adam(nesterov=True)`` has
+    no such schedule, so early-training trajectories drift from the
+    reference's ``torch.optim.NAdam`` recipe (reference utils.py:35).
+    Lockstep-tested against torch in tests/test_optim.py.
+    """
+    import jax.numpy as jnp
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ScaleByTorchNAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu_product=jnp.ones([], jnp.float32),
+            mu=zeros,
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        t = state.count + 1
+        tf = t.astype(jnp.float32)
+        mu_t = b1 * (1.0 - 0.5 * 0.96 ** (tf * psi))
+        mu_t1 = b1 * (1.0 - 0.5 * 0.96 ** ((tf + 1.0) * psi))
+        mu_prod = state.mu_product * mu_t
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, updates)
+        bc2 = 1.0 - b2 ** tf
+
+        def direction(m, v, g):
+            m_hat = (mu_t1 * m / (1.0 - mu_prod * mu_t1)
+                     + (1.0 - mu_t) * g / (1.0 - mu_prod))
+            return m_hat / (jnp.sqrt(v / bc2) + eps)
+
+        out = jax.tree_util.tree_map(direction, mu, nu, updates)
+        return out, ScaleByTorchNAdamState(count=t, mu_product=mu_prod,
+                                           mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _direction(kind: str, wd: float) -> optax.GradientTransformation:
@@ -66,8 +119,9 @@ def _direction(kind: str, wd: float) -> optax.GradientTransformation:
     if kind == "radam":
         return optax.scale_by_radam()
     if kind == "nadam":
-        # nesterov adam + decoupled weight decay (scaled by lr downstream)
-        return optax.chain(optax.scale_by_adam(nesterov=True), optax.add_decayed_weights(wd))
+        # torch-exact NAdam (annealed momentum) + decoupled weight decay
+        # (p*(1-lr*wd), realized as the lr-scaled additive term downstream)
+        return optax.chain(scale_by_torch_nadam(), optax.add_decayed_weights(wd))
     if kind == "sgd":
         return optax.identity()
     raise NotImplementedError(f"Unknown optimizer in config: {kind}")

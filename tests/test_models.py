@@ -240,3 +240,43 @@ class TestConvNeXtRematOption:
         for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestDenseNetBufferConcatOption:
+    """Round-5 attack artifact: buffer_concat must be an exact
+    reparametrization (same params, outputs, grads, BN stats). It measured
+    -43% on TPU (experiments/r5_densenet_buffer.py, PERF.md r5) — kept as a
+    tested conclusion; the concatenate default is the fast path."""
+
+    def test_buffer_concat_same_params_outputs_grads_stats(self):
+        from nkbx.models.densenet import DenseNet
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+        base = DenseNet(block_config=(2, 2), dtype=jnp.float32)
+        buff = DenseNet(block_config=(2, 2), dtype=jnp.float32,
+                        buffer_concat=True)
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        vb = buff.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(vb) == jax.tree_util.tree_structure(v)
+        np.testing.assert_array_equal(
+            np.asarray(buff.apply(v, x, train=False)),
+            np.asarray(base.apply(v, x, train=False)))
+
+        def run(m):
+            def f(p):
+                y, mut = m.apply({"params": p, "batch_stats": v["batch_stats"]},
+                                 x, train=True, mutable=["batch_stats"])
+                return jnp.sum(y ** 2), mut["batch_stats"]
+
+            (loss, stats), g = jax.value_and_grad(f, has_aux=True)(v["params"])
+            return loss, stats, g
+
+        l0, s0, g0 = run(base)
+        l1, s1, g1 = run(buff)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

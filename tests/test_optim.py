@@ -76,6 +76,23 @@ class TestOptimizerParity:
         for a, b in zip(jax.tree_util.tree_leaves(out), ref):
             np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("wd,n_steps", [(0.0, 1), (0.0, 7), (0.05, 7)])
+    def test_nadam_matches_torch(self, wd, n_steps):
+        """torch.optim.NAdam lockstep incl. the annealed momentum schedule
+        (mu_t = b1*(1-0.5*0.96^(t*psi))) and decoupled weight decay — the
+        reference's optimizer (utils.py:35). optax's nesterov-adam lacks the
+        schedule; nkbx ships a torch-exact transform (scale_by_torch_nadam)."""
+        params, grads = _fake_params(), _fake_grads()
+        flat = [np.asarray(p) for p in jax.tree_util.tree_leaves(params)]
+        gflat = [np.asarray(g) for g in jax.tree_util.tree_leaves(grads)]
+        ref = _torch_steps(torch.optim.NAdam, flat, gflat, n_steps,
+                           lr=1e-2, weight_decay=wd,
+                           decoupled_weight_decay=True)
+        out = _nkbx_steps({"type": "nadam", "lr": 1e-2, "weight_decay": wd},
+                          params, grads, n_steps)
+        for a, b in zip(jax.tree_util.tree_leaves(out), ref):
+            np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=1e-6)
+
     def test_sgd(self):
         params, grads = _fake_params(), _fake_grads()
         ref = _torch_steps(torch.optim.SGD,

@@ -204,6 +204,41 @@ def parity_run():
 
 
 # ---------------------------------------------------------------------------
+# Recipe-scale parity (VERDICT r4 #2): the full reference recipe — nadam +
+# decoupled per-group wd + cosine + freeze->unfreeze + deterministic host
+# augmentation — multi-epoch to a sub-100% plateau; reduced-size regression
+# pin of experiments/r5_recipe_parity.py (committed full run: 14 epochs,
+# plateau 85.8%, balanced-acc delta 0.046%, PERF.md round-5).
+# ---------------------------------------------------------------------------
+
+
+class TestRecipeScaleParity:
+    def test_full_recipe_multi_epoch_accuracy_parity(self):
+        import importlib
+        import sys as _sys
+        from pathlib import Path
+
+        exp_dir = str(Path(__file__).resolve().parent.parent / "experiments")
+        _sys.path.insert(0, exp_dir)
+        try:
+            rp = importlib.import_module("r5_recipe_parity")
+            # FULL experiment constants: the 0.1% gate needs the committed
+            # val size (2048, quantum 0.049%) — at reduced sizes one flipped
+            # borderline sample IS 0.1% and the gate sits at quantum noise
+            data = rp.make_data()
+            nk_losses, nk_acc, nk_logits = rp.run_nkbx(data, dropout=0.0)
+            th_losses, th_acc, th_logits = rp.run_torch(data, dropout=0.0)
+        finally:
+            _sys.path.remove(exp_dir)
+        # loss curves overlay through the whole recipe
+        np.testing.assert_allclose(nk_losses, th_losses, rtol=5e-2, atol=5e-3)
+        # BASELINE row 2: top-1 within 0.1% on a NON-saturated plateau
+        assert abs(nk_acc - th_acc) < 1e-3, (nk_acc, th_acc)
+        agreement = (nk_logits.argmax(1) == th_logits.argmax(1)).mean()
+        assert agreement > 0.97, agreement
+
+
+# ---------------------------------------------------------------------------
 # Freeze -> unfreeze lockstep (VERDICT r4 Weak #4 / task #5)
 # ---------------------------------------------------------------------------
 
