@@ -133,14 +133,51 @@ class TPUServingModule:
             ctimes.append(time.perf_counter() - t0)
         ctimes = np.asarray(ctimes)
 
+        # queue-pressure tier: issue all dispatches back-to-back and sync once
+        # at the end (the device executes its stream in order, so syncing the
+        # last output bounds them all). This is what a LOADED serving queue
+        # sees — the per-dispatch host round trip (~25 ms through the dev
+        # tunnel) overlaps the device compute instead of serializing with it.
+        self._sync(self._call(xd))
+        t0 = time.perf_counter()
+        outs = [self._call(xd) for _ in range(iters)]
+        self._sync(outs[-1])
+        pipelined = (time.perf_counter() - t0) / iters
+
         return {
             "batch_size": batch_size,
             "p50_ms": float(np.percentile(times, 50) * 1e3),
             "p99_ms": float(np.percentile(times, 99) * 1e3),
             "images_per_sec": float(batch_size / np.median(times)),
             "compute_p50_ms": float(np.percentile(ctimes, 50) * 1e3),
+            "compute_p99_ms": float(np.percentile(ctimes, 99) * 1e3),
             "compute_images_per_sec": float(batch_size / np.median(ctimes)),
+            "pipelined_ms": float(pipelined * 1e3),
+            "pipelined_images_per_sec": float(batch_size / pipelined),
         }
+
+    def benchmark_sweep(self, batch_sizes: Optional[Sequence[int]] = None,
+                        iters: int = 50):
+        """Latency-vs-throughput curve across buckets, with pad-miss costs.
+
+        Returns one :meth:`benchmark` row per batch size (default: every
+        bucket). Each row after the first also carries
+        ``pad_miss_vs_prev_ms``: serving ``prev_bucket + 1`` images lands in
+        THIS bucket, so the request pays this row's latency instead of the
+        previous row's — that difference is the bucket-miss (padding) cost
+        the bucket layout should be chosen around (see PERF.md round-5
+        serving-curve section for measured guidance).
+        """
+        sizes = sorted(batch_sizes or self.buckets)
+        rows = [self.benchmark(b, iters) for b in sizes]
+        for prev, row in zip(rows, rows[1:]):
+            row["pad_miss_vs_prev_ms"] = round(
+                row["compute_p50_ms"] - prev["compute_p50_ms"], 3)
+            # on tunneled dev backends compute_p50 is pinned at the dispatch
+            # round trip, so the pipelined delta is the honest pad cost there
+            row["pad_miss_pipelined_ms"] = round(
+                row["pipelined_ms"] - prev["pipelined_ms"], 3)
+        return rows
 
 
 class ExportedModel:
@@ -181,10 +218,19 @@ def main():  # pragma: no cover - thin CLI
     parser.add_argument("weights", help=".nkbx serving bundle")
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--iters", type=int, default=100)
+    parser.add_argument("--sweep", nargs="*", type=int, default=None,
+                        help="benchmark a latency/throughput curve instead of "
+                             "one batch: every bucket (bare --sweep) or the "
+                             "given batch sizes (--sweep 1 8 32 128); prints "
+                             "one JSON line per row incl. pad-miss costs")
     args = parser.parse_args()
     module = TPUServingModule(args.weights, warm_up_on_load=False)
-    module.warm_up([args.batch_size])  # only the benchmarked bucket
-    print(json.dumps(module.benchmark(args.batch_size, args.iters)))
+    if args.sweep is not None:
+        for row in module.benchmark_sweep(args.sweep or None, args.iters):
+            print(json.dumps(row))
+    else:
+        module.warm_up([args.batch_size])  # only the benchmarked bucket
+        print(json.dumps(module.benchmark(args.batch_size, args.iters)))
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -85,6 +85,19 @@ class TestExportRoundTrip:
         serving = TPUServingModule(bundle[0], buckets=[4])
         stats = serving.benchmark(batch_size=4, iters=5)
         assert stats["p50_ms"] > 0 and stats["images_per_sec"] > 0
+        assert stats["pipelined_images_per_sec"] > 0
+        assert stats["compute_p99_ms"] >= stats["compute_p50_ms"]
+
+    def test_benchmark_sweep_curve(self, bundle):
+        """VERDICT r4 #6: the sweep reports one row per bucket plus the
+        bucket-miss (pad) cost between adjacent buckets."""
+        from nkbx.export import TPUServingModule
+
+        serving = TPUServingModule(bundle[0], buckets=[2, 4])
+        rows = serving.benchmark_sweep(iters=5)
+        assert [r["batch_size"] for r in rows] == [2, 4]
+        assert "pad_miss_vs_prev_ms" not in rows[0]
+        assert isinstance(rows[1]["pad_miss_vs_prev_ms"], float)
 
 
 class TestFixedBatchExport:
