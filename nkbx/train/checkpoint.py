@@ -112,25 +112,55 @@ def restore_train_state(path, state_template, epoch: int = 0):
 
     with ocp.StandardCheckpointer() as ckptr:
         try:
-            restored = ckptr.restore(path, template)
+            try:
+                restored = ckptr.restore(path, template)
+            except Exception:
+                if "ema_params" in template:
+                    # resuming a pre-EMA checkpoint into an EMA-enabled run:
+                    # restore what exists; the EMA shadow restarts from the
+                    # restored params
+                    template.pop("ema_params")
+                    template.pop("ema_batch_stats", None)
+                    restored = ckptr.restore(path, template)
+                    restored["ema_params"] = _copy(restored["params"])
+                    restored["ema_batch_stats"] = _copy(restored["batch_stats"])
+                else:
+                    # resuming an EMA checkpoint into a non-EMA run: probe with
+                    # EMA entries in the template, then discard them
+                    template["ema_params"] = _copy(template["params"])
+                    template["ema_batch_stats"] = _copy(template["batch_stats"])
+                    restored = ckptr.restore(path, template)
+                    restored.pop("ema_params", None)
+                    restored.pop("ema_batch_stats", None)
         except Exception:
+            # last resort: optimizer-state layout mismatch (e.g. a pre-r5
+            # "nadam" checkpoint — its opt_state was optax nesterov-adam;
+            # round 5's torch-exact NAdam carries count/mu_product/mu/nu).
+            # Restore raw and graft weights + meta; moments restart fresh.
+            raw = ckptr.restore(path)
+            if not (isinstance(raw, dict) and "params" in raw and "meta" in raw):
+                raise
+            from nkbx.models.convert import adapt_variables_tree
+
+            import warnings
+
+            warnings.warn(
+                f"checkpoint {path} has an optimizer state incompatible with "
+                f"the current optimizer (layout change, e.g. pre-r5 nadam): "
+                f"restored weights/step/meta, optimizer moments RESET")
+            restored = dict(template)
+            restored["params"] = adapt_variables_tree(
+                raw["params"], template["params"], ("params",))
+            if raw.get("batch_stats") and template.get("batch_stats"):
+                restored["batch_stats"] = adapt_variables_tree(
+                    raw["batch_stats"], template["batch_stats"], ("batch_stats",))
+            restored["step"] = raw.get("step", template["step"])
+            restored["meta"] = raw["meta"]
             if "ema_params" in template:
-                # resuming a pre-EMA checkpoint into an EMA-enabled run:
-                # restore what exists; the EMA shadow restarts from the
-                # restored params
-                template.pop("ema_params")
-                template.pop("ema_batch_stats", None)
-                restored = ckptr.restore(path, template)
-                restored["ema_params"] = _copy(restored["params"])
-                restored["ema_batch_stats"] = _copy(restored["batch_stats"])
-            else:
-                # resuming an EMA checkpoint into a non-EMA run: probe with
-                # EMA entries in the template, then discard them
-                template["ema_params"] = _copy(template["params"])
-                template["ema_batch_stats"] = _copy(template["batch_stats"])
-                restored = ckptr.restore(path, template)
-                restored.pop("ema_params", None)
-                restored.pop("ema_batch_stats", None)
+                restored["ema_params"] = (raw.get("ema_params")
+                                          or _copy(restored["params"]))
+                restored["ema_batch_stats"] = (raw.get("ema_batch_stats")
+                                               or _copy(restored["batch_stats"]))
     new_state = state_template.replace(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

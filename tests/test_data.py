@@ -279,3 +279,37 @@ class TestCheckpointCrashSafety:
         restored, epoch, best = restore_train_state(path, state)
         assert epoch == 1 and best == 0.7 and int(restored.step) == 1
         assert not (tmp_path / "last.tmp").exists()
+
+    def test_incompatible_opt_state_falls_back_to_weights(self, tmp_path):
+        """A checkpoint whose optimizer-state LAYOUT mismatches the current
+        optimizer (e.g. pre-r5 nadam vs the torch-exact NAdam state) must
+        restore weights/step/meta with a loud warning and fresh moments —
+        not crash the resume."""
+        import warnings
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from nkbx.train import TrainState, get_optimizer, restore_train_state, save_checkpoint
+
+        params = {"backbone": {"k": jnp.full((4, 4), 3.0)}, "head": {"k": jnp.ones(4)}}
+        adam = get_optimizer(params, {"type": "adam", "lr": 0.1})
+        state = TrainState.create(params, {}, adam.tx)
+        state = state.replace(step=state.step + 7)
+        path = tmp_path / "last"
+        save_checkpoint(path, state, epoch=3, best_val_acc=0.6)
+
+        nadam = get_optimizer(params, {"type": "nadam", "lr": 0.1})
+        template = TrainState.create(params, {}, nadam.tx)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            restored, epoch, best = restore_train_state(path, template)
+        assert any("optimizer state incompatible" in str(x.message) for x in w)
+        assert epoch == 3 and best == 0.6 and int(restored.step) == 7
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["backbone"]["k"]), np.full((4, 4), 3.0))
+        # moments are the template's fresh init (zeros)
+        inner = restored.opt_state.inner_states["backbone"].inner_state
+        mu_leaves = jax.tree_util.tree_leaves(inner[0].mu if isinstance(inner, tuple) else inner.mu)
+        assert all(float(np.abs(np.asarray(m)).max()) == 0.0 for m in mu_leaves)

@@ -242,6 +242,85 @@ class TestMidEpochResume:
                 jax.tree_util.tree_leaves_with_path(jax.device_get(state2.batch_stats))):
             np.testing.assert_array_equal(a, b, err_msg=str(ka))
 
+    def test_resume_with_scan_steps(self, image_folder_dataset, tmp_path):
+        """scan_steps>1: the cursor counts only DISPATCHED batches (a partial
+        scan buffer at preemption is re-read on resume), and the resumed run
+        still bitwise-matches an uninterrupted one."""
+        import jax
+        import jax.numpy as jnp
+
+        from nkbx.data import get_dataset
+        from nkbx.models import get_model
+        from nkbx.train import (TrainState, build_train_step, get_loss,
+                                get_optimizer, preempt, restore_train_state)
+        from nkbx.train.checkpoint import load_cursor, save_checkpoint
+        from nkbx.train.engine import train_epoch
+
+        def make():
+            loader = get_dataset(
+                {"type": "ImageFolder",
+                 "root": str(image_folder_dataset / "train"),
+                 "batch_size": 4, "shuffle": True, "num_workers": 2,
+                 "drop_last": True, "seed": 0}, PIPE)  # 24 samples -> 6 batches
+            model = get_model(
+                {"task": "single", "model": "resnet_tiny_test",
+                 "pretrained": False}, loader.dataset.classes,
+                input_size=(32, 32), seed=0, dtype=jnp.float32)
+            criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+            bundle = get_optimizer(model.params, {"type": "sgd", "lr": 1e-2})
+            step = build_train_step(model, criterion, bundle,
+                                    augment_fn=PIPE.device_apply,
+                                    scan_steps=2)
+            state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+            return loader, step, state
+
+        key = jax.random.PRNGKey(0)
+        preempt.reset()
+        loader, step, state = make()
+        state, _ = train_epoch(state, loader, step, 0, key, 1.0, 1.0,
+                               progress=False)
+        params_a = jax.device_get(state.params)
+
+        loader, step, state = make()
+
+        class PreemptAt:
+            def __init__(self, inner, after):
+                self.inner, self.after = inner, after
+
+            def epoch(self, e, start_batch=0):
+                it = (self.inner.epoch(e, start_batch) if start_batch
+                      else self.inner.epoch(e))
+                for i, b in enumerate(it):
+                    if i == self.after:
+                        preempt._handler(None, None)
+                    yield b
+
+            def __len__(self):
+                return len(self.inner)
+
+        # flag raised while yielding batch 3: batches 0-1 dispatched as one
+        # scan chunk; batch 2 sits in the partial buffer and is NOT counted
+        state, res = train_epoch(state, PreemptAt(loader, after=3), step, 0,
+                                 key, 1.0, 1.0, progress=False)
+        assert res["preempted"] and res["consumed_batches"] == 2
+        preempt.reset()
+        ckpt = tmp_path / "last"
+        save_checkpoint(ckpt, state, -1, 0.0,
+                        cursor={"epoch": 0, "batch": 2,
+                                "step": int(jax.device_get(state.step)),
+                                "batch_size": 4, "process_count": 1})
+
+        loader2, step2, template = make()
+        restored, _, _ = restore_train_state(ckpt, template)
+        cur = load_cursor(ckpt)
+        state2, res2 = train_epoch(restored, loader2, step2, 0, key, 1.0, 1.0,
+                                   progress=False, start_batch=cur["batch"])
+        assert res2["consumed_batches"] == 6
+        for (ka, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(params_a),
+                jax.tree_util.tree_leaves_with_path(jax.device_get(state2.params))):
+            np.testing.assert_array_equal(a, b, err_msg=str(ka))
+
     def test_stale_cursor_is_ignored_by_trainer(self, image_folder_dataset, tmp_path):
         """A cursor whose pinned step/geometry mismatches the checkpoint must
         fall back to epoch-start replay (warn, not crash)."""
