@@ -710,15 +710,28 @@ def _train_epoch_inner(state, train_loader, train_step, epoch, key, lr_factor,
     def _last_loss(metrics):
         return float(np.ravel(np.asarray(metrics["loss"]))[-1])
 
-    # preemption (SIGTERM) breaks the epoch at a step boundary — single
-    # process only: a per-host mid-epoch break would desynchronize the
-    # epoch-end metric collectives (nkbx/train/preempt.py)
+    # preemption (SIGTERM) breaks the epoch at a step boundary. Single
+    # process: check the local flag every batch (free). Multi-host: signal
+    # delivery is per-host, so hosts agree via an OR-reduction of their local
+    # flags (preempt.agreed()) at a fixed batch cadence — every host executes
+    # the collective at the SAME loop index (the loader pads all hosts to
+    # equal batch counts), so they all take the same branch at the same step
+    # and the saved cursor is globally consistent. Config key
+    # preempt_sync_every (default 8 batches; 0 = epoch-boundary only, the
+    # pre-r5 behavior).
     from nkbx.train import preempt as _preempt
 
-    preemptible = _jax.process_count() == 1
+    multi = _jax.process_count() > 1
+    sync_every = 8
+    if cfg is not None:
+        sync_every = int(getattr(cfg, "preempt_sync_every", 8) or 0)
     preempted = False
-    for batch in it:
-        if preemptible and _preempt.requested():
+    for bi, batch in enumerate(it):
+        if multi:
+            if sync_every and bi % sync_every == 0 and _preempt.agreed():
+                preempted = True
+                break
+        elif _preempt.requested():
             preempted = True
             break
         buf.append(batch)

@@ -14,10 +14,14 @@ to an uninterrupted run (tests/test_train_integration.py). A stale or
 geometry-mismatched cursor self-invalidates and the epoch replays from its
 beginning instead.
 
-Multi-host: hosts receive signals independently, and a mid-epoch break at
-different steps would desynchronize the epoch-end collectives — so on
-``jax.process_count() > 1`` the flag is honored at the next EPOCH boundary
-instead (documented; coordinate externally for sub-epoch grace windows).
+Multi-host: hosts receive signals independently, and a per-host mid-epoch
+break at different steps would desynchronize the collectives — so on
+``jax.process_count() > 1`` the engine OR-reduces the per-host flags
+(:func:`agreed`) every ``preempt_sync_every`` batches (default 8; 0 reverts
+to epoch-boundary-only): every host runs the collective at the same loop
+index, so all take the same branch at the same step and the saved cursor is
+globally consistent (tests/test_multiprocess.py). The trainer's
+epoch-boundary check also goes through :func:`agreed`.
 """
 
 from __future__ import annotations

@@ -78,9 +78,6 @@ def train(
                      and cur.get("process_count") == jax.process_count())
             if valid:
                 resume_batch = int(cur["batch"])
-                print(f"[nkbx] mid-epoch resume: epoch {start_epoch} "
-                      f"continues at batch {resume_batch} "
-                      f"(metrics for this epoch cover the remaining batches)")
             else:
                 import warnings
 
@@ -88,6 +85,19 @@ def train(
                     f"preemption cursor at {resume_from} does not match the "
                     f"checkpoint or loader geometry ({cur}); replaying epoch "
                     f"{start_epoch} from its beginning")
+        if jax.process_count() > 1:
+            # the cursor sidecar is written by process 0; on a non-shared
+            # filesystem other hosts would not see it — broadcast host 0's
+            # decision so every host skips the SAME prefix
+            import jax.numpy as jnp
+            from jax.experimental import multihost_utils
+
+            resume_batch = int(multihost_utils.broadcast_one_to_all(
+                jnp.asarray(resume_batch, jnp.int32)))
+        if resume_batch:
+            print(f"[nkbx] mid-epoch resume: epoch {start_epoch} continues "
+                  f"at batch {resume_batch} (metrics for this epoch cover "
+                  f"the remaining batches)")
 
     if mesh is None and getattr(cfg, "fsdp", False):
         raise ValueError("fsdp=True requires a mesh (e.g. mesh = {'data': 8})")
@@ -152,7 +162,8 @@ def train(
             start_batch=resume_batch if epoch == start_epoch else 0,
         )
         if train_results.get("preempted"):
-            # SIGTERM mid-epoch (single process, nkbx/train/preempt.py):
+            # SIGTERM mid-epoch (nkbx/train/preempt.py — multi-host breaks
+            # at an OR-agreed batch index, so every host is here together):
             # save the FULL train state plus a batch cursor so --resume
             # continues THIS epoch exactly where the signal hit, then stop
             # cleanly inside the grace window (skip val/metrics — the epoch

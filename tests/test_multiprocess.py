@@ -468,6 +468,143 @@ with open(os.path.join(out_dir, f"pre{pid}.json"), "w") as f:
 """
 
 
+PREEMPT_MIDEPOCH_WORKER = """
+import json, os, sys, types
+pid = int(sys.argv[1]); port = sys.argv[2]; out_dir = sys.argv[3]; data_root = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import jax.numpy as jnp
+import numpy as np
+
+import nkbx.transforms as T
+from nkbx.data import get_dataset
+from nkbx.models import get_model
+from nkbx.parallel import make_mesh, replicated_sharding
+from nkbx.train import TrainState, build_train_step, get_loss, get_optimizer, preempt
+from nkbx.train.checkpoint import load_cursor, restore_train_state, save_checkpoint
+from nkbx.train.engine import EpochCollector, train_epoch
+
+pipe = T.Compose([T.Resize(24, 24), T.Normalize()])
+
+def make():
+    loader = get_dataset({"root": data_root, "batch_size": 4, "shuffle": True,
+                          "num_workers": 0, "size": (24, 24), "seed": 0,
+                          "drop_last": False}, pipe)
+    model = get_model({"task": "single", "model": "resnet_tiny_test",
+                       "pretrained": False}, loader.dataset.classes,
+                      input_size=(24, 24), seed=0, dtype=jnp.float32)
+    criterion = get_loss({"task": "single", "type": "CrossEntropyLoss"})
+    bundle = get_optimizer(model.params, {"type": "sgd", "lr": 0.01})
+    step = build_train_step(model, criterion, bundle,
+                            augment_fn=pipe.device_apply, masked_bn=True)
+    state = TrainState.create(model.params, model.batch_stats, bundle.tx)
+    mesh = make_mesh(n_data=4)  # 2 procs x 2 forced host devices
+    return loader, step, jax.device_put(state, replicated_sharding(mesh)), mesh
+
+cfg = types.SimpleNamespace(task="single", preempt_sync_every=1)
+key = jax.random.PRNGKey(0)
+
+def checksum(params):
+    from jax.experimental import multihost_utils
+    p = multihost_utils.process_allgather(params, tiled=True)
+    return float(sum(np.abs(np.asarray(v)).sum()
+                     for v in jax.tree_util.tree_leaves(p)))
+
+# phase A: uninterrupted epoch (22 imgs / 2 hosts -> 3 batches per host)
+preempt.reset()
+loader, step, state, mesh = make()
+state, res = train_epoch(state, loader, step, 0, key, 1.0, 1.0,
+                         epoch_logger=EpochCollector("single"), mesh=mesh,
+                         progress=False, cfg=cfg)
+full_checksum = checksum(state.params)
+full_batches = res["consumed_batches"]
+
+# phase B: ONLY host 1 gets the signal while yielding batch index 1 -> both
+# hosts must agree-break at the SAME index via the cadence collective
+loader, step, state, mesh = make()
+
+class FlagAt:
+    def __init__(self, inner, after):
+        self.inner, self.after = inner, after
+    def epoch(self, e, start_batch=0):
+        it = self.inner.epoch(e, start_batch) if start_batch else self.inner.epoch(e)
+        for i, b in enumerate(it):
+            if pid == 1 and i == self.after:
+                preempt._handler(None, None)
+            yield b
+    def __len__(self):
+        return len(self.inner)
+
+state, res = train_epoch(state, FlagAt(loader, 1), step, 0, key, 1.0, 1.0,
+                         epoch_logger=EpochCollector("single"), mesh=mesh,
+                         progress=False, cfg=cfg)
+assert res["preempted"], "both hosts must take the preempt branch"
+consumed = res["consumed_batches"]
+preempt.reset()
+ckpt = os.path.join(out_dir, "ckpt")
+save_checkpoint(ckpt, state, -1, 0.0,
+                cursor={"epoch": 0, "batch": consumed,
+                        "step": int(jax.device_get(state.step)),
+                        "batch_size": 4, "process_count": 2})
+
+# resume: fresh build, restore, continue from the cursor
+loader2, step2, template, mesh = make()
+restored, _, _ = restore_train_state(ckpt, template)
+cur = load_cursor(ckpt)
+state2, res2 = train_epoch(restored, loader2, step2, 0, key, 1.0, 1.0,
+                           epoch_logger=EpochCollector("single"), mesh=mesh,
+                           progress=False, cfg=cfg, start_batch=cur["batch"])
+with open(os.path.join(out_dir, f"mid{pid}.json"), "w") as f:
+    json.dump({"consumed_at_break": int(consumed),
+               "resumed_total": int(res2["consumed_batches"]),
+               "full_batches": int(full_batches),
+               "full_checksum": round(full_checksum, 6),
+               "resumed_checksum": round(checksum(state2.params), 6)}, f)
+"""
+
+
+class TestMidEpochPreemptAcrossProcesses:
+    def test_agreed_break_and_resume_matches_uninterrupted(
+            self, lockstep_dataset, tmp_path):
+        """Round-5: multi-host SIGTERM is honored MID-epoch — a one-sided
+        signal makes every host break at the same agreed batch index
+        (preempt_sync_every cadence), the cursor checkpoint saves across
+        hosts, and the resumed 2-process run reproduces the uninterrupted
+        2-process epoch exactly."""
+        script = tmp_path / "mid_worker.py"
+        script.write_text(PREEMPT_MIDEPOCH_WORKER)
+        port = _free_port()
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+        procs = [
+            subprocess.Popen([sys.executable, str(script), str(pid), str(port),
+                              str(tmp_path), str(lockstep_dataset)],
+                             env=env, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE, text=True)
+            for pid in (0, 1)
+        ]
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=560)
+            assert p.returncode == 0, f"STDOUT:{stdout[-2000:]}\nSTDERR:{stderr[-3000:]}"
+        runs = [json.loads((tmp_path / f"mid{i}.json").read_text()) for i in (0, 1)]
+        assert runs[0] == runs[1]
+        r = runs[0]
+        # the one-sided flag (host 1, batch idx 1) broke BOTH hosts at the
+        # same point, before the epoch end
+        assert 0 < r["consumed_at_break"] < r["full_batches"]
+        assert r["resumed_total"] == r["full_batches"]
+        assert r["resumed_checksum"] == r["full_checksum"]
+
+
 class TestPreemptAgreedAcrossProcesses:
     def test_one_sided_sigterm_is_agreed_by_all(self, tmp_path):
         """VERDICT r4 / ADVICE medium: a SIGTERM delivered to ONE host must
