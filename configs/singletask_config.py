@@ -63,6 +63,21 @@ mixup = None
 
 task = "single"
 
+# optimizer moments while the backbone is frozen (backbone_state_policy):
+# "decay" (default) feeds zero gradients, so Adam moments decay toward zero
+# during a freeze; "torch" reproduces torch exactly — frozen params are
+# skipped, moments and the bias-correction step count stay stale until
+# unfreeze (lockstep-tested vs torch across a freeze->unfreeze boundary).
+freeze_semantics = "decay"
+
+# SIGTERM (preemptible/spot VM) handling: the engine breaks at a step
+# boundary, saves the FULL train state + a batch cursor, and --resume
+# continues the interrupted epoch at that exact batch. Multi-host runs
+# OR-reduce the per-host flags every preempt_sync_every batches so all
+# hosts break at the same step (0 = epoch-boundary-only agreement).
+preempt_checkpoint = True
+preempt_sync_every = 8
+
 # optional multi-chip mesh: {"data": 8} => 8-way data parallel
 mesh = None
 
