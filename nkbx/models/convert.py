@@ -284,6 +284,11 @@ def convert_resnet_state_dict(state_dict, stage_sizes, tiered_stem=False,
             if f"{t}.downsample.0.weight" in sd:
                 _set(params, (f, "downsample", "Conv_0", "kernel"), _conv_w(sd[f"{t}.downsample.0.weight"]))
                 put_bn(f"{t}.downsample.1", (f, "downsample", "BatchNorm_0"))
+            elif f"{t}.downsample.1.weight" in sd:
+                # avg_down ('d' variants): downsample.0 is the param-free
+                # AvgPool/Identity, conv at .1, bn at .2
+                _set(params, (f, "downsample", "Conv_0", "kernel"), _conv_w(sd[f"{t}.downsample.1.weight"]))
+                put_bn(f"{t}.downsample.2", (f, "downsample", "BatchNorm_0"))
             k += 1
 
     return params, stats
@@ -293,9 +298,13 @@ _RESNET_SPECS = {
     "resnet_tiny_test": ((1, 1), False),  # tests-only tiny net (nkbx/models/resnet.py)
     "resnet14t": ((1, 1, 1, 1), True),
     "resnet18": ((2, 2, 2, 2), False),
+    # 'd' variants: deep stem shares the tiered conv1.{0,3,6} key layout
+    "resnet18d": ((2, 2, 2, 2), True),
     "resnet26": ((2, 2, 2, 2), False),
     "resnet34": ((3, 4, 6, 3), False),
+    "resnet34d": ((3, 4, 6, 3), True),
     "resnet50": ((3, 4, 6, 3), False),
+    "resnet50d": ((3, 4, 6, 3), True),
     "resnet101": ((3, 4, 23, 3), False),
     "resnet152": ((3, 8, 36, 3), False),
     # grouped-conv torch weights are (O, I/groups, H, W) -> HWIO unchanged;

@@ -21,9 +21,12 @@ _REGISTRY = {
     "resnet_tiny_test": resnet.resnet_tiny_test,  # for tests on 1-core CPU hosts
     "resnet14t": resnet.resnet14t,
     "resnet18": resnet.resnet18,
+    "resnet18d": resnet.resnet18d,
     "resnet26": resnet.resnet26,
     "resnet34": resnet.resnet34,
+    "resnet34d": resnet.resnet34d,
     "resnet50": resnet.resnet50,
+    "resnet50d": resnet.resnet50d,
     "resnet101": resnet.resnet101,
     "resnet152": resnet.resnet152,
     "resnext50_32x4d": resnet.resnext50_32x4d,

@@ -18,6 +18,16 @@ from flax import linen as nn
 from nkbx.models.common import ConvBN, global_avg_pool
 
 
+def _avg_down_pool(x):
+    """timm avg_down shortcut pool: AvgPool2d(2, 2, ceil_mode=True,
+    count_include_pad=False) — for odd H/W the trailing row/col pools over
+    its 1-wide valid window (flax count_include_pad=False with asymmetric
+    padding reproduces ceil_mode exactly)."""
+    ph, pw = x.shape[1] % 2, x.shape[2] % 2
+    return nn.avg_pool(x, (2, 2), strides=(2, 2),
+                       padding=((0, ph), (0, pw)), count_include_pad=False)
+
+
 def space_to_depth(x, block: int = 2):
     """(B, H, W, C) -> (B, H/b, W/b, b*b*C); channel order (row, col, c)."""
     b, h, w, c = x.shape
@@ -131,6 +141,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     ghost_bn: int = 0
+    avg_down: bool = False  # timm 'd' variants: avg-pool + 1x1/s1 shortcut
     expansion = 1
 
     @nn.compact
@@ -140,7 +151,12 @@ class BasicBlock(nn.Module):
         y = ConvBN(self.features, 3, self.strides, dtype=self.dtype, ghost_bn=g)(x, train, mask)
         y = ConvBN(self.features, 3, 1, act=None, dtype=self.dtype, ghost_bn=g)(y, train, mask)
         if residual.shape != y.shape:
-            residual = ConvBN(self.features, 1, self.strides, act=None, dtype=self.dtype, ghost_bn=g, name="downsample")(x, train, mask)
+            ds, s = x, self.strides
+            if self.avg_down:
+                if self.strides > 1:
+                    ds = _avg_down_pool(x)
+                s = 1
+            residual = ConvBN(self.features, 1, s, act=None, dtype=self.dtype, ghost_bn=g, name="downsample")(ds, train, mask)
         return nn.relu(y + residual)
 
 
@@ -181,6 +197,7 @@ class Bottleneck(nn.Module):
     # kernel's batch tile; falls back to the XLA path for strided/projection
     # blocks and in eval mode.
     fused: bool = False
+    avg_down: bool = False  # timm 'd' variants: avg-pool + 1x1/s1 shortcut
     expansion = 4
 
     @nn.compact
@@ -210,14 +227,20 @@ class Bottleneck(nn.Module):
         if self.se_ratio > 0:
             y = SEModule(int(out * self.se_ratio), dtype=self.dtype, name="se")(y)
         if residual.shape != y.shape:
-            residual = ConvBN(out, 1, self.strides, act=None, dtype=self.dtype, ghost_bn=g, name="downsample")(x, train, mask)
+            ds, s = x, self.strides
+            if self.avg_down:
+                if self.strides > 1:
+                    ds = _avg_down_pool(x)
+                s = 1
+            residual = ConvBN(out, 1, s, act=None, dtype=self.dtype, ghost_bn=g, name="downsample")(ds, train, mask)
         return nn.relu(y + residual)
 
 
 class ResNet(nn.Module):
     stage_sizes: Sequence[int]
     block_cls: Type[nn.Module]
-    stem: str = "default"  # "default" 7x7/s2 | "tiered" 3x 3x3 (timm *t variants)
+    stem: str = "default"  # "default" 7x7/s2 | "tiered" 3x 3x3 (timm *t) |
+    #                        "deep" 3x 3x3 w/ (w, w, 2w) channels (timm *d)
     stem_width: int = 64
     cardinality: int = 1  # ResNeXt groups (Bottleneck only)
     base_width: int = 64  # per-group width factor (wide_resnet*_2 -> 128)
@@ -245,6 +268,9 @@ class ResNet(nn.Module):
     # VMEM-resident chain kernel per pass (nkbx/ops/bottleneck.py). Requires
     # ghost_bn (per-batch-tile stats are the tiling contract).
     fused_bottleneck: bool = False
+    # timm 'd' variants (resnet18d/34d/50d): every downsample shortcut is
+    # avg_pool(2,2) + 1x1/s1 conv instead of a strided 1x1 conv
+    avg_down: bool = False
 
     @property
     def num_features(self):
@@ -253,10 +279,12 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         g = self.ghost_bn
-        if self.stem == "tiered":
-            # timm tiered stem: three 3x3 convs, (3*w//4, w, w*2) channels
+        if self.stem in ("tiered", "deep"):
+            # three 3x3 convs: timm tiered = (3*w//4, w, 2w) channels,
+            # timm deep ('d' variants) = (w, w, 2w); same key layout
             w = self.stem_width
-            x = ConvBN(3 * w // 4, 3, 2, dtype=self.dtype, ghost_bn=g)(x, train, mask)
+            c0 = 3 * w // 4 if self.stem == "tiered" else w
+            x = ConvBN(c0, 3, 2, dtype=self.dtype, ghost_bn=g)(x, train, mask)
             x = ConvBN(w, 3, 1, dtype=self.dtype, ghost_bn=g)(x, train, mask)
             x = ConvBN(2 * w, 3, 1, dtype=self.dtype, ghost_bn=g)(x, train, mask)
         elif self.s2d_stem:
@@ -285,12 +313,13 @@ class ResNet(nn.Module):
                 "fused_bottleneck covers Bottleneck blocks only (resnet26/"
                 "50/101/...); BasicBlock ResNets have no fused chain — "
                 "silently ignoring the flag would fake the benchmark")
-        block_kwargs = {"ghost_bn": self.ghost_bn}
+        block_kwargs = {"ghost_bn": self.ghost_bn, "avg_down": self.avg_down}
         if self.block_cls is Bottleneck:
             block_kwargs = dict(cardinality=self.cardinality,
                                 base_width=self.base_width, se_ratio=self.se_ratio,
                                 ghost_bn=self.ghost_bn,
-                                fused=self.fused_bottleneck)
+                                fused=self.fused_bottleneck,
+                                avg_down=self.avg_down)
         # blocks are explicitly named with the UN-wrapped class's auto-name
         # pattern, so param paths (and checkpoints) are identical across
         # remat_stages settings; train (arg 2) is static under remat
@@ -328,3 +357,7 @@ resnext101_32x8d = partial(ResNet, stage_sizes=(3, 4, 23, 3), block_cls=Bottlene
 wide_resnet50_2 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, base_width=128)
 seresnet50 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, se_ratio=1 / 16)
 seresnext50_32x4d = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, cardinality=32, base_width=4, se_ratio=1 / 16)
+# timm 'd' variants: deep (w, w, 2w) 3x3 stem + avg-pool downsample shortcuts
+resnet18d = partial(ResNet, stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, stem="deep", stem_width=32, avg_down=True)
+resnet34d = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock, stem="deep", stem_width=32, avg_down=True)
+resnet50d = partial(ResNet, stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, stem="deep", stem_width=32, avg_down=True)

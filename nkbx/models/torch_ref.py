@@ -61,15 +61,26 @@ class _TimmSE(nn.Module):
         return x * torch.sigmoid(self.fc2(torch.relu(self.fc1(s))))
 
 
+def _downsample(inp, out, stride, avg_down):
+    """timm downsample shortcut: strided 1x1 conv (classic) or
+    AvgPool/Identity + 1x1/s1 conv (avg_down, the 'd' variants — conv/bn land
+    at Sequential indices 1/2)."""
+    if not avg_down:
+        return nn.Sequential(_conv(inp, out, 1, stride, 0), _bn(out))
+    pool = (nn.AvgPool2d(2, stride, ceil_mode=True, count_include_pad=False)
+            if stride > 1 else nn.Identity())
+    return nn.Sequential(pool, _conv(inp, out, 1, 1, 0), _bn(out))
+
+
 class _TimmBasicBlock(nn.Module):
-    def __init__(self, inp, planes, stride):
+    def __init__(self, inp, planes, stride, avg_down=False):
         super().__init__()
         self.conv1 = _conv(inp, planes, 3, stride)
         self.bn1 = _bn(planes)
         self.conv2 = _conv(planes, planes, 3, 1)
         self.bn2 = _bn(planes)
         if stride != 1 or inp != planes:
-            self.downsample = nn.Sequential(_conv(inp, planes, 1, stride, 0), _bn(planes))
+            self.downsample = _downsample(inp, planes, stride, avg_down)
 
     def forward(self, x):
         sc = self.downsample(x) if hasattr(self, "downsample") else x
@@ -79,7 +90,8 @@ class _TimmBasicBlock(nn.Module):
 
 
 class _TimmBottleneck(nn.Module):
-    def __init__(self, inp, planes, stride, cardinality=1, base_width=64, se_ratio=0.0):
+    def __init__(self, inp, planes, stride, cardinality=1, base_width=64,
+                 se_ratio=0.0, avg_down=False):
         super().__init__()
         width = int(planes * (base_width / 64.0)) * cardinality
         out = planes * 4
@@ -92,7 +104,7 @@ class _TimmBottleneck(nn.Module):
         if se_ratio > 0:
             self.se = _TimmSE(out, int(out * se_ratio))
         if stride != 1 or inp != out:
-            self.downsample = nn.Sequential(_conv(inp, out, 1, stride, 0), _bn(out))
+            self.downsample = _downsample(inp, out, stride, avg_down)
 
     def forward(self, x):
         sc = self.downsample(x) if hasattr(self, "downsample") else x
@@ -106,13 +118,17 @@ class _TimmBottleneck(nn.Module):
 
 class TimmResNet(nn.Module):
     def __init__(self, stage_sizes, bottleneck, tiered=False, stem_width=64,
-                 cardinality=1, base_width=64, se_ratio=0.0):
+                 cardinality=1, base_width=64, se_ratio=0.0, deep=False,
+                 avg_down=False):
         super().__init__()
-        if tiered:
+        if tiered or deep:
+            # tiered ('t'): (3w/4, w, 2w) channels; deep ('d'): (w, w, 2w) —
+            # identical Sequential key layout (convs at 0/3/6)
             w = stem_width
+            c0 = 3 * w // 4 if tiered else w
             self.conv1 = nn.Sequential(
-                _conv(3, 3 * w // 4, 3, 2), _bn(3 * w // 4), nn.ReLU(inplace=True),
-                _conv(3 * w // 4, w, 3, 1), _bn(w), nn.ReLU(inplace=True),
+                _conv(3, c0, 3, 2), _bn(c0), nn.ReLU(inplace=True),
+                _conv(c0, w, 3, 1), _bn(w), nn.ReLU(inplace=True),
                 _conv(w, 2 * w, 3, 1))
             stem_out = 2 * w
         else:
@@ -127,10 +143,12 @@ class TimmResNet(nn.Module):
                 stride = 2 if stage > 0 and b == 0 else 1
                 if bottleneck:
                     blk = _TimmBottleneck(inp, planes, stride, cardinality,
-                                          base_width, se_ratio)
+                                          base_width, se_ratio,
+                                          avg_down=avg_down)
                     inp = planes * 4
                 else:
-                    blk = _TimmBasicBlock(inp, planes, stride)
+                    blk = _TimmBasicBlock(inp, planes, stride,
+                                          avg_down=avg_down)
                     inp = planes
                 blocks.append(blk)
             setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
@@ -691,9 +709,12 @@ def build_replica(name: str) -> nn.Module:
         "resnet_tiny_test": dict(stage_sizes=(1, 1), bottleneck=False, stem_width=16),
         "resnet14t": dict(stage_sizes=(1, 1, 1, 1), bottleneck=True, tiered=True, stem_width=32),
         "resnet18": dict(stage_sizes=(2, 2, 2, 2), bottleneck=False),
+        "resnet18d": dict(stage_sizes=(2, 2, 2, 2), bottleneck=False, deep=True, stem_width=32, avg_down=True),
         "resnet26": dict(stage_sizes=(2, 2, 2, 2), bottleneck=True),
         "resnet34": dict(stage_sizes=(3, 4, 6, 3), bottleneck=False),
+        "resnet34d": dict(stage_sizes=(3, 4, 6, 3), bottleneck=False, deep=True, stem_width=32, avg_down=True),
         "resnet50": dict(stage_sizes=(3, 4, 6, 3), bottleneck=True),
+        "resnet50d": dict(stage_sizes=(3, 4, 6, 3), bottleneck=True, deep=True, stem_width=32, avg_down=True),
         "resnet101": dict(stage_sizes=(3, 4, 23, 3), bottleneck=True),
         "resnet152": dict(stage_sizes=(3, 8, 36, 3), bottleneck=True),
         "resnext50_32x4d": dict(stage_sizes=(3, 4, 6, 3), bottleneck=True, cardinality=32, base_width=4),

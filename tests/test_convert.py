@@ -1283,7 +1283,8 @@ class TestAllRegistryNamesConvert:
         return any(key.endswith(sfx) for sfx in TestAllRegistryNamesConvert.IGNORED)
 
     @pytest.mark.parametrize("name", [
-        "resnet_tiny_test", "resnet14t", "resnet18", "resnet26", "resnet34",
+        "resnet_tiny_test", "resnet14t", "resnet18", "resnet18d", "resnet26",
+        "resnet34", "resnet34d", "resnet50d",
         "resnet50", "resnet101", "resnet152", "resnext50_32x4d",
         "resnext101_32x8d", "wide_resnet50_2", "seresnet50",
         "seresnext50_32x4d", "mobilenetv3_large_100", "mobilenetv3_small_100",

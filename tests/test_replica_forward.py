@@ -21,6 +21,7 @@ pytestmark = pytest.mark.slow  # full-model CPU forwards
 CASES = [
     ("resnet_tiny_test", 32, 2e-5),
     ("resnet14t", 32, 2e-5),            # tiered stem, bottleneck
+    ("resnet50d", 32, 2e-5),            # deep stem + avg_down shortcut
     ("seresnext50_32x4d", 32, 2e-5),    # SE + grouped
     ("mobilenetv3_large_100", 64, 2e-5),
     ("mobilenetv3_small_100", 64, 2e-5),   # SE on the first DS block, "hs" earlier

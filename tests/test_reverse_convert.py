@@ -30,6 +30,7 @@ pytestmark = pytest.mark.slow  # integration tier: excluded by -m 'not slow'
 NAMES = [
     "resnet18",
     "resnet14t",
+    "resnet50d",
     "seresnext50_32x4d",
     "mobilenetv3_small_100",
     "efficientnet_b0",
