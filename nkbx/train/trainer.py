@@ -89,7 +89,6 @@ def train(
             # the cursor sidecar is written by process 0; on a non-shared
             # filesystem other hosts would not see it — broadcast host 0's
             # decision so every host skips the SAME prefix
-            import jax.numpy as jnp
             from jax.experimental import multihost_utils
 
             resume_batch = int(multihost_utils.broadcast_one_to_all(

@@ -144,6 +144,33 @@ class TestTrainEndToEnd:
         assert 0.0 <= best <= 1.0
 
 
+class TestBf16MasterWeightsTrainer:
+    def test_trainer_level_bf16_masters(self, image_folder_dataset, tmp_path):
+        """Drive the FULL trainer (not just TrainState) with
+        bf16_master_weights=True — regression for an r5 name-shadowing bug
+        where the cfg key crashed train() before the first epoch."""
+        import jax.numpy as jnp
+
+        from nkbx.data import get_dataset
+        from nkbx.logging import get_local_experiment
+        from nkbx.models import get_model
+        from nkbx.train import get_loss, train
+
+        cfg = _cfg(image_folder_dataset, tmp_path, n_epochs=1)
+        cfg.bf16_master_weights = True
+        train_loader = get_dataset(cfg.train_data, cfg.train_pipeline)
+        cfg.val_data = {**cfg.val_data, "classes": train_loader.dataset.classes}
+        val_loader = get_dataset(cfg.val_data, cfg.val_pipeline)
+        model = get_model(cfg.model, train_loader.dataset.classes,
+                          input_size=(32, 32), dtype=jnp.float32)
+        criterion = get_loss(cfg.criterion)
+        local_exp = get_local_experiment(cfg.experiment["local"])
+        state = train(model, train_loader, val_loader, criterion, None,
+                      local_exp, cfg)
+        assert state.params["head"]["kernel"].dtype == jnp.bfloat16
+        assert (local_exp.path / "metrics.csv").exists()
+
+
 class TestMidEpochResume:
     """VERDICT r4 #4: a SIGTERM at batch k + --resume must continue the epoch
     exactly — remaining sample sequence AND final weights equal an
