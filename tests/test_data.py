@@ -280,6 +280,41 @@ class TestCheckpointCrashSafety:
         assert epoch == 1 and best == 0.7 and int(restored.step) == 1
         assert not (tmp_path / "last.tmp").exists()
 
+    def test_nadam_state_checkpoint_roundtrip(self, tmp_path):
+        """The torch-exact NAdam state (count/mu_product/mu/nu NamedTuple)
+        must orbax-roundtrip exactly — its layout is new in r5."""
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from nkbx.train import TrainState, get_optimizer, restore_train_state, save_checkpoint
+        from nkbx.train.optim import scale_updates
+
+        params = {"backbone": {"k": jnp.ones((4, 4))}, "head": {"k": jnp.zeros(4)}}
+        bundle = get_optimizer(params, {"type": "nadam", "lr": 1e-2,
+                                        "weight_decay": 0.01})
+        state = TrainState.create(params, {}, bundle.tx)
+        for _ in range(2):
+            g = {"backbone": {"k": jnp.full((4, 4), 0.3)},
+                 "head": {"k": jnp.full(4, -0.2)}}
+            upd, opt_state = bundle.tx.update(g, state.opt_state, state.params)
+            upd = scale_updates(upd, state.params, bundle.lrs,
+                                jnp.asarray(1.0), jnp.asarray(1.0))
+            state = state.replace(params=optax.apply_updates(state.params, upd),
+                                  opt_state=opt_state, step=state.step + 1)
+        save_checkpoint(tmp_path / "ck", state, 1, 0.5)
+        template = TrainState.create(params, {}, bundle.tx)
+        restored, ep, best = restore_train_state(tmp_path / "ck", template)
+        a = state.opt_state.inner_states["backbone"].inner_state[0]
+        b = restored.opt_state.inner_states["backbone"].inner_state[0]
+        assert int(b.count) == 2
+        np.testing.assert_array_equal(np.asarray(a.mu_product),
+                                      np.asarray(b.mu_product))
+        np.testing.assert_array_equal(np.asarray(a.mu["backbone"]["k"]),
+                                      np.asarray(b.mu["backbone"]["k"]))
+        np.testing.assert_array_equal(np.asarray(a.nu["backbone"]["k"]),
+                                      np.asarray(b.nu["backbone"]["k"]))
+
     def test_incompatible_opt_state_falls_back_to_weights(self, tmp_path):
         """A checkpoint whose optimizer-state LAYOUT mismatches the current
         optimizer (e.g. pre-r5 nadam vs the torch-exact NAdam state) must
